@@ -1,0 +1,76 @@
+"""SparkSession construction and runtime-conf preparation.
+
+The reference is a single-threaded tkinter app (mainTesting.py:822-848);
+it has no session concept. Here the session is the engine: AQE on,
+shuffle parallelism sized to cores (not the 200 default), UTC timezone
+(duckdb oracle timestamps are UTC-naive), Arrow enabled for the Pandas
+UDF paths.
+
+Two entry points:
+  * ``get_spark()``      — build a session (tests, bench, CLI).
+  * ``prep_session(s)``  — set the *runtime-settable* confs on a session
+    we did not build (the driver passes its own session into
+    ``__spark_entry__.entry``/``queries()`` callables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be applied to an already-running session (runtime-settable).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark 4
+    # rejects by default; read as long and rebuild the timestamp in io.py
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # At 100 TB this is sized per-cluster; locally ~cores avoids both
+    # over-splitting tiny data and starving big shuffles.
+    "spark.sql.shuffle.partitions": None,  # filled from cpu count below
+}
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 4
+
+
+def prep_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not construct.
+
+    Safe to call repeatedly; every registered query calls this so results
+    are deterministic regardless of who built the session.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        if v is None:
+            v = str(_cpus())
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be marked static on some builds — never fatal
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "etl-financial-report-spark") -> SparkSession:
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    return prep_session(spark)

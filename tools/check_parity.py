@@ -1,0 +1,126 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, sorted column names, and an
+order-insensitive value comparison that is STRICTER than any sane driver
+hash (floats compared bit-for-bit via repr, timestamps via isoformat).
+
+Usage:
+    python tools/check_parity.py [--sf-dir /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from etl_financial_report_spark import registry  # noqa: E402
+from etl_financial_report_spark.io import TABLES  # noqa: E402
+from etl_financial_report_spark.session import get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def norm_val(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, np.floating):
+        return repr(float(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(norm_val(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def normalize(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_val(v) for v in t) for t in df[cols].itertuples(index=False, name=None)]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    all_q = registry.all_queries()
+    names = args.names or sorted(all_q)
+    spark = get_spark("parity-check")
+    con = duck_con(args.sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        q = all_q[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only check, no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.sql(q.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        s_cols, s_rows = normalize(sdf)
+        o_cols, o_rows = normalize(odf)
+        if s_cols != o_cols:
+            print(f"FAIL  {name}: columns differ spark={s_cols} oracle={o_cols}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL  {name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
+            n_fail += 1
+            continue
+        if s_rows != o_rows:
+            bad = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
+            print(f"FAIL  {name}: values differ at sorted-row {bad}:")
+            print(f"      spark : {s_rows[bad]}")
+            print(f"      oracle: {o_rows[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only of {len(names)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
