@@ -65,3 +65,286 @@ def flagship_statement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tahun", "quartal")
     )
+
+
+# --------------------------------------------------------------------------
+# S13/P3/P4 — filtered scan with case-insensitive equality + ILIKE predicates
+# (the reference's hand-built WHERE clause, mainTesting.py:102-115).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s13_filtered_scan",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+FROM customer
+WHERE lower(c_mktsegment) = lower('Furniture')
+  AND c_nationkey < 10
+  AND c_name ILIKE '%1%'
+""",
+    doc="Filtered scan: case-insensitive equality (P3) + ILIKE contains (P4); predicates push to parquet.",
+)
+def s13_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(
+        (F.lower("c_mktsegment") == F.lower(F.lit("Furniture")))
+        & (F.col("c_nationkey") < 10)
+        & F.col("c_name").ilike("%1%")
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# J1 — theta/contains join (text lines ⋈ fact rows, mainTesting.py:88-185).
+# The reference probes the DB once per PDF line (O(n) round trips); here it
+# is ONE join: equi key (lang) hash-joinable + contains() as the theta
+# residual. The keyword dim is broadcast — at 100 TB the big side never
+# shuffles for this join.
+# --------------------------------------------------------------------------
+
+_KEYWORDS = [("spark", "en"), ("join", "zh"), ("window", "de"), ("stream", "fr"), ("filter", "es")]
+
+
+@register(
+    "j1_contains_join",
+    oracle="""
+SELECT kw.kw AS kw, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d
+JOIN (VALUES ('spark','en'),('join','zh'),('window','de'),('stream','fr'),('filter','es')) kw(kw, lang)
+  ON d.lang = kw.lang AND contains(d.text, kw.kw)
+GROUP BY kw.kw
+""",
+    doc="Theta/contains join (J1): equi-prejoin on lang + contains() residual; broadcast small dim.",
+)
+def j1_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kw = spark.createDataFrame(_KEYWORDS, "kw string, lang string")
+    return (
+        docs.join(F.broadcast(kw), (docs.lang == kw.lang) & F.col("text").contains(F.col("kw")))
+        .groupBy("kw")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — anti-join (idempotent-insert guard, mainTesting.py:693-729):
+# incoming rows minus already-present keys.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j3_anti_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+""",
+    doc="Left-anti join (J3): the exactly-once ingest guard as a relational op.",
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# J4 — semi-join existence gate (mainTesting.py:117).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j4_semi_join",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n_customers_with_final_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_nationkey
+""",
+    doc="Left-semi join (J4): rows participate only if >=1 match exists.",
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_final_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A-surface — full aggregation battery (TPC-H Q1 shape). The reference has
+# no aggregates (ingest-only); the EAV model becomes *reports* only through
+# these (SURVEY.md §2.4). Partial/final agg split is Catalyst's.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_statement_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="Aggregation battery: sum/avg/min/max/count/count_distinct with exact decimal money math.",
+)
+def agg_statement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.finance import gross_price
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-06-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            as_double(F.sum(money("l_quantity")), "sum_qty"),
+            as_double(F.sum(money("l_extendedprice")), "sum_base"),
+            as_double(F.sum(net_price()), "sum_disc"),
+            as_double(F.sum(gross_price()), "sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    doc="Hierarchical rollup (region -> nation -> total) with GROUPING id disambiguation.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            as_double(F.sum(money("c_acctbal")), "total_acctbal"),
+        )
+        .select("r_name", "n_name", "gid", "n_customers", "total_acctbal")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only (exact twin below is oracle-checked)
+    doc="approx_count_distinct (HLL) per event_type — the at-scale distinct path; no portable oracle.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.approx_count_distinct("user_id").alias("approx_users"))
+
+
+@register(
+    "agg_exact_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact count-distinct twin of agg_approx_distinct.",
+)
+def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# A3 — max-style first-match (descending year scan with early exit,
+# mainTesting.py:321-325) re-expressed as a conditional aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a3_first_match_max",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN year(o_orderdate) END) AS INTEGER)
+           AS latest_urgent_year
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Descending-scan-with-break (A3) as max(when(...)): no early exit needed, one agg.",
+)
+def a3_first_match_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", F.year("o_orderdate"))).alias(
+            "latest_urgent_year"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O2 — vertical union with dedup (pd.concat, test_uploadPDF.py:42-44) and
+# O4 — deterministic top-k (orderBy + limit -> TakeOrderedAndProject).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "o2_union_dedup",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 50000
+""",
+    doc="Union + dedup (O2/A2): unionByName + dropDuplicates == SQL UNION.",
+)
+def o2_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_totalprice")
+    big = o.where(F.col("o_totalprice") > 50000).select("o_orderkey", "o_totalprice")
+    return urgent.unionByName(big).dropDuplicates()
+
+
+@register(
+    "o4_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="Top-k (O4): total-order tiebreaker makes the result deterministic; Catalyst plans TakeOrderedAndProject.",
+)
+def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )

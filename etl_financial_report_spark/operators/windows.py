@@ -1,0 +1,280 @@
+"""Window / sequence operators (SURVEY.md §2.5).
+
+The reference's positional-list idioms — lookahead ``teks[i+1]``
+(mainTesting.py:124,152), page-gap pruning (mainTesting.py:231-238),
+backward fill of empty CALK content (mainTesting.py:648-658), take-first
+(mainTesting.py:121,314-318) — all become Window functions over an
+explicit (partition, order) instead of Python list order. Spark gives no
+implicit row order (SURVEY.md §7 hard-part 2), so every query here
+declares its ordering columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.finance import money
+from ..io import load_table
+from ..registry import register
+
+#: note-reference pattern from the reference (mainTesting.py:197):
+#: "2", "2a", "2,3b", "12,13a" match; "2A", "102", "a2" do not.
+NOTE_PATTERN = r"^(\d{1,2}|(\d{1,2}[a-z])|(\d{1,2}(?:,\d{1,2}[a-z]?)*))$"
+
+#: l_linenumber alone is NOT unique within an order in the driver data; a
+#: window ordered by it is not total and engines would disagree on ties.
+#: This 5-column suffix of the unique lineitem key makes every sequence
+#: window deterministic (same list in Spark and oracle SQL).
+LINE_ORDER_COLS = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+LINE_ORDER_SQL = "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice"
+
+
+
+@register(
+    "w1_lead_lookahead",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       lead(l_quantity, 1) OVER w AS next1,
+       lead(l_quantity, 2) OVER w AS next2
+FROM lineitem
+WHERE l_orderkey < 1000
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+""",
+    doc="Lead-1/lead-2 lookahead (W1): positional list access as window columns.",
+)
+def w1_lead_lookahead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    w = Window.partitionBy("l_orderkey").orderBy(*LINE_ORDER_COLS)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lead("l_quantity", 1).over(w).alias("next1"),
+        F.lead("l_quantity", 2).over(w).alias("next2"),
+    )
+
+
+@register(
+    "j2_lead_note_match",
+    oracle=r"""
+WITH lines AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+           CASE WHEN l_linenumber % 3 = 0
+                THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || 'a'
+                ELSE 'item line ' || CAST(l_linenumber AS VARCHAR) END AS line
+    FROM lineitem
+), led AS (
+    SELECT *, lead(line, 1) OVER w AS next1, lead(line, 2) OVER w AS next2
+    FROM lines
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+)
+SELECT l_orderkey, l_linenumber, line,
+       CASE WHEN regexp_matches(next1, '^(\d{1,2}|(\d{1,2}[a-z])|(\d{1,2}(?:,\d{1,2}[a-z]?)*))$') THEN next1
+            WHEN regexp_matches(next2, '^(\d{1,2}|(\d{1,2}[a-z])|(\d{1,2}(?:,\d{1,2}[a-z]?)*))$') THEN next2
+            END AS note
+FROM led
+WHERE CASE WHEN regexp_matches(next1, '^(\d{1,2}|(\d{1,2}[a-z])|(\d{1,2}(?:,\d{1,2}[a-z]?)*))$') THEN next1
+           WHEN regexp_matches(next2, '^(\d{1,2}|(\d{1,2}[a-z])|(\d{1,2}(?:,\d{1,2}[a-z]?)*))$') THEN next2
+           END IS NOT NULL
+""",
+    doc=(
+        "Positional lookahead + note-reference regex (J2+P5, mainTesting.py:124-152): "
+        "lead-1 preferred, lead-2 fallback, note pattern ^\\d{1,2}[a-z]?(,...)*$."
+    ),
+)
+def j2_lead_note_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        *["l_orderkey", *LINE_ORDER_COLS],
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.concat(F.col("l_quantity").cast("int").cast("string"), F.lit("a")),
+        )
+        .otherwise(F.concat(F.lit("item line "), F.col("l_linenumber").cast("string")))
+        .alias("line"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(*LINE_ORDER_COLS)
+    led = lines.select(
+        "*",
+        F.lead("line", 1).over(w).alias("next1"),
+        F.lead("line", 2).over(w).alias("next2"),
+    )
+    note = F.when(F.col("next1").rlike(NOTE_PATTERN), F.col("next1")).when(
+        F.col("next2").rlike(NOTE_PATTERN), F.col("next2")
+    )
+    return led.select("l_orderkey", "l_linenumber", "line", note.alias("note")).where(
+        F.col("note").isNotNull()
+    )
+
+
+@register(
+    "w2_gap_prune_runs",
+    oracle="""
+WITH lines AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 25
+), flagged AS (
+    SELECT *,
+           CASE WHEN l_linenumber - lag(l_linenumber) OVER w > 1 THEN 1 ELSE 0 END AS brk
+    FROM lines
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+), runs AS (
+    SELECT *,
+           SUM(brk) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM flagged
+)
+SELECT l_orderkey, l_linenumber, l_quantity FROM runs WHERE run_id = 0
+""",
+    doc=(
+        "Non-consecutive prune (W2/S6, mainTesting.py:231-238): lag gap -> cumulative "
+        "break flag -> keep only the first contiguous run per group."
+    ),
+)
+def w2_gap_prune_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    w = Window.partitionBy("l_orderkey").orderBy(*LINE_ORDER_COLS)
+    flagged = li.select(
+        *["l_orderkey", *LINE_ORDER_COLS],
+        F.when(F.col("l_linenumber") - F.lag("l_linenumber").over(w) > 1, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    run_id = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        flagged.withColumn("run_id", run_id)
+        .where(F.col("run_id") == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "w3_backward_fill",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       first_value(CASE WHEN l_quantity >= 10 THEN l_quantity END IGNORE NULLS)
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled_qty
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+    doc=(
+        "Backward fill (W3, mainTesting.py:648-658): empty content takes the next "
+        "non-null value — first(ignorenulls) over current..unboundedFollowing."
+    ),
+)
+def w3_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(*LINE_ORDER_COLS)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    val = F.when(F.col("l_quantity") >= 10, F.col("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first(val, ignorenulls=True).over(w).alias("filled_qty"),
+    )
+
+
+@register(
+    "w5_take_first",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM (
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM customer JOIN orders ON o_custkey = c_custkey
+) t
+WHERE rn = 1
+""",
+    doc="Take-first per group (W5, mainTesting.py:121): row_number()==1 with total-order tiebreak.",
+)
+def w5_take_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "w_rank_surface",
+    oracle="""
+SELECT c_nationkey, c_custkey,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+    doc="Ranking surface (free with Window in the rebuild, SURVEY.md §2.5): rank/dense_rank/ntile.",
+)
+def w_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "w_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+""",
+    doc="Running total per customer (frame-spec aggregate): exact decimal accumulation.",
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "p2_row_range_filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+    FROM lineitem
+) t
+WHERE rn > 3
+""",
+    doc=(
+        "Row-range filter (P2, mainTesting.py:54: skip first 3 preamble rows): "
+        "explicit order column + row_number — pandas positional order has no Spark default."
+    ),
+)
+def p2_row_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(*LINE_ORDER_COLS)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") > 3)
+        .drop("rn")
+    )
