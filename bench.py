@@ -1,0 +1,62 @@
+"""Benchmark harness (driver contract): run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is fully materialized through the noop sink (count() would
+let column pruning skip the expensive expressions). Timings are
+per-query wall clock after a shared session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_financial_report_spark import registry  # noqa: E402
+from etl_financial_report_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every table once so first-query timing excludes
+    # file-listing/footer-read noise that a long-lived cluster never sees
+    from etl_financial_report_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(registry.all_queries().items()):
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "full_query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,13 @@
 every query into the registry (side-effect registration keeps the
 registry definition and the operator implementation in one place)."""
 
+from . import dedup  # noqa: F401
+from . import nullcol  # noqa: F401
+from . import pipelines  # noqa: F401
 from . import relational  # noqa: F401
 from . import scalar  # noqa: F401
+from . import sectionizer  # noqa: F401
+from . import similarity  # noqa: F401
+from . import textops  # noqa: F401
 from . import windows  # noqa: F401
+from ..sources import multimodal  # noqa: F401

@@ -1,0 +1,272 @@
+"""Deduplication operators over the documents table (north-star surface,
+SURVEY.md §2.10; the reference's only dedup is the distinct-file-list
+check, mainTesting.py:213-214, and the idempotent-ingest anti-join J3).
+
+Five dedup families, each designed for the 100 TB shape:
+
+  * exact          — hash-groupBy on content; one shuffle on the dup key.
+  * minhash + LSH  — shingle -> k seeded minhashes -> banded bucket join;
+                     candidate pairs come from equi-joins on band keys
+                     (shuffle on band hash), never an O(n^2) compare.
+  * simhash        — 16-bit majority signature; near-dups collide on the
+                     signature (or within small hamming distance).
+  * n-gram jaccard — exact verification for candidate pairs (here bounded
+                     to a doc_id subset; at scale it runs AFTER LSH
+                     filtering, never standalone).
+  * embedding cosine — see similarity.py (shares the quantized math).
+
+All hashing is portable md5 (functions/hashing.py) so every operator is
+DuckDB-oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_feature, md5_feature_sql, minhash_agg, minhash_agg_sql
+from ..io import load_table
+from ..registry import register
+
+# ------------------------------------------------------------------ exact
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, min(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+""",
+    doc="Exact dedup: hash-groupBy on content, keep min(doc_id) as canonical row.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+SELECT substr(md5(lower(trim(text))), 1, 16) AS fingerprint,
+       COUNT(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+""",
+    doc=(
+        "Fingerprint dedup: normalize (lower/trim) then 64-bit content hash; "
+        "at scale the groupBy key is 8 bytes instead of the full text."
+    ),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16)
+    return docs.groupBy(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 -> jaccard ~0.5+ pairs surface with high prob.
+SEEDS = [f"s{i}" for i in range(N_HASHES)]
+
+
+def _shingles(text: F.Column) -> F.Column:
+    """Distinct word 3-gram shingles; docs under 3 tokens fall back to the
+    whole text as a single shingle (mirrors the SQL guard — Spark's
+    sequence() would otherwise count DOWN for negative lengths)."""
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.when(F.size(toks) < 3, F.array(text)).otherwise(F.array_distinct(grams))
+
+
+_SHINGLES_SQL = """
+CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+     ELSE list_distinct(list_transform(
+              generate_series(1, len(string_split(text, ' ')) - 2),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                   || ' ' || string_split(text, ' ')[i+2]))
+END
+"""
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc -> distinct word-3-gram shingles -> k seeded minhashes (one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("w"))
+    aggs = [minhash_agg(F.col("w"), seed).alias(f"h{i}") for i, seed in enumerate(SEEDS)]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signature_sql() -> str:
+    hashes = ", ".join(f"{minhash_agg_sql('w', seed)} AS h{i}" for i, seed in enumerate(SEEDS))
+    return f"""
+    SELECT doc_id, {hashes}
+    FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"SELECT * FROM ({_minhash_signature_sql()}) sig",
+    doc="MinHash signatures: k=8 seeded md5 minhashes over distinct word-3-gram shingles.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signature(spark, sf_dir)
+
+
+_BANDS = [(f"b{bi}", f"h{bi * BAND_SIZE}", f"h{bi * BAND_SIZE + 1}") for bi in range(N_HASHES // BAND_SIZE)]
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, md5({h1} || {h2}) AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    doc=(
+        "MinHash-LSH candidate pairs: band the signature (4 bands x 2 hashes), "
+        "equi-join on (band_idx, band_key) — the at-scale near-dup path: no "
+        "O(n^2) compare, shuffle only on band keys."
+    ),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signature(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band_idx"), F.md5(F.concat(F.col(h1), F.col(h2))).alias("band_key"))
+            for bi, (_, h1, h2) in enumerate(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+N_SIMHASH_BITS = 16
+
+
+def _simhash_col() -> F.Column:
+    """16-bit SimHash over distinct word tokens (must be applied in a
+    groupBy over exploded tokens): bit i = majority sign of md5-nibble i."""
+    bits = []
+    for i in range(1, N_SIMHASH_BITS + 1):
+        from ..functions.hashing import simhash_bit
+
+        s = F.sum(simhash_bit(F.col("w"), i))
+        bits.append(F.when(s >= 0, F.lit(2 ** (N_SIMHASH_BITS - i))).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _simhash_sql() -> str:
+    from ..functions.hashing import simhash_bit_sql
+
+    terms = [
+        f"(CASE WHEN SUM({simhash_bit_sql('w', i)}) >= 0 THEN {2 ** (N_SIMHASH_BITS - i)} ELSE 0 END)"
+        for i in range(1, N_SIMHASH_BITS + 1)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+SELECT doc_id, {_simhash_sql()} AS simhash
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+GROUP BY doc_id
+""",
+    doc=(
+        "SimHash: 16-bit majority signature over token hashes; near-dups share "
+        "signatures (bucket on simhash, or hamming<=k via rotations at scale)."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    return toks.groupBy("doc_id").agg(_simhash_col().cast("int").alias("simhash"))
+
+
+# ----------------------------------------------------------- n-gram jaccard
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+    FROM documents WHERE doc_id < 150
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+""",
+    doc=(
+        "Exact token-set jaccard for a bounded candidate set — integer "
+        "intersection counts via token equi-join (never O(n^2) scans at scale; "
+        "runs after LSH candidate generation)."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+    )

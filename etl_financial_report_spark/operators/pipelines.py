@@ -1,0 +1,209 @@
+"""Registry entries for the end-to-end entry-point pipelines (SURVEY.md
+§3) over deterministic reference-domain frames synthesized from the
+driver tables: the pipeline logic (ingest.py) is generic; these queries
+bind it to reproducible inputs so the driver can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from .ingest import (
+    extract_metadata,
+    idempotent_append,
+    match_notes,
+    merge_notes,
+    statement_facts,
+)
+
+#: IDX general-information sheets for three synthetic filings
+#: (FIXTURES.md B1; mirrors mainTesting.py:413-431 incl. the edge rows:
+#: F1 already carries the 'PT ' prefix, F2 is annual -> unique-Q4 flag).
+GI_ROWS = [
+    ("F0", 1, "Kode entitas", "BBCA"),
+    ("F0", 2, "Nama entitas", "Bank Central Asia Tbk"),
+    ("F0", 3, "Periode penyampaian laporan keuangan", "Kuartal I / First Quarter"),
+    ("F0", 4, "Tanggal awal periode berjalan", "2023-01-01"),
+    ("F1", 1, "Kode entitas", "BBNI"),
+    ("F1", 2, "Nama entitas", "PT Bank Negara Indonesia (Persero) Tbk"),
+    ("F1", 3, "Periode penyampaian laporan keuangan", "Kuartal II / Second Quarter"),
+    ("F1", 4, "Tanggal awal periode berjalan", "2022-01-01"),
+    ("F2", 1, "Kode entitas", "TLKM"),
+    ("F2", 2, "Nama entitas", "Telkom Indonesia"),
+    ("F2", 3, "Periode penyampaian laporan keuangan", "Tahunan / Annual"),
+    ("F2", 4, "Tanggal awal periode berjalan", "2021-01-01"),
+]
+
+_GI_VALUES = ", ".join(f"('{f}', {r}, '{l}', '{v}')" for f, r, l, v in GI_ROWS)
+
+
+def _synthetic_statement_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> statement-sheet lines: file from orderkey mod 3, statement
+    group from order status, sparse nulls in nilai (FIXTURES.md B2)."""
+    o = load_table(spark, sf_dir, "orders")
+    grup = (
+        F.when(F.col("o_orderstatus") == "F", "Laporan Neraca")
+        .when(F.col("o_orderstatus") == "O", "Laporan Laba Rugi")
+        .otherwise("Laporan Arus Kas")
+    )
+    return o.select(
+        F.concat(F.lit("F"), (F.col("o_orderkey") % 3).cast("string")).alias("file_id"),
+        grup.alias("grup"),
+        F.col("o_orderkey").alias("row_no"),
+        F.concat(F.lit("item "), F.col("o_orderkey").cast("string")).alias("item"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("nilai"),
+    )
+
+
+@register(
+    "pipeline_statement_ingest",
+    oracle=f"""
+WITH gi(file_id, row_no, label, value) AS (VALUES {_GI_VALUES}),
+meta AS (
+    SELECT file_id,
+        MAX(CASE WHEN lower(trim(label)) = 'kode entitas' THEN trim(value) END) AS kode_emiten,
+        MAX(CASE WHEN lower(trim(label)) = 'nama entitas' THEN trim(value) END) AS raw_nama,
+        MAX(CASE WHEN lower(trim(label)) = 'periode penyampaian laporan keuangan' THEN trim(value) END) AS periode,
+        MAX(CASE WHEN lower(trim(label)) = 'tanggal awal periode berjalan' THEN trim(value) END) AS tanggal
+    FROM gi GROUP BY file_id
+),
+meta2 AS (
+    SELECT file_id, kode_emiten,
+        CASE WHEN upper(substring(raw_nama, 1, 2)) = 'PT' THEN raw_nama
+             ELSE 'PT ' || raw_nama END AS nama_emiten,
+        CASE WHEN contains(lower(periode), 'kuartal i ') OR contains(lower(periode), 'first') THEN 1
+             WHEN contains(lower(periode), 'kuartal ii ') OR contains(lower(periode), 'second') THEN 2
+             WHEN contains(lower(periode), 'kuartal iii') OR contains(lower(periode), 'third') THEN 3
+             ELSE 4 END AS quartal,
+        CAST(substring(tanggal, 1, 4) AS INTEGER) AS tahun
+    FROM meta
+),
+sl AS (
+    SELECT 'F' || CAST(o_orderkey % 3 AS VARCHAR) AS file_id,
+           CASE o_orderstatus WHEN 'F' THEN 'Laporan Neraca'
+                              WHEN 'O' THEN 'Laporan Laba Rugi'
+                              ELSE 'Laporan Arus Kas' END AS grup,
+           o_orderkey AS row_no,
+           'item ' || CAST(o_orderkey AS VARCHAR) AS item,
+           CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_totalprice END AS nilai
+    FROM orders
+),
+numbered AS (
+    SELECT *, row_number() OVER (PARTITION BY file_id, grup ORDER BY row_no) AS rn FROM sl
+),
+joined AS (
+    SELECT d.*, m.kode_emiten, m.nama_emiten, m.tahun, m.quartal,
+           (m.quartal = 4) AS kuartal_unik
+    FROM (SELECT * FROM numbered WHERE rn > 3) d JOIN meta2 m USING (file_id)
+),
+facts AS (
+    SELECT kode_emiten, nama_emiten, tahun, quartal,
+           grup AS grup_laporan_keuangan, item,
+           CASE WHEN kuartal_unik THEN CAST(coalesce(nilai, 0.0) AS DECIMAL(18,2))
+                ELSE CAST(coalesce(nilai, 0.0) AS DECIMAL(18,2)) * 1000000 END AS nilai
+    FROM joined
+),
+existing(kode_emiten, tahun, quartal, grup_laporan_keuangan) AS (
+    VALUES ('BBNI', 2022, 2, 'Laporan Neraca')
+)
+SELECT f.kode_emiten, f.nama_emiten, f.tahun, f.quartal, f.grup_laporan_keuangan,
+       f.item, CAST(f.nilai AS DOUBLE) AS nilai
+FROM facts f
+WHERE NOT EXISTS (
+    SELECT 1 FROM existing e
+    WHERE e.kode_emiten = f.kode_emiten AND e.tahun = f.tahun
+      AND e.quartal = f.quartal AND e.grup_laporan_keuangan = f.grup_laporan_keuangan
+)
+""",
+    doc=(
+        "EP1 statement ingest end-to-end (mainTesting.py:391-471,38-86): metadata "
+        "pivot, preamble skip, null fill, conditional x1e6 decimal scaling, "
+        "idempotent anti-join — one logical plan, one shuffle per stage."
+    ),
+)
+def pipeline_statement_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gi = spark.createDataFrame(GI_ROWS, "file_id string, row_no int, label string, value string")
+    meta = extract_metadata(gi)
+    facts = statement_facts(_synthetic_statement_lines(spark, sf_dir), meta)
+    existing = spark.createDataFrame(
+        [("BBNI", 2022, 2, "Laporan Neraca")],
+        "kode_emiten string, tahun int, quartal int, grup_laporan_keuangan string",
+    )
+    out = idempotent_append(facts, existing)
+    return out.select(
+        "kode_emiten",
+        "nama_emiten",
+        "tahun",
+        "quartal",
+        "grup_laporan_keuangan",
+        "item",
+        F.col("nilai").cast("double").alias("nilai"),
+    )
+
+
+@register(
+    "pipeline_notes_enrichment",
+    oracle=None,  # merge (update+insert) composition; components are oracle-checked individually
+    doc=(
+        "EP2 notes enrichment end-to-end (mainTesting.py:88-185): PDF-line frame "
+        "with lead-1/lead-2 note lookup, equi+contains join onto the fact table, "
+        "comma-split explode into update/insert paths, storage-free merge."
+    ),
+)
+def pipeline_notes_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gi = spark.createDataFrame(GI_ROWS, "file_id string, row_no int, label string, value string")
+    meta = extract_metadata(gi)
+    facts = statement_facts(_synthetic_statement_lines(spark, sf_dir), meta).cache()
+
+    # PDF-shaped lines referencing a sample of fact items: line i names the
+    # item, line i+1 carries a note reference like "3a,4" (FIXTURES.md B3).
+    base = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 1)
+    lines = base.select(
+        F.concat(F.lit("F"), (F.col("o_orderkey") % 3).cast("string")).alias("kode_emiten_doc"),
+        F.when(F.col("o_orderstatus") == "F", "Laporan Neraca")
+        .when(F.col("o_orderstatus") == "O", "Laporan Laba Rugi")
+        .otherwise("Laporan Arus Kas")
+        .alias("grup"),
+        F.col("o_orderkey").alias("base_no"),
+        F.array(
+            F.concat(F.lit("item "), F.col("o_orderkey").cast("string")),
+            F.concat(
+                ((F.col("o_orderkey") % 9) + 1).cast("string"),
+                F.lit("a,"),
+                ((F.col("o_orderkey") % 7) + 2).cast("string"),
+            ),
+        ).alias("ls"),
+    ).select(
+        # doc_id must equal the fact's kode_emiten for the equi-key join;
+        # line_no = base_no*2 + offset is unique and order-preserving.
+        F.when(F.col("kode_emiten_doc") == "F0", "BBCA")
+        .when(F.col("kode_emiten_doc") == "F1", "BBNI")
+        .otherwise("TLKM")
+        .alias("doc_id"),
+        "grup",
+        F.lit(1).alias("page_no"),
+        "base_no",
+        F.posexplode("ls").alias("off", "line"),
+    ).select(
+        "doc_id",
+        "grup",
+        "page_no",
+        (F.col("base_no") * 2 + F.col("off")).cast("int").alias("line_no"),
+        "line",
+    )
+
+    matches = match_notes(lines, facts)
+    return merge_notes(facts, matches).select(
+        "kode_emiten",
+        "tahun",
+        "quartal",
+        "grup_laporan_keuangan",
+        "item",
+        F.col("nilai").cast("double").alias("nilai"),
+        "notes",
+    )

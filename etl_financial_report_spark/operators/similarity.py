@@ -1,0 +1,203 @@
+"""Similarity search over the embeddings table (north-star surface,
+SURVEY.md §2.10): brute-force cosine top-k as the correctness baseline
+and a sign-bit LSH-bucketed variant as the scale path.
+
+All cosine math runs in quantized integer space (functions/vectors.py):
+exact int64 dot products -> deterministic IEEE double cosine, so results
+are bit-identical across Spark and the DuckDB oracle.
+
+At 100 TB: the pairwise form only ever runs on LSH/IVF candidate sets;
+the brute-force form is a broadcast of the (tiny) query set against a
+partitioned scan of the corpus — no shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import (
+    QUANTIZE_SQL,
+    cosine_q,
+    dot_q,
+    norm_sq_q,
+    quantize,
+    sign_bucket,
+    sign_bucket_sql,
+)
+from ..io import load_table
+from ..registry import register
+
+_Q_CTE = f"""
+q AS (
+    SELECT vec_id, label, {QUANTIZE_SQL} AS qe
+    FROM embeddings
+), ex AS (
+    SELECT vec_id, i, qe[i] AS v
+    FROM q, unnest(generate_series(1, len(qe))) t(i)
+), norms AS (
+    SELECT vec_id, SUM(v * v) AS nsq FROM ex GROUP BY vec_id
+)
+"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qe")
+    ).withColumn("nsq", norm_sq_q(F.col("qe")))
+
+
+@register(
+    "sim_pairwise_cosine",
+    oracle=f"""
+WITH {_Q_CTE},
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) > 0.3
+""",
+    doc=(
+        "Embedding near-dup pairs: exact quantized cosine over the full "
+        "corpus; at scale this form only runs on LSH candidate pairs."
+    ),
+)
+def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical strategy: broadcast the (small) right matrix, Arrow-batch
+    the left side, and compute the block dot-products as an exact int64
+    numpy matmul — the vectorized-linear-algebra case where a Pandas path
+    beats per-row expressions by orders of magnitude. int64 matmul is
+    exact, sqrt/divide are IEEE-deterministic, so oracle parity holds
+    bit-for-bit. At 100 TB the same stage runs per candidate block after
+    LSH bucketing instead of all-pairs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qv = _quantized(spark, sf_dir)
+    rows = qv.select("vec_id", "qe", "nsq").collect()  # corpus side: small, broadcastable
+    mat = np.array([r.qe for r in rows], dtype=np.int64)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    nsq = np.array([r.nsq for r in rows], dtype=np.int64)
+    b_mat = spark.sparkContext.broadcast((ids, mat, nsq))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block(batches):
+        r_ids, r_mat, r_nsq = b_mat.value
+        r_norm = np.sqrt(r_nsq.astype(np.float64))
+        for pdf in batches:
+            l_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            l_mat = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qe"]], dtype=np.int64)
+            l_nsq = pdf["nsq"].to_numpy(dtype=np.int64)
+            dots = l_mat @ r_mat.T  # exact int64
+            cos = dots.astype(np.float64) / (
+                np.sqrt(l_nsq.astype(np.float64))[:, None] * r_norm[None, :]
+            )
+            li, ri = np.nonzero((l_ids[:, None] < r_ids[None, :]) & (cos > 0.3))
+            yield pd.DataFrame(
+                {"vec_a": l_ids[li], "vec_b": r_ids[ri], "cosine": cos[li, ri]}
+            )
+
+    return qv.select("vec_id", "qe", "nsq").mapInPandas(block, schema)
+
+
+@register(
+    "sim_ann_topk",
+    oracle=f"""
+WITH {_Q_CTE},
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+)
+SELECT d.vec_id,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cosine
+FROM qdot d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+""",
+    doc=(
+        "Brute-force ANN top-k: one query vector broadcast against the corpus, "
+        "exact quantized cosine, deterministic ordering (cosine desc, vec_id)."
+    ),
+)
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir)
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    return (
+        qv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+WITH {_Q_CTE},
+buckets AS (
+    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+    SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.bucket AND b.vec_id <> 0
+),
+qdot AS (
+    SELECT c.vec_id, SUM(ex.v * qq.v) AS dot
+    FROM cand c
+    JOIN ex ON ex.vec_id = c.vec_id
+    JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON ex.i = qq.i
+    GROUP BY c.vec_id
+)
+SELECT d.vec_id,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cosine
+FROM qdot d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+""",
+    doc=(
+        "LSH-bucketed ANN (scale path): sign-bit bucket on leading coordinates "
+        "prunes the corpus to the query's bucket before exact cosine — partition "
+        "pruning for vector search."
+    ),
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _quantized(spark, sf_dir).join(
+        emb.select("vec_id", sign_bucket(F.col("embedding")).alias("bucket")), "vec_id"
+    )
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq"), F.col("bucket").alias("q_bucket")
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    return (
+        qv.where(F.col("vec_id") != 0)
+        .join(F.broadcast(query), F.col("bucket") == F.col("q_bucket"))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators over the documents table (north-star surface,
+SURVEY.md §2.10): token counting, quality scoring, language-ID heuristic,
+fingerprinting. All native Spark expressions — the tokenizer is a split +
+higher-order array function, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+#: deterministic marker-word sets for the language-ID heuristic. With real
+#: corpora these are character n-gram profiles; the driver's synthetic
+#: docs share one vocabulary, so markers are drawn from it — the operator
+#: shape (per-lang score -> argmax with stable tie-break) is the real thing.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("window", "sort", "merge"),
+    "en": ("the", "fast", "slow"),
+    "es": ("a", "table", "row"),
+    "fr": ("stream", "batch", "line"),
+    "zh": ("spark", "query", "scan"),
+}
+
+STOPWORDS = ("the", "a")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       length(text) AS n_chars_measured,
+       (length(text) = n_chars) AS n_chars_consistent
+FROM documents
+""",
+    doc="Token counting: whitespace tokenizer + distinct-token cardinality, all array built-ins.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_consistent"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_word_len,
+       CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS ttr,
+       (n_tokens >= 20 AND
+        CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / n_tokens < 0.3)
+           AS passes_quality
+FROM t
+""",
+    doc=(
+        "Quality scoring: avg word length, stopword ratio, type-token ratio, "
+        "and a pass/fail gate — integer counts divided at the end (deterministic doubles)."
+    ),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ((F.length("text") - n_tokens + 1).cast("double") / n_tokens).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("ttr"),
+        ((n_tokens >= 20) & (stop_ratio < 0.3)).alias("passes_quality"),
+    )
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {", ".join(f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(repr(m) for m in ms)}))) AS score_{lang}" for lang, ms in sorted(LANG_MARKERS.items()))}
+    FROM documents
+)
+SELECT doc_id,
+       CASE {" ".join(f"WHEN score_{lang} >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END AS pred_lang,
+       (CASE {" ".join(f"WHEN score_{lang} >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END = lang) AS agrees_with_label
+FROM scored
+""",
+    doc=(
+        "Language-ID heuristic: per-language marker-token scores -> argmax with "
+        "stable (alphabetical) tie-break; n-gram profile shape without ML deps."
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_lang_score(toks, lang).alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.when(F.col(f"score_{sorted(LANG_MARKERS)[0]}") >= best, sorted(LANG_MARKERS)[0])
+    for lang in sorted(LANG_MARKERS)[1:]:
+        pred = pred.when(F.col(f"score_{lang}") >= best, lang)
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+@register(
+    "text_source_profile",
+    oracle="""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY source, lang
+""",
+    doc="Corpus profiling: per-(source, lang) volume stats — the pipeline-health query.",
+)
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -1,0 +1,124 @@
+"""Multimodal binary columns (north-star surface, SURVEY.md §2.10).
+
+Model: media lives in opaque ``binary`` columns with a typed metadata
+struct alongside; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages. The image/audio libraries are
+NOT in this runtime image, so the decoders are pluggable with
+deterministic stand-ins (clearly marked) — the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and tested.
+
+At 100 TB: binaries are the heaviest columns — always column-prune them
+out before shuffles, filter on the cheap metadata first, and only then
+run the decode stage on the surviving rows (filter-before-expensive-UDF
+discipline, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+from ..registry import register
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def decode_image_real(data: bytes) -> tuple[int, int]:
+    """Real image decode — PIL is not in this image; import-guarded."""
+    import io
+
+    from PIL import Image  # noqa: F401
+
+    img = Image.open(io.BytesIO(data))
+    return img.width, img.height
+
+
+def decode_image_stub(data: bytes) -> tuple[int, int]:
+    """DETERMINISTIC STAND-IN for the decode step (no imaging libs in the
+    runtime): dimensions derived from byte length. Replace with
+    decode_image_real in production."""
+    n = len(data)
+    return (n % 640) + 1, ((n * 7) % 480) + 1
+
+
+def extract_media_meta(media: DataFrame) -> DataFrame:
+    """(doc_id, media: binary) -> typed metadata via mapInPandas. The
+    binary column is consumed inside the stage and pruned from the
+    output — downstream never shuffles the payload."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                try:
+                    w, h = decode_image_real(b)
+                except ImportError:
+                    w, h = decode_image_stub(b)
+                rows.append((doc_id, len(b), w, h, hashlib.md5(b).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+
+    return media.mapInPandas(meta, MEDIA_META_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
+    """Frame-sampling stand-in: emit one 'frame' marker per N bytes of
+    payload (video decoders sample per timestamp the same way — one input
+    row, many output rows, inside mapInPandas)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_key", T.StringType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                for i in range(0, max(1, len(b) // every_n_bytes)):
+                    chunk = b[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append((doc_id, i, hashlib.md5(chunk).hexdigest()[:12]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_key"])
+
+    return media.mapInPandas(sample, schema)
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS byte_len,
+       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+       CAST((length(text) * 7) % 480 + 1 AS INTEGER) AS height,
+       md5(text) AS checksum
+FROM documents
+""",
+    doc=(
+        "Multimodal decode plumbing: text -> binary payload -> mapInPandas "
+        "metadata extraction (stub decoder, real Arrow/schema path); oracle "
+        "mirrors the deterministic stub arithmetic. ASCII corpus => byte_len "
+        "== char length."
+    ),
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return extract_media_meta(media)

@@ -1,0 +1,89 @@
+"""Sinks (SURVEY.md §2.1 S10-S15): batched, idempotent, partitioned —
+the exact opposite of the reference's one-INSERT-one-COMMIT-per-row loop
+(mainTesting.py:58-59, anti-baseline in BASELINE.md).
+
+Abstraction: a sink is (read_existing, append) over a target. Two
+implementations:
+  * ParquetSink — partitioned parquet (tahun/quartal layout per
+    SURVEY.md §1.3); the locally-tested path.
+  * JdbcSink    — ``df.write.jdbc`` batched append; needs a live DB +
+    driver jar, so constructing it is cheap but IO is exercised only
+    when a URL is supplied.
+
+Update semantics (S14 — the reference's row-wise UPDATE,
+mainTesting.py:130-143) are storage-level MERGE operations; without
+Delta/Iceberg jars in this image, merge is computed relationally
+(operators/ingest.merge_notes) and written as a partition overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.ingest import idempotent_append
+
+
+@dataclass
+class ParquetSink:
+    """Partitioned parquet table; partition columns default to the fact
+    table's (tahun, quartal) layout so partition pruning serves the
+    reference's canonical filtered read (mainTesting.py:102-115)."""
+
+    path: str
+    partition_cols: tuple[str, ...] = ("tahun", "quartal")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy(*self.partition_cols).parquet(self.path)
+
+    def append_idempotent(self, df: DataFrame, key_cols: list[str] | None = None) -> None:
+        """J3-guarded append: drop incoming groups whose key already
+        exists (mainTesting.py:693-729), then one batched write."""
+        if self.exists():
+            existing = self.read(df.sparkSession)
+            if key_cols is None:
+                df = idempotent_append(df, existing)
+            else:
+                present = existing.select(*key_cols).distinct()
+                df = df.join(present, key_cols, "left_anti")
+        self.append(df)
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Keyed-partition overwrite — the S14 'update' path without a
+        transactional table format (requires dynamic partition overwrite
+        so untouched partitions survive)."""
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(self.path)
+
+
+@dataclass
+class JdbcSink:
+    """Batched JDBC append (S10/S11): replaces per-row INSERT+COMMIT with
+    one partitioned batch write. Requires a reachable database and driver
+    jar; kept thin so tests can assert the plan shape without IO."""
+
+    url: str
+    table: str
+    properties: dict | None = None
+    batch_size: int = 10_000
+
+    def append(self, df: DataFrame) -> None:
+        props = dict(self.properties or {})
+        props.setdefault("batchsize", str(self.batch_size))
+        df.write.jdbc(self.url, self.table, mode="append", properties=props)
+
+    def read(self, spark: SparkSession, predicates: list[str] | None = None) -> DataFrame:
+        """S12/S13: predicate-pushing JDBC scan."""
+        if predicates:
+            return spark.read.jdbc(self.url, self.table, predicates=predicates,
+                                   properties=dict(self.properties or {}))
+        return spark.read.jdbc(self.url, self.table, properties=dict(self.properties or {}))
