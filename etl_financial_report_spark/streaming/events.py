@@ -87,3 +87,133 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "event_type", F.col("props_parsed.k").alias("prop_k"))
         .where(F.col("prop_k") > 50)
     )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window aggregation — each event lands in width/slide
+    overlapping windows; the batch equivalent enumerates window starts."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization per user: a session breaks when the gap to the
+    previous event exceeds the threshold (lag + cumulative break flag —
+    the same kernel as the reference's page-run pruning, W2). In streaming
+    mode the equivalent is ``session_window(ts, gap)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    brk = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s, 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("brk", brk)
+        .withColumn(
+            "session_no",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def dedupe_events(events: DataFrame) -> DataFrame:
+    """Exactly-once semantics on the event stream: drop repeated
+    event_ids. Batch: dropDuplicates; streaming:
+    dropDuplicatesWithinWatermark (the J3 idempotency guard as stream
+    state, SURVEY.md §2.8)."""
+    return events.dropDuplicates(["event_id"])
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+WITH slides AS (
+    SELECT e.*, gs.s AS win_start
+    FROM events e,
+         LATERAL (
+            SELECT unnest(generate_series(
+                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                time_bucket(INTERVAL '30 minutes', ts),
+                INTERVAL '30 minutes')) AS s
+         ) gs
+    WHERE ts >= gs.s AND ts < gs.s + INTERVAL '1 hour'
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM slides
+GROUP BY 1, 2
+""",
+    doc="Sliding 1h/30m window agg (streaming-equivalent batch plan).",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH ordered AS (
+    SELECT *,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT *,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM ordered
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    doc=(
+        "Sessionization (30-min gap): lag + cumulative break flag, the W2 kernel "
+        "applied to time; streaming twin is session_window(ts, gap)."
+    ),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_dedupe",
+    oracle="""
+SELECT event_id, COUNT(*) AS n
+FROM (SELECT DISTINCT event_id, user_id, event_type FROM events)
+GROUP BY event_id
+""",
+    doc="Stream-dedup batch twin: distinct on the event identity key.",
+)
+def events_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type")
+        .dropDuplicates()
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
