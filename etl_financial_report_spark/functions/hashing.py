@@ -40,12 +40,48 @@ def minhash_agg_sql(expr: str, seed: str, width: int = 12) -> str:
     return f"min({md5_feature_sql(expr, seed, width)})"
 
 
-def simhash_bit(col: Column, bit: int) -> Column:
-    """+1/-1 contribution of one md5 nibble (bit in 1..16) for SimHash."""
-    nibble = F.substring(F.md5(col), bit, 1)
+# ---------------------------------------------------------------------------
+# Universal-hash MinHash family: ONE md5 per token, k affine derivations.
+#
+# h_i(x) = (A_i * base(x) + B_i) mod P  where base(x) is the first 32 bits
+# of md5(x) as a bigint. This is the standard k-universal-hashes-from-one-
+# base-hash construction (same shape as Spark MLlib MinHashLSH's
+# hashFunction). A_i < 2^20 and base < 2^32 keep A*base + B < 2^52, so the
+# arithmetic is exact 64-bit in both Spark and DuckDB (no overflow, no
+# hugeint promotion).
+
+#: modulus — Mersenne prime 2^31 - 1; every h_i lands in [0, P)
+MINHASH_P = 2_147_483_647
+#: deterministic odd multipliers / offsets for k=8 hash functions
+MINHASH_A = [633023, 857147, 466409, 969169, 559993, 733313, 615671, 104729]
+MINHASH_B = [91019, 743209, 380041, 528211, 691499, 815263, 131071, 952229]
+
+
+def hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative bigint (portable base hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash32_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def uminhash_agg(base: Column, i: int) -> Column:
+    """MinHash component i over a precomputed ``hash32`` column."""
+    return F.min((F.lit(MINHASH_A[i]) * base + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P))
+
+
+def uminhash_agg_sql(base_expr: str, i: int) -> str:
+    return f"min(({MINHASH_A[i]} * {base_expr} + {MINHASH_B[i]}) % {MINHASH_P})"
+
+
+def simhash_bit(md5_col: Column, bit: int) -> Column:
+    """+1/-1 contribution of one nibble (bit in 1..16) of a PRECOMPUTED
+    md5 hex column — callers hash each token once, not once per bit."""
+    nibble = F.substring(md5_col, bit, 1)
     return F.when(nibble.isin(*HI_NIBBLE), 1).otherwise(-1)
 
 
-def simhash_bit_sql(expr: str, bit: int) -> str:
+def simhash_bit_sql(md5_expr: str, bit: int) -> str:
     hi = ", ".join(f"'{c}'" for c in HI_NIBBLE)
-    return f"CASE WHEN substr(md5({expr}), {bit}, 1) IN ({hi}) THEN 1 ELSE -1 END"
+    return f"CASE WHEN substr({md5_expr}, {bit}, 1) IN ({hi}) THEN 1 ELSE -1 END"

@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_feature, md5_feature_sql, minhash_agg, minhash_agg_sql
+from ..functions.hashing import (
+    MINHASH_P,
+    hash32,
+    hash32_sql,
+    uminhash_agg,
+    uminhash_agg_sql,
+)
 from ..io import load_table
 from ..registry import register
 
@@ -75,14 +81,18 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 -> jaccard ~0.5+ pairs surface with high prob.
-SEEDS = [f"s{i}" for i in range(N_HASHES)]
 
 
-def _shingles(text: F.Column) -> F.Column:
-    """Distinct word 3-gram shingles; docs under 3 tokens fall back to the
-    whole text as a single shingle (mirrors the SQL guard — Spark's
-    sequence() would otherwise count DOWN for negative lengths)."""
-    toks = F.split(text, " ")
+def _shingles(text: F.Column, toks: F.Column) -> F.Column:
+    """Distinct word 3-gram shingles over a PRE-SPLIT token array; docs
+    under 3 tokens fall back to the whole text as a single shingle
+    (mirrors the SQL guard — Spark's sequence() would otherwise count
+    DOWN for negative lengths).
+
+    ``toks`` must be a materialized column (``split`` in a prior select),
+    never an inline ``F.split`` expression: an inline split is re-evaluated
+    at every ``element_at`` inside the transform lambda, turning shingling
+    O(tokens^2) per document (measured 5x slower at sf0.1)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -103,18 +113,24 @@ END
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc -> distinct word-3-gram shingles -> k seeded minhashes (one shuffle)."""
+    """doc -> distinct word-3-gram shingles -> ONE md5 per shingle ->
+    k affine minhashes (universal-hash family; one shuffle total)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("w"))
-    aggs = [minhash_agg(F.col("w"), seed).alias(f"h{i}") for i, seed in enumerate(SEEDS)]
+    toks = (
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+        .select("doc_id", hash32(F.col("w")).alias("hw"))
+    )
+    aggs = [uminhash_agg(F.col("hw"), i).alias(f"h{i}") for i in range(N_HASHES)]
     return toks.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_signature_sql() -> str:
-    hashes = ", ".join(f"{minhash_agg_sql('w', seed)} AS h{i}" for i, seed in enumerate(SEEDS))
+    hashes = ", ".join(f"{uminhash_agg_sql('hw', i)} AS h{i}" for i in range(N_HASHES))
     return f"""
     SELECT doc_id, {hashes}
-    FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents)
+    FROM (SELECT doc_id, {hash32_sql('w')} AS hw
+          FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents))
     GROUP BY doc_id
     """
 
@@ -136,7 +152,7 @@ _BANDS = [(f"b{bi}", f"h{bi * BAND_SIZE}", f"h{bi * BAND_SIZE + 1}") for bi in r
     oracle=f"""
 WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
-    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, md5({h1} || {h2}) AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -145,14 +161,18 @@ FROM bands a JOIN bands b
     doc=(
         "MinHash-LSH candidate pairs: band the signature (4 bands x 2 hashes), "
         "equi-join on (band_idx, band_key) — the at-scale near-dup path: no "
-        "O(n^2) compare, shuffle only on band keys."
+        "O(n^2) compare, shuffle only on band keys. Band key is the exact "
+        "integer pairing h1*P + h2 (both < P), no re-hash needed."
     ),
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signature(spark, sf_dir)
     band_structs = F.array(
         *[
-            F.struct(F.lit(bi).alias("band_idx"), F.md5(F.concat(F.col(h1), F.col(h2))).alias("band_key"))
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                (F.col(h1) * F.lit(MINHASH_P) + F.col(h2)).alias("band_key"),
+            )
             for bi, (_, h1, h2) in enumerate(_BANDS)
         ]
     )
@@ -179,13 +199,13 @@ N_SIMHASH_BITS = 16
 
 
 def _simhash_col() -> F.Column:
-    """16-bit SimHash over distinct word tokens (must be applied in a
-    groupBy over exploded tokens): bit i = majority sign of md5-nibble i."""
+    """16-bit SimHash over a precomputed per-token md5 column ``mw``:
+    bit i = majority sign of md5-nibble i (token hashed ONCE, not 16x)."""
+    from ..functions.hashing import simhash_bit
+
     bits = []
     for i in range(1, N_SIMHASH_BITS + 1):
-        from ..functions.hashing import simhash_bit
-
-        s = F.sum(simhash_bit(F.col("w"), i))
+        s = F.sum(simhash_bit(F.col("mw"), i))
         bits.append(F.when(s >= 0, F.lit(2 ** (N_SIMHASH_BITS - i))).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -197,7 +217,7 @@ def _simhash_sql() -> str:
     from ..functions.hashing import simhash_bit_sql
 
     terms = [
-        f"(CASE WHEN SUM({simhash_bit_sql('w', i)}) >= 0 THEN {2 ** (N_SIMHASH_BITS - i)} ELSE 0 END)"
+        f"(CASE WHEN SUM({simhash_bit_sql('mw', i)}) >= 0 THEN {2 ** (N_SIMHASH_BITS - i)} ELSE 0 END)"
         for i in range(1, N_SIMHASH_BITS + 1)
     ]
     return " + ".join(terms)
@@ -207,7 +227,9 @@ def _simhash_sql() -> str:
     "dedup_simhash",
     oracle=f"""
 SELECT doc_id, {_simhash_sql()} AS simhash
-FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+FROM (SELECT doc_id, md5(w) AS mw
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents))
 GROUP BY doc_id
 """,
     doc=(
@@ -217,7 +239,9 @@ GROUP BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).select("doc_id", F.md5("w").alias("mw"))
     return toks.groupBy("doc_id").agg(_simhash_col().cast("int").alias("simhash"))
 
 
