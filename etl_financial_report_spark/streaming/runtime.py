@@ -1,0 +1,170 @@
+"""Structured Streaming execution for the events surface (SURVEY.md §2.8).
+
+The reference is strictly batch/button-triggered (mainTesting.py:842-847);
+this module is the net-new streaming capability: file source -> watermark
+-> windowed/stateful transform -> sink. Every pipeline here reuses the
+batch transform functions from ``events.py`` where possible, so the batch
+twin the DuckDB oracle checks and the streaming plan are the same logical
+plan fed by a different source.
+
+Scale notes (100 TB / 1000-executor shape):
+
+* File-source streams parallelize per file-split; state (windows, dedup
+  keys, per-user state) shards by grouping key across executors via the
+  usual shuffle — no driver-side state.
+* Watermarks bound state: tumbling/session windows and
+  ``dropDuplicatesWithinWatermark`` all evict state older than the
+  watermark, so long-running streams hold O(active keys), not O(history).
+* ``applyInPandasWithState`` holds one state row per user_id — the
+  at-scale pattern for custom sequential logic (same kernel as the CALK
+  sectionizer: sequential within key, parallel across keys).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import EVENTS
+from .events import tumbling_counts
+
+
+def stream_events(spark: SparkSession, events_dir: str, watermark: str = "10 minutes") -> DataFrame:
+    """File-source event stream with a declared schema and a watermark.
+
+    ``events_dir`` must hold parquet with a microsecond ``ts`` (the test
+    fixture rewrites the driver's TIMESTAMP(NANOS) files via io.load_table
+    first; a production deployment lands micros parquet directly).
+    """
+    return (
+        spark.readStream.schema(EVENTS)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+
+
+# ------------------------------------------------------------- pipelines
+
+
+def run_tumbling_stream(spark: SparkSession, events_dir: str, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts as a stream, complete output mode; identical
+    logical aggregation to the oracle-checked ``events_tumbling_window``."""
+    agg = tumbling_counts(stream_events(spark, events_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("tumbling_stream")
+
+
+def run_session_window_stream(
+    spark: SparkSession, events_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window(ts, gap)`` per
+    user — the streaming twin of the batch lag+cumsum ``sessionize``."""
+    agg = (
+        stream_events(spark, events_dir)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("session_stream")
+
+
+def run_dedupe_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming exactly-once on event_id: ``dropDuplicatesWithinWatermark``
+    keeps one state entry per key inside the watermark horizon — the J3
+    idempotent-ingest guard as bounded stream state."""
+    deduped = stream_events(spark, events_dir).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedupe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("dedupe_stream")
+
+
+# --------------------------------------------- custom stateful operator
+
+USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 6)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]})
+
+
+def run_user_totals_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user lifetime counters via
+    ``applyInPandasWithState`` — arbitrary sequential logic per key with
+    explicit state, the escape hatch when windowed aggs can't express the
+    semantics (update mode; last row per user is the current total)."""
+    stream = stream_events(spark, events_dir)
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("user_totals_stream")

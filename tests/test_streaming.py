@@ -1,0 +1,67 @@
+"""Structured Streaming runtime tests (SURVEY.md §2.8): each pipeline runs
+a REAL readStream -> writeStream query (file source, availableNow trigger)
+and must agree with its batch twin on the same events data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark.io import SMOKE_SF_DIR, load_table
+from etl_financial_report_spark.streaming import runtime
+from etl_financial_report_spark.streaming.events import tumbling_counts
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The driver's events table rewritten as micros-ts parquet (streaming
+    file sources read the declared schema directly; the NANOS original
+    needs io.load_table's rebuild)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, SMOKE_SF_DIR, "events").coalesce(2).write.parquet(path)
+    return path
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    got = runtime.run_tumbling_stream(spark, events_dir)
+    want = tumbling_counts(spark.read.parquet(events_dir))
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_session_window_stream(spark, events_dir):
+    got = runtime.run_session_window_stream(spark, events_dir)
+    ev = spark.read.parquet(events_dir)
+    # session count per user is bounded by event count, and every user appears
+    assert got.count() > 0
+    assert got.select("user_id").distinct().count() == ev.select("user_id").distinct().count()
+    # no session exceeds its user's event total
+    per_user = got.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert per_user.exceptAll(batch).count() == 0
+
+
+def test_dedupe_stream(spark, events_dir):
+    got = runtime.run_dedupe_stream(spark, events_dir)
+    ev = spark.read.parquet(events_dir)
+    assert got.count() == ev.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_user_totals_stateful_stream(spark, events_dir):
+    got = runtime.run_user_totals_stream(spark, events_dir)
+    # update mode: keep the last emitted row per user (monotone n_events)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = got.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    want = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert (
+        final.select("user_id", "n_events").exceptAll(want).count() == 0
+        and want.exceptAll(final.select("user_id", "n_events")).count() == 0
+    )
