@@ -2,6 +2,7 @@
 every query into the registry (side-effect registration keeps the
 registry definition and the operator implementation in one place)."""
 
+from . import asof  # noqa: F401
 from . import dedup  # noqa: F401
 from . import nullcol  # noqa: F401
 from . import pipelines  # noqa: F401

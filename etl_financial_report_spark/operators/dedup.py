@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vectors import QUANTIZE_SQL
 from ..functions.hashing import (
     MINHASH_P,
     hash32,
@@ -293,4 +294,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= 0.8)
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+_EMB_DUP_THRESHOLD = 0.3  # synthetic-corpus threshold; production near-dup ~0.95
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id, {QUANTIZE_SQL} AS qe FROM embeddings
+), ex AS (
+    SELECT vec_id, i, qe[i] AS v FROM q, unnest(generate_series(1, len(qe))) t(i)
+), norms AS (
+    SELECT vec_id, SUM(v * v) AS nsq FROM ex GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT vec_a, vec_b
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          > {_EMB_DUP_THRESHOLD}
+)
+SELECT vec_b AS dup_id, min(vec_a) AS canonical_id, COUNT(*) AS n_near
+FROM pairs GROUP BY vec_b
+""",
+    doc=(
+        "Embedding-cosine near-dup dedup: high-cosine pairs -> each dup keeps "
+        "the lowest-id near neighbor as canonical (keep-first policy); at "
+        "scale pairs come from LSH buckets, decision stage is identical."
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cosine_pairs
+
+    pairs = cosine_pairs(spark, sf_dir, threshold=_EMB_DUP_THRESHOLD)
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_near"),
     )

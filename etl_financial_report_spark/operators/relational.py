@@ -348,3 +348,108 @@ def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over (status, priority) — all 2^k grouping sets in one pass (Expand + single shuffle).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            as_double(F.sum(money("o_totalprice")), "total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+@register(
+    "o_set_ops",
+    oracle="""
+SELECT 'both' AS bucket, c_custkey FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+)
+UNION ALL
+SELECT 'only_segment' AS bucket, c_custkey FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+)
+""",
+    doc="Set operators (SURVEY.md §2.6): intersect + except composed into one labeled result.",
+)
+def o_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.where(F.col("c_mktsegment") == "FURNITURE").select("c_custkey")
+    pos = c.where(F.col("c_acctbal") > 0).select("c_custkey")
+    both = seg.intersect(pos).select(F.lit("both").alias("bucket"), "c_custkey")
+    only = seg.exceptAll(pos).distinct().select(F.lit("only_segment").alias("bucket"), "c_custkey")
+    return both.unionByName(only)
+
+
+@register(
+    "w_ntile_percentile",
+    oracle="""
+WITH t AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT ntile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(spend) AS DOUBLE) AS max_spend
+FROM (SELECT o_custkey, spend, ntile(4) OVER (ORDER BY spend, o_custkey) AS ntile FROM t)
+GROUP BY ntile
+""",
+    doc="ntile quartiles over per-customer spend (deterministic total order) + per-bucket bounds.",
+)
+def w_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(as_double(F.sum(money("o_totalprice")), "spend"))
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    return (
+        spend.select("o_custkey", "spend", F.ntile(4).over(w).alias("ntile"))
+        .groupBy("ntile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+    )
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(median(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS median_price,
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS DOUBLE) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Exact median / continuous percentile per group (percentile_cont; exact, portable).",
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderstatus").agg(
+        F.median(p).alias("median_price"),
+        F.percentile(p, F.lit(0.9)).alias("p90_price"),
+    )

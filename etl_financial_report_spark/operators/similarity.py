@@ -70,7 +70,13 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS 
     ),
 )
 def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Physical strategy: broadcast the (small) right matrix, Arrow-batch
+    return cosine_pairs(spark, sf_dir, threshold=0.3)
+
+
+def cosine_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine above ``threshold``.
+
+    Physical strategy: broadcast the (small) right matrix, Arrow-batch
     the left side, and compute the block dot-products as an exact int64
     numpy matmul — the vectorized-linear-algebra case where a Pandas path
     beats per-row expressions by orders of magnitude. int64 matmul is
@@ -107,7 +113,7 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos = dots.astype(np.float64) / (
                 np.sqrt(l_nsq.astype(np.float64))[:, None] * r_norm[None, :]
             )
-            li, ri = np.nonzero((l_ids[:, None] < r_ids[None, :]) & (cos > 0.3))
+            li, ri = np.nonzero((l_ids[:, None] < r_ids[None, :]) & (cos > threshold))
             yield pd.DataFrame(
                 {"vec_a": l_ids[li], "vec_b": r_ids[ri], "cosine": cos[li, ri]}
             )

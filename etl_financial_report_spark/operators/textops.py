@@ -158,3 +158,66 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "text_regex_tokens",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+       regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]')[1] AS first_token
+FROM documents
+""",
+    doc=(
+        "BPE-ish regex tokenizer: lowercase runs / capitalized words / digit "
+        "runs / single symbols — regexp_extract_all, no UDF; the token-count "
+        "estimator for LLM-pipeline budgeting."
+    ),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+    nums = F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(nums).alias("n_number_tokens"),
+        F.element_at(bpe, 1).alias("first_token"),
+    )
+
+
+# rolling-hash parameters: base and modulus chosen so acc*B + h stays
+# exact in 64-bit in both engines (acc < P=2^31-1, B=131 -> < 2^39)
+_RH_B = 131
+_RH_P = 2_147_483_647
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
+           (acc, h) -> (acc * {_RH_B} + h) % {_RH_P}) AS fingerprint
+FROM documents
+""",
+    doc=(
+        "Order-sensitive document fingerprint: polynomial rolling hash over "
+        "token hashes (fold, not a set hash — permuted docs get different "
+        "fingerprints, unlike minhash/simhash)."
+    ),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    fp = F.aggregate(
+        F.transform(toks, lambda w: hash32(w)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(_RH_B) + h) % F.lit(_RH_P),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
