@@ -453,3 +453,36 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median(p).alias("median_price"),
         F.percentile(p, F.lit(0.9)).alias("p90_price"),
     )
+
+
+N_SALT = 16
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "Skew-safe salted aggregation: phase 1 groups by (key, salt) so one "
+        "hot key spreads over N_SALT reducers, phase 2 merges partials — "
+        "result-identical to the plain groupBy (the oracle proves it). The "
+        "manual form of AQE skew handling, for when the skew is in an agg "
+        "key rather than a join key."
+    ),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(N_SALT)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(money("l_quantity")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        as_double(F.sum("pq"), "total_qty"),
+    )
