@@ -7,6 +7,7 @@ from . import dedup  # noqa: F401
 from . import nullcol  # noqa: F401
 from . import pipelines  # noqa: F401
 from . import relational  # noqa: F401
+from . import sampling  # noqa: F401
 from . import scalar  # noqa: F401
 from . import sectionizer  # noqa: F401
 from . import similarity  # noqa: F401

@@ -1,0 +1,108 @@
+"""Deterministic sampling, splitting, and shard packing over documents —
+the dataset-assembly operators of a training-data pipeline (north-star
+surface, SURVEY.md §2.10). No RNG anywhere: sampling decisions are pure
+functions of content keys (portable md5, functions/hashing.py), so
+results are reproducible, cluster-size-independent, and oracle-checkable
+— the property a 100 TB pipeline needs for resumable/incremental runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_sql
+from ..io import load_table
+from ..registry import register
+
+#: split fractions in permille: 80% train / 10% val / 10% test
+_TRAIN_MAX = 800
+_VAL_MAX = 900
+
+
+@register(
+    "sample_deterministic_split",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, source,
+           {hash32_sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {_TRAIN_MAX} THEN 'train'
+            WHEN bucket < {_VAL_MAX} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       min(doc_id) AS first_doc
+FROM h
+GROUP BY 1
+""",
+    doc=(
+        "Deterministic 80/10/10 train/val/test split: hash-of-key permille "
+        "bucket, no RNG — membership is stable across runs, cluster sizes, "
+        "and data order (the reproducibility contract of a training corpus)."
+    ),
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % F.lit(1000)
+    split = (
+        F.when(bucket < _TRAIN_MAX, "train")
+        .when(bucket < _VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+#: target shard size in characters (stand-in for tokens on the testdata)
+_SHARD_BUDGET = 50_000
+
+
+@register(
+    "pack_shards",
+    oracle=f"""
+WITH ordered AS (
+    SELECT doc_id, n_chars,
+           SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_chars
+    FROM documents
+)
+SELECT CAST((cum_chars - 1) // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM ordered
+GROUP BY 1
+""",
+    doc=(
+        "Shard packing: documents packed into ~fixed-size shards by running "
+        "token(char) budget — cumulative-sum window then floor-divide, the "
+        "relational form of greedy sequence packing (deterministic order key "
+        "makes it reproducible; at scale the window runs per partition-range "
+        "with a two-pass offset, same plan shape as Spark's global sort)."
+    ),
+)
+def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded = docs.select(
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum_chars"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        # exact integer floor-division (double `/` + cast can round across
+        # a shard boundary)
+        F.expr(f"(cum_chars - 1) DIV {_SHARD_BUDGET}").alias("shard_id"),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
