@@ -119,3 +119,114 @@ def lines_contain_keyword(lines: DataFrame, keyword: str) -> DataFrame:
         .select("path")
         .distinct()
     )
+
+
+# ----------------------------------------------------- S7-S9: tables & crop
+
+#: table extractor: (bytes, page_no (1-based), bbox or None) -> list of
+#: tables, each a list of rows, each row a list of cell strings
+TableExtractor = Callable[[bytes, int, "tuple[float, float, float, float] | None"], list]
+
+TABLES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("table_no", T.IntegerType()),
+        T.StructField("row_no", T.IntegerType()),
+        T.StructField("cells", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def pdfplumber_table_extractor(data, page_no, bbox):
+    """Real bounded-region table extraction (test_uploadPDF.py:31-39 uses
+    tabula with bbox [160,0,715,595]; pdfplumber's crop+extract_tables is
+    the equivalent). Library absent in this image — import-guarded."""
+    import io
+
+    import pdfplumber  # noqa: F401  (ImportError here when absent)
+
+    with pdfplumber.open(io.BytesIO(data)) as pdf:
+        page = pdf.pages[page_no - 1]
+        if bbox is not None:
+            page = page.crop(bbox)
+        return [t for t in page.extract_tables()]
+
+
+def tsv_table_extractor(data, page_no, bbox):
+    """Deterministic fallback: pages are \\f-separated text; a table is a
+    maximal run of lines containing tabs; bbox (top, _, bottom, _) bounds
+    the line range — the text-space analogue of the pixel bbox."""
+    pages = data.decode("utf-8", errors="replace").split("\f")
+    if page_no > len(pages):
+        return []
+    lines = pages[page_no - 1].split("\n")
+    if bbox is not None:
+        top, _, bottom, _ = bbox
+        lines = lines[int(top) : int(bottom) + 1]
+    tables, cur = [], []
+    for ln in lines:
+        if "\t" in ln:
+            cur.append(ln.split("\t"))
+        elif cur:
+            tables.append(cur)
+            cur = []
+    if cur:
+        tables.append(cur)
+    return tables
+
+
+def default_table_extractor(data, page_no, bbox):
+    try:
+        return pdfplumber_table_extractor(data, page_no, bbox)
+    except ImportError:
+        return tsv_table_extractor(data, page_no, bbox)
+
+
+def read_pdf_tables(
+    spark: SparkSession,
+    path: str,
+    pages: "list[int] | None" = None,
+    bbox: "tuple[float, float, float, float] | None" = None,
+    extractor: TableExtractor = default_table_extractor,
+) -> DataFrame:
+    """S7/S8 (test_uploadPDF.py:31-39): bounded-region table extraction
+    over a binaryFile scan -> long (path, page_no, table_no, row_no,
+    cells) frame. Page pre-filter before the expensive extraction is the
+    caller's job (filter-before-UDF discipline, SURVEY.md §4) via
+    ``pages``; file = parallel unit."""
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                n_pages = len(data.decode("utf-8", errors="replace").split("\f"))
+                page_list = pages if pages is not None else range(1, n_pages + 1)
+                for pg in page_list:
+                    for ti, table in enumerate(extractor(data, pg, bbox)):
+                        for ri, row in enumerate(table):
+                            rows.append((p, pg, ti, ri, [str(c) for c in row]))
+            yield pd.DataFrame(rows, columns=["path", "page_no", "table_no", "row_no", "cells"])
+
+    return binary.mapInPandas(extract, TABLES_SCHEMA)
+
+
+def crop_below_keyword(lines: DataFrame, keyword: str) -> DataFrame:
+    """S9 (mainTesting.py:474-498): the reference finds the y-coordinate
+    of a boundary word once, then crops every CALK page below it. The
+    Spark shape: the boundary is a per-document scalar — the line_no of
+    the keyword's first occurrence — broadcast-joined back; every page
+    keeps only lines strictly below it."""
+    hit = (
+        lines.where(F.lower("line").contains(keyword.lower()))
+        .groupBy("path")
+        .agg(F.min(F.struct("page_no", "line_no")).alias("first_hit"))
+        .select("path", F.col("first_hit.line_no").alias("boundary_line"))
+    )
+    return (
+        lines.join(F.broadcast(hit), "path")
+        .where(F.col("line_no") > F.col("boundary_line"))
+        .select("path", "page_no", "line_no", "line")
+    )

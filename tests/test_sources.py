@@ -116,3 +116,40 @@ def test_parquet_sink_idempotent(spark, tmp_path):
     df2 = df.withColumn("quartal", df.quartal + 1)
     sink.append_idempotent(df2)
     assert sink.read(spark).count() == 2
+
+
+def test_pdf_table_extraction_bbox(spark, tmp_path):
+    from etl_financial_report_spark.sources.pdf import read_pdf_tables
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    page1 = "title line\nAset\tNotes\t2023\nKas\t2a\t100\nprose after"
+    page2 = "header\nonly prose here"
+    (d / "t.pdf").write_text("\f".join([page1, page2]))
+
+    tables = read_pdf_tables(spark, str(d))
+    rows = tables.orderBy("page_no", "table_no", "row_no").collect()
+    assert len(rows) == 2  # one table, two rows, only on page 1
+    assert rows[0].cells == ["Aset", "Notes", "2023"]
+    assert rows[1].cells == ["Kas", "2a", "100"]
+
+    # bbox bounds the scanned line range (S7 vs S8 region semantics)
+    header_only = read_pdf_tables(spark, str(d), bbox=(0, 0, 1, 595))
+    assert header_only.count() == 1  # row "Aset..." at line 1; "Kas" line is out
+    # page pre-filter: no tables on page 2
+    assert read_pdf_tables(spark, str(d), pages=[2]).count() == 0
+
+
+def test_crop_below_keyword(spark, tmp_path):
+    from etl_financial_report_spark.sources.pdf import crop_below_keyword, pages_to_lines, read_pdf_pages
+
+    d = tmp_path / "crop"
+    d.mkdir()
+    # boundary word "lain)" at line_no 2 on page 1; pages keep lines > 2
+    p1 = "CATATAN ATAS LAPORAN KEUANGAN\n(dinyatakan dalam rupiah, kecuali dinyatakan lain)\ncontent A\ncontent B"
+    p2 = "heading repeat\nsub head\ncontent C"
+    (d / "c.pdf").write_text("\f".join([p1, p2]))
+    lines = pages_to_lines(read_pdf_pages(spark, str(d)))
+    cropped = crop_below_keyword(lines, "lain)")
+    got = sorted((r.page_no, r.line) for r in cropped.collect())
+    assert got == [(1, "content A"), (1, "content B"), (2, "content C")]
