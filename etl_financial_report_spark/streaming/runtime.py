@@ -34,18 +34,26 @@ from ..schemas import EVENTS
 from .events import tumbling_counts
 
 
-def stream_events(spark: SparkSession, events_dir: str, watermark: str = "10 minutes") -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source event stream with a declared schema and a watermark.
 
     ``events_dir`` must hold parquet with a microsecond ``ts`` (the test
     fixture rewrites the driver's TIMESTAMP(NANOS) files via io.load_table
     first; a production deployment lands micros parquet directly).
+
+    ``max_files_per_trigger`` bounds each microbatch — tests use it to
+    force multi-batch runs so stateful operators prove their state
+    actually carries across batches.
     """
-    return (
-        spark.readStream.schema(EVENTS)
-        .parquet(events_dir)
-        .withWatermark("ts", watermark)
-    )
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(events_dir).withWatermark("ts", watermark)
 
 
 # ------------------------------------------------------------- pipelines
@@ -146,12 +154,14 @@ def _update_user_totals(
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]})
 
 
-def run_user_totals_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def run_user_totals_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Custom stateful operator: per-user lifetime counters via
     ``applyInPandasWithState`` — arbitrary sequential logic per key with
     explicit state, the escape hatch when windowed aggs can't express the
     semantics (update mode; last row per user is the current total)."""
-    stream = stream_events(spark, events_dir)
+    stream = stream_events(spark, events_dir, max_files_per_trigger=max_files_per_trigger)
     totals = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType=USER_TOTALS_SCHEMA,

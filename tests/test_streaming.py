@@ -18,7 +18,7 @@ def events_dir(spark, tmp_path_factory):
     file sources read the declared schema directly; the NANOS original
     needs io.load_table's rebuild)."""
     path = str(tmp_path_factory.mktemp("stream") / "events")
-    load_table(spark, SMOKE_SF_DIR, "events").coalesce(2).write.parquet(path)
+    load_table(spark, SMOKE_SF_DIR, "events").repartition(2).write.parquet(path)
     return path
 
 
@@ -65,3 +65,23 @@ def test_user_totals_stateful_stream(spark, events_dir):
         final.select("user_id", "n_events").exceptAll(want).count() == 0
         and want.exceptAll(final.select("user_id", "n_events")).count() == 0
     )
+
+
+def test_user_totals_state_carries_across_batches(spark, events_dir):
+    """maxFilesPerTrigger=1 forces one microbatch per file (the fixture
+    writes 2): per-user counters must accumulate across batches, proving
+    the operator state survives batch boundaries."""
+    got = runtime.run_user_totals_stream(spark, events_dir, max_files_per_trigger=1)
+    # update mode over >1 batch: users touched in both batches emit twice
+    assert got.count() > got.select("user_id").distinct().count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = got.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    want = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert final.select("user_id", "n_events").exceptAll(want).count() == 0
+    assert want.exceptAll(final.select("user_id", "n_events")).count() == 0
