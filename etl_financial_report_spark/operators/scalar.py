@@ -216,3 +216,74 @@ def f17_char_successor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         F.char(F.ascii(F.substring("r_name", 1, 1)) + 1).alias("next_letter"),
     )
+
+
+@register(
+    "f_date_surface",
+    oracle="""
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+       strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+FROM orders
+WHERE o_orderkey < 1000
+""",
+    doc=(
+        "Date/time surface (north-star §2.7 addition): extract/add/trunc/"
+        "last_day/datediff — all native, pushdown-safe expressions."
+    ),
+)
+def f_date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate")
+    # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 -> align to 0-based
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        (F.dayofweek(d) - F.lit(1)).alias("dow"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
+    )
+
+
+@register(
+    "f_array_surface",
+    oracle="""
+SELECT p_partkey,
+       list_sort(string_split(p_name, ' ')) AS sorted_tokens,
+       len(string_split(p_name, ' ')) AS n_tokens,
+       list_contains(string_split(p_name, ' '), 'green') AS has_green,
+       list_sort(string_split(p_name, ' '))[1] AS first_token,
+       array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS joined,
+       len(list_filter(string_split(p_name, ' '), t -> length(t) > 5)) AS n_long_tokens
+FROM part
+WHERE p_partkey < 500
+""",
+    doc=(
+        "Array surface (north-star §2.7 addition): sort/size/contains/"
+        "element_at/distinct-join/higher-order filter — native list exprs."
+    ),
+)
+def f_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.array_sort(toks).alias("sorted_tokens"),
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "green").alias("has_green"),
+        F.element_at(F.array_sort(toks), 1).alias("first_token"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("joined"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
+    )

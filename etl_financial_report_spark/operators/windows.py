@@ -278,3 +278,44 @@ def p2_row_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > 3)
         .drop("rn")
     )
+
+
+@register(
+    "w_range_frame",
+    oracle="""
+WITH daily AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_total
+    FROM orders
+    WHERE o_custkey < 200
+    GROUP BY 1, 2
+)
+SELECT o_custkey, day_no,
+       CAST(SUM(day_total) OVER (
+            PARTITION BY o_custkey ORDER BY day_no
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+FROM daily
+""",
+    doc=(
+        "RANGE-frame window (value-based, not row-based): 7-day trailing "
+        "spend per customer — gaps in the day sequence are handled by the "
+        "frame spec, no calendar densification needed."
+    ),
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.finance import money
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    daily = o.groupBy(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+    ).agg(F.sum(money("o_totalprice")).alias("day_total"))
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "o_custkey",
+        "day_no",
+        F.sum("day_total").over(w).cast("double").alias("trailing_7d"),
+    )
