@@ -75,7 +75,7 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(meta, MEDIA_META_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
+def frame_sample(media: DataFrame, every_n_bytes: int = 200) -> DataFrame:
     """Frame-sampling stand-in: emit one 'frame' marker per N bytes of
     payload (video decoders sample per timestamp the same way — one input
     row, many output rows, inside mapInPandas)."""
@@ -122,3 +122,112 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
     return extract_media_meta(media)
+
+
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize stand-in: binary -> smaller binary (every ``factor``-th
+    byte) + new stub dimensions. One mapInPandas stage, binary in/binary
+    out — the exact plumbing shape of a real thumbnailer; payload stays
+    inside the stage, only the (small) resized blob leaves it."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                small = bytes(blob)[::factor]
+                w, h = decode_image_stub(small)
+                rows.append((doc_id, small, w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "width", "height"])
+
+    return media.mapInPandas(resize, schema)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("n_vowels", T.IntegerType()),
+        T.StructField("n_spaces", T.IntegerType()),
+        T.StructField("n_digits", T.IntegerType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stand-in (byte-class histogram): the per-payload
+    numpy stage a real embedder/feature net would occupy. Vectorized over
+    the Arrow batch, not per-row Python."""
+    import numpy as np
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vowels = np.frombuffer(b"aeiou", dtype=np.uint8)
+        digits = np.frombuffer(b"0123456789", dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                rows.append(
+                    (
+                        doc_id,
+                        len(arr),
+                        int(np.isin(arr, vowels).sum()),
+                        int((arr == ord(" ")).sum()),
+                        int(np.isin(arr, digits).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return media.mapInPandas(features, FEATURES_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(f.frame_no AS INTEGER) AS frame_no,
+       substr(md5(substr(text, f.frame_no * 200 + 1, 200)), 1, 12) AS frame_key
+FROM documents,
+     LATERAL (
+        SELECT unnest(generate_series(0, greatest(length(text) // 200, 1) - 1)) AS frame_no
+     ) f
+""",
+    doc=(
+        "Frame sampling (1 row in -> N frames out inside mapInPandas): one "
+        "frame marker per 200-byte chunk; oracle mirrors the chunk/checksum "
+        "arithmetic (ASCII corpus => bytes == chars)."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return frame_sample(media)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS byte_len,
+       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS n_vowels,
+       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_spaces,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits
+FROM documents
+""",
+    doc=(
+        "Feature extraction over binary payloads (numpy byte-class counts in "
+        "an Arrow-batched stage); oracle recomputes the counts in SQL."
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return extract_features(media)
