@@ -287,3 +287,38 @@ def f_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("joined"),
         F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
     )
+
+
+@register(
+    "f_map_surface",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INTEGER) AS n_types,
+       CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS n_click,
+       CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS n_purchase,
+       array_to_string(list_sort(list(event_type)), ',') AS type_keys
+FROM counts
+GROUP BY user_id
+""",
+    doc=(
+        "Map surface (north-star §2.7 addition): per-user event_type->count "
+        "map via map_from_entries + element_at/map_keys/size lookups; the "
+        "oracle reproduces the semantics with conditional aggregation."
+    ),
+)
+def f_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(F.sort_array(F.collect_list(F.struct("event_type", "n"))))
+    mapped = counts.groupBy("user_id").agg(m.alias("m"))
+    return mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias("n_purchase"),
+        F.array_join(F.map_keys("m"), ",").alias("type_keys"),
+    )

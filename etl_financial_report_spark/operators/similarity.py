@@ -207,3 +207,111 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+N_CELLS = 8  # centroids = the first N_CELLS vectors (deterministic "training")
+N_PROBE = 2  # query probes its 2 nearest cells
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+WITH {_Q_CTE},
+cents AS (SELECT vec_id AS cid, qe FROM q WHERE vec_id < {N_CELLS}),
+cex AS (
+    SELECT cid, i, qe[i] AS v FROM cents, unnest(generate_series(1, len(qe))) t(i)
+),
+cnorms AS (SELECT cid, SUM(v * v) AS nsq FROM cex GROUP BY cid),
+cdots AS (
+    SELECT ex.vec_id, cex.cid, SUM(ex.v * cex.v) AS dot
+    FROM ex JOIN cex ON ex.i = cex.i
+    GROUP BY 1, 2
+),
+ccos AS (
+    SELECT d.vec_id, d.cid,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cn.nsq AS DOUBLE))) AS cos
+    FROM cdots d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cnorms cn ON cn.cid = d.cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM ccos)
+    WHERE rn = 1
+),
+probe AS (
+    SELECT cid AS cell
+    FROM (SELECT cid, row_number() OVER (ORDER BY cos DESC, cid) AS rn FROM ccos WHERE vec_id = 0)
+    WHERE rn <= {N_PROBE}
+),
+cand AS (
+    SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell
+    WHERE a.vec_id <> 0
+),
+qdot AS (
+    SELECT c.vec_id, SUM(ex.v * qq.v) AS dot
+    FROM cand c
+    JOIN ex ON ex.vec_id = c.vec_id
+    JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON ex.i = qq.i
+    GROUP BY c.vec_id
+)
+SELECT d.vec_id,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cosine
+FROM qdot d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+""",
+    doc=(
+        "IVF ANN (scale path #2): assign every vector to its nearest of "
+        f"{N_CELLS} centroid cells (deterministic centroids = first vectors), "
+        f"query probes its {N_PROBE} nearest cells, exact cosine only inside "
+        "them — the coarse-quantizer partition-pruning of FAISS-style IVF, "
+        "relationally."
+    ),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir)
+    cents = qv.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("c_qe"), F.col("nsq").alias("c_nsq")
+    )
+    # centroid assignment: cross join against the tiny broadcast centroid set,
+    # exact quantized cosine, argmax with (cos desc, cid) tie-break
+    ccos = (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            cosine_q(dot_q(F.col("qe"), F.col("c_qe")), F.col("nsq"), F.col("c_nsq")).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assign = (
+        ccos.withColumn("rn", F.row_number().over(w_assign))
+        .where("rn = 1")
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    w_probe = Window.orderBy(F.desc("cos"), F.asc("cid"))
+    probe = (
+        ccos.where(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= N_PROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = assign.join(F.broadcast(probe), "cell").where(F.col("vec_id") != 0)
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    return (
+        qv.join(cand.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
