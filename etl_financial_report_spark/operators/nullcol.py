@@ -49,3 +49,28 @@ def p9_null_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("all_null_int"),
     )
     return drop_all_null_columns(widened)
+
+
+@register(
+    "p8_all_null_row_filter",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 0 THEN c_name END AS name_if_pos,
+       CASE WHEN c_nationkey < 10 THEN c_mktsegment END AS seg_if_low
+FROM customer
+WHERE NOT (CASE WHEN c_acctbal > 0 THEN c_name END IS NULL
+           AND CASE WHEN c_nationkey < 10 THEN c_mktsegment END IS NULL)
+""",
+    doc=(
+        "All-null row filter (P8, ``dropna(how='all')``, test_uploadPDF.py:50-52): "
+        "na.drop(how='all') over the nullable payload columns (key kept via subset)."
+    ),
+)
+def p8_all_null_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    frame = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 0, F.col("c_name")).alias("name_if_pos"),
+        F.when(F.col("c_nationkey") < 10, F.col("c_mktsegment")).alias("seg_if_low"),
+    )
+    return frame.na.drop(how="all", subset=["name_if_pos", "seg_if_low"])

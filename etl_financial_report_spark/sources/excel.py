@@ -106,3 +106,16 @@ def sheet_as_kv(cells: DataFrame, sheet: str) -> DataFrame:
     return wide.select(
         "path", "row_no", F.col("0").alias("label"), F.col("1").alias("value")
     )
+
+
+def write_workbook(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
+    """S15 Excel sink (test_uploadPDF.py:124 ``final_df.to_excel``).
+    Without spark-excel/openpyxl jars in this image, the sink emits the
+    same JSON workbook format ``json_decoder`` reads (sheet -> grid of
+    cell strings), so write/read round-trips through the source path.
+    Small-result sink by design: statements are per-issuer reports, not
+    100 TB artifacts — collect to the driver is the correct shape."""
+    header = [list(df.columns)]
+    grid = header + [["" if v is None else str(v) for v in row] for row in df.collect()]
+    with open(path, "w") as f:
+        json.dump({sheet: grid}, f)

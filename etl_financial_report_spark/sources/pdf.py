@@ -230,3 +230,24 @@ def crop_below_keyword(lines: DataFrame, keyword: str) -> DataFrame:
         .where(F.col("line_no") > F.col("boundary_line"))
         .select("path", "page_no", "line_no", "line")
     )
+
+
+def bilingual_half_crop(lines: DataFrame, probe: str = "GENERAL") -> DataFrame:
+    """Bilingual-layout handling (mainTesting.py:508-518): when the first
+    page of a document shows the English column probe word, the reference
+    crops every page to half width. Text-space analogue: per-document
+    flag (broadcast) + keep the left half of each line's characters."""
+    flagged = (
+        lines.where((F.col("page_no") == 1) & F.col("line").contains(probe))
+        .select("path")
+        .distinct()
+        .withColumn("bilingual", F.lit(True))
+    )
+    out = lines.join(F.broadcast(flagged), "path", "left")
+    half = F.substring(F.col("line"), 1, (F.length("line") / 2).cast("int"))
+    return out.select(
+        "path",
+        "page_no",
+        "line_no",
+        F.when(F.col("bilingual").isNotNull(), F.trim(half)).otherwise(F.col("line")).alias("line"),
+    )

@@ -153,3 +153,32 @@ def test_crop_below_keyword(spark, tmp_path):
     cropped = crop_below_keyword(lines, "lain)")
     got = sorted((r.page_no, r.line) for r in cropped.collect())
     assert got == [(1, "content A"), (1, "content B"), (2, "content C")]
+
+
+def test_excel_sink_roundtrip(spark, tmp_path):
+    from etl_financial_report_spark.sources.excel import read_workbook_cells, write_workbook
+
+    df = spark.createDataFrame([("Kas", 100.0), ("Piutang", 250.5)], "item string, nilai double")
+    out = tmp_path / "report.xlsx"
+    write_workbook(df, str(out), sheet="laporan")
+    cells = read_workbook_cells(spark, str(tmp_path))
+    grid = {(r.row_no, r.col_no): r.cell for r in cells.where("sheet = 'laporan'").collect()}
+    assert grid[(0, 0)] == "item" and grid[(0, 1)] == "nilai"  # header row
+    assert grid[(1, 0)] == "Kas" and grid[(1, 1)] == "100.0"
+
+
+def test_bilingual_half_crop(spark, tmp_path):
+    from etl_financial_report_spark.sources.pdf import bilingual_half_crop, pages_to_lines, read_pdf_pages
+
+    d = tmp_path / "bi"
+    d.mkdir()
+    # doc A: bilingual (GENERAL on page 1) -> lines halved at the char
+    # midpoint; doc B untouched. Fixture lines are built so the Indonesian
+    # column is exactly the left half.
+    (d / "a.pdf").write_text("1. UMUM GENERAL\nkas dan setara cash equivale")
+    (d / "b.pdf").write_text("1. UMUM saja\nkas dan setara kas")
+    lines = pages_to_lines(read_pdf_pages(spark, str(d)))
+    got = {(r.path.split("/")[-1], r.line_no): r.line for r in bilingual_half_crop(lines).collect()}
+    assert got[("a.pdf", 0)] == "1. UMUM"             # left half kept
+    assert got[("a.pdf", 1)] == "kas dan setara"
+    assert got[("b.pdf", 1)] == "kas dan setara kas"  # non-bilingual untouched
