@@ -104,21 +104,26 @@ def cosine_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFram
 
     def block(batches):
         r_ids, r_mat, r_nsq = b_mat.value
+        # float64 matmul is EXACT here (quantized |q| < 2^15 -> every
+        # product <= 9e8 and every 64-dim dot <= 6e10, all < 2^53) and
+        # runs on BLAS ~50x faster than numpy's loop-based int64 matmul
+        r_matf = r_mat.astype(np.float64)
         r_norm = np.sqrt(r_nsq.astype(np.float64))
         for pdf in batches:
             l_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            l_mat = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qe"]], dtype=np.int64)
+            l_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qe"]], dtype=np.float64)
             l_nsq = pdf["nsq"].to_numpy(dtype=np.int64)
-            dots = l_mat @ r_mat.T  # exact int64
-            cos = dots.astype(np.float64) / (
-                np.sqrt(l_nsq.astype(np.float64))[:, None] * r_norm[None, :]
-            )
+            dots = l_mat @ r_matf.T  # exact integer values in float64
+            cos = dots / (np.sqrt(l_nsq.astype(np.float64))[:, None] * r_norm[None, :])
             li, ri = np.nonzero((l_ids[:, None] < r_ids[None, :]) & (cos > threshold))
             yield pd.DataFrame(
                 {"vec_a": l_ids[li], "vec_b": r_ids[ri], "cosine": cos[li, ri]}
             )
 
-    return qv.select("vec_id", "qe", "nsq").mapInPandas(block, schema)
+    # probe side partition-parallel: the single-file scan would otherwise
+    # run the whole block matmul in one task
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    return qv.select("vec_id", "qe", "nsq").repartition(n_parts).mapInPandas(block, schema)
 
 
 @register(
