@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from .windows import NOTE_PATTERN  # noqa: E402
 from .ingest import (
     extract_metadata,
     idempotent_append,
@@ -148,7 +149,121 @@ def pipeline_statement_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_notes_enrichment",
-    oracle=None,  # merge (update+insert) composition; components are oracle-checked individually
+    oracle=f"""
+WITH gi(file_id, row_no, label, value) AS (VALUES {_GI_VALUES}),
+meta AS (
+    SELECT file_id,
+        MAX(CASE WHEN lower(trim(label)) = 'kode entitas' THEN trim(value) END) AS kode_emiten,
+        MAX(CASE WHEN lower(trim(label)) = 'nama entitas' THEN trim(value) END) AS raw_nama,
+        MAX(CASE WHEN lower(trim(label)) = 'periode penyampaian laporan keuangan' THEN trim(value) END) AS periode,
+        MAX(CASE WHEN lower(trim(label)) = 'tanggal awal periode berjalan' THEN trim(value) END) AS tanggal
+    FROM gi GROUP BY file_id
+),
+meta2 AS (
+    SELECT file_id, kode_emiten,
+        CASE WHEN upper(substring(raw_nama, 1, 2)) = 'PT' THEN raw_nama
+             ELSE 'PT ' || raw_nama END AS nama_emiten,
+        CASE WHEN contains(lower(periode), 'kuartal i ') OR contains(lower(periode), 'first') THEN 1
+             WHEN contains(lower(periode), 'kuartal ii ') OR contains(lower(periode), 'second') THEN 2
+             WHEN contains(lower(periode), 'kuartal iii') OR contains(lower(periode), 'third') THEN 3
+             ELSE 4 END AS quartal,
+        CAST(substring(tanggal, 1, 4) AS INTEGER) AS tahun
+    FROM meta
+),
+sl AS (
+    SELECT 'F' || CAST(o_orderkey % 3 AS VARCHAR) AS file_id,
+           CASE o_orderstatus WHEN 'F' THEN 'Laporan Neraca'
+                              WHEN 'O' THEN 'Laporan Laba Rugi'
+                              ELSE 'Laporan Arus Kas' END AS grup,
+           o_orderkey AS row_no,
+           'item ' || CAST(o_orderkey AS VARCHAR) AS item,
+           CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_totalprice END AS nilai
+    FROM orders
+),
+numbered AS (
+    SELECT *, row_number() OVER (PARTITION BY file_id, grup ORDER BY row_no) AS rn FROM sl
+),
+joined AS (
+    SELECT d.*, m.kode_emiten, m.nama_emiten, m.tahun, m.quartal,
+           (m.quartal = 4) AS kuartal_unik
+    FROM (SELECT * FROM numbered WHERE rn > 3) d JOIN meta2 m USING (file_id)
+),
+facts AS (
+    SELECT kode_emiten, nama_emiten, tahun, quartal,
+           grup AS grup_laporan_keuangan, item,
+           CASE WHEN kuartal_unik THEN CAST(coalesce(nilai, 0.0) AS DECIMAL(18,2))
+                ELSE CAST(coalesce(nilai, 0.0) AS DECIMAL(18,2)) * 1000000 END AS nilai,
+           CAST(NULL AS VARCHAR) AS notes
+    FROM joined
+),
+pdf_lines AS (
+    SELECT CASE 'F' || CAST(o_orderkey % 3 AS VARCHAR)
+                WHEN 'F0' THEN 'BBCA' WHEN 'F1' THEN 'BBNI' ELSE 'TLKM' END AS doc_id,
+           CASE o_orderstatus WHEN 'F' THEN 'Laporan Neraca'
+                              WHEN 'O' THEN 'Laporan Laba Rugi'
+                              ELSE 'Laporan Arus Kas' END AS grup,
+           1 AS page_no,
+           CAST(o_orderkey * 2 + u.off AS INTEGER) AS line_no,
+           CASE u.off WHEN 0 THEN 'item ' || CAST(o_orderkey AS VARCHAR)
+                      ELSE CAST((o_orderkey % 9) + 1 AS VARCHAR) || 'a,'
+                           || CAST((o_orderkey % 7) + 2 AS VARCHAR) END AS line
+    FROM orders, (SELECT unnest([0, 1]) AS off) u
+    WHERE o_orderkey % 50 = 1
+),
+led AS (
+    SELECT *,
+           lead(line, 1) OVER w AS next1,
+           lead(line, 2) OVER w AS next2
+    FROM pdf_lines
+    WINDOW w AS (PARTITION BY doc_id, grup ORDER BY page_no, line_no)
+),
+candidates AS (
+    SELECT doc_id, grup, line,
+           CASE WHEN regexp_matches(next1, '{{NOTE_PATTERN}}') THEN next1
+                WHEN regexp_matches(next2, '{{NOTE_PATTERN}}') THEN next2 END AS note
+    FROM led
+    WHERE trim(line) <> ''
+      AND (CASE WHEN regexp_matches(next1, '{{NOTE_PATTERN}}') THEN next1
+                WHEN regexp_matches(next2, '{{NOTE_PATTERN}}') THEN next2 END) IS NOT NULL
+),
+matches AS (
+    SELECT f.kode_emiten, f.tahun, f.quartal, f.grup_laporan_keuangan, f.item, c.note
+    FROM facts f
+    JOIN candidates c
+      ON f.kode_emiten = c.doc_id AND f.grup_laporan_keuangan = c.grup
+     AND contains(lower(f.item), lower(c.line))
+),
+exploded AS (
+    SELECT kode_emiten, tahun, quartal, grup_laporan_keuangan, item,
+           string_split(note, ',')[u.ord] AS note_element,
+           (u.ord = 1) AS is_update
+    FROM matches,
+         LATERAL (SELECT unnest(generate_series(1, len(string_split(note, ',')))) AS ord) u
+),
+updates AS (
+    SELECT kode_emiten, tahun, quartal, grup_laporan_keuangan, item,
+           min(note_element) AS new_note
+    FROM exploded WHERE is_update
+    GROUP BY 1, 2, 3, 4, 5
+),
+updated AS (
+    SELECT f.kode_emiten, f.tahun, f.quartal, f.grup_laporan_keuangan, f.item,
+           f.nilai, coalesce(u.new_note, f.notes) AS notes
+    FROM facts f
+    LEFT JOIN updates u
+      USING (kode_emiten, tahun, quartal, grup_laporan_keuangan, item)
+),
+inserts AS (
+    SELECT kode_emiten, tahun, quartal, grup_laporan_keuangan,
+           item || ' (nota ' || note_element || ')' AS item,
+           CAST(0 AS DECIMAL(38,2)) AS nilai,
+           note_element AS notes
+    FROM exploded WHERE NOT is_update
+)
+SELECT kode_emiten, tahun, quartal, grup_laporan_keuangan, item,
+       CAST(nilai AS DOUBLE) AS nilai, notes
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserts)
+""".replace("{{NOTE_PATTERN}}", NOTE_PATTERN),
     doc=(
         "EP2 notes enrichment end-to-end (mainTesting.py:88-185): PDF-line frame "
         "with lead-1/lead-2 note lookup, equi+contains join onto the fact table, "
