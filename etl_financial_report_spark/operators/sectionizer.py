@@ -197,9 +197,34 @@ def synthetic_calk_lines(spark, sf_dir: str) -> DataFrame:
     return lines.select("doc_id", F.lit(1).alias("page_no"), "line_no", "line")
 
 
+#: The state machine itself is not SQL-expressible, but its output ON THE
+#: SYNTHETIC CORPUS is a pure function of each document's tokens, so the
+#: oracle enumerates the six expected sections per document (backward fill
+#: gives the empty section 3 its successor's content). General-case grammar
+#: behavior is covered by golden + property tests (tests/test_sectionizer.py).
+_CALK_ORACLE = """
+WITH t AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS k
+    FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, '1' AS kode_calk, 'GENERAL' AS heading_calk,
+       k[1] || ' ' || k[2] AS konten_calk FROM t
+UNION ALL
+SELECT doc_id, '1a', 'policy ' || k[3], k[4] || ' ' || k[5] FROM t
+UNION ALL
+SELECT doc_id, '1b', 'basis ' || k[6], 'd. skipped-not-consecutive ' || k[7] FROM t
+UNION ALL
+SELECT doc_id, '2', 'SIGNIFICANT ACCOUNTING POLICIES', k[8] || ' ' || k[9] FROM t
+UNION ALL
+SELECT doc_id, '3', 'EMPTY SECTION', k[10] FROM t
+UNION ALL
+SELECT doc_id, '4', 'FINAL', k[10] FROM t
+"""
+
+
 @register(
     "calk_sectionizer",
-    oracle=None,  # sequential state machine — not SQL-expressible (driver rows-only check)
+    oracle=_CALK_ORACLE,
     doc=(
         "CALK sectionizer (W4, mainTesting.py:500-636): groupBy(doc).applyInPandas "
         "state machine over synthetic CALK-shaped lines; hierarchical keys 1/1a/1b, "
