@@ -178,3 +178,65 @@ def run_user_totals_stream(
     )
     q.awaitTermination()
     return spark.table("user_totals_stream")
+
+
+def run_stream_stream_join(
+    spark: SparkSession, events_dir: str, window_s: int = 300
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks in the preceding ``window_s`` seconds. Both sides carry
+    watermarks and the join condition carries the time bound, so state on
+    each side is evicted once the watermark passes the interval — the
+    streaming twin of the batch range join (operators/asof.py)."""
+    clicks = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ss_join_stream")
+
+
+def run_dedupe_to_parquet(
+    spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming dedup landed in a parquet file sink with a checkpoint —
+    the exactly-once ingest shape: re-running against the same checkpoint
+    reprocesses nothing, so the sink never double-writes (the streaming
+    form of the J3 idempotency guard on the WRITE side)."""
+    deduped = stream_events(spark, events_dir).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -85,3 +85,34 @@ def test_user_totals_state_carries_across_batches(spark, events_dir):
     )
     assert final.select("user_id", "n_events").exceptAll(want).count() == 0
     assert want.exceptAll(final.select("user_id", "n_events")).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    got = runtime.run_stream_stream_join(spark, events_dir)
+    ev = spark.read.parquet(events_dir)
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 300 SECONDS")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_dedupe_parquet_sink_exactly_once(spark, events_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    runtime.run_dedupe_to_parquet(spark, events_dir, out, ckpt)
+    n_events = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert spark.read.parquet(out).count() == n_events
+    # same checkpoint, no new input -> nothing reprocessed or re-written
+    runtime.run_dedupe_to_parquet(spark, events_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == n_events
