@@ -217,3 +217,31 @@ def events_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_hybrid_rollup",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc=(
+        "Continuous-aggregate (hypertable-rollup) pattern: hours older than "
+        "the tail cutoff come from a PRE-AGGREGATED rollup frame, the last "
+        "hour is aggregated from raw events at query time, and the union is "
+        "proven identical to aggregating everything (the oracle is the plain "
+        "aggregation). At scale the rollup side is a materialized table "
+        "maintained by the streaming tumbling-window job — queries touch "
+        "raw data only for the hot tail."
+    ),
+)
+def events_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.date_trunc("hour", F.lit(ev.agg(F.max("ts")).collect()[0][0]))
+    old = tumbling_counts(ev.where(F.date_trunc("hour", "ts") < cutoff))
+    tail = tumbling_counts(ev.where(F.date_trunc("hour", "ts") >= cutoff))
+    return old.unionByName(tail)
