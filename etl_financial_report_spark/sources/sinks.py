@@ -87,3 +87,22 @@ class JdbcSink:
             return spark.read.jdbc(self.url, self.table, predicates=predicates,
                                    properties=dict(self.properties or {}))
         return spark.read.jdbc(self.url, self.table, properties=dict(self.properties or {}))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table (CLUSTERED BY ... INTO n BUCKETS): both
+    sides of a recurring equi-join bucketed on the join key join WITHOUT
+    an Exchange — the pre-shuffled layout amortized across every later
+    join/agg on that key. The at-scale answer to 'this fact table is
+    joined on the same key by every query' (tests/test_bucketing.py
+    asserts the shuffle-free plan)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
