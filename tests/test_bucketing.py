@@ -20,6 +20,14 @@ def no_broadcast(spark):
 
 
 def test_bucketed_join_has_no_exchange(spark, no_broadcast):
+    # a previous session's managed-table files survive in the warehouse dir
+    # while the in-memory catalog does not — clear both before writing
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     write_bucketed(
         load_table(spark, SF, "orders"), "orders_b", "o_orderkey", 4, sort_col="o_orderkey"
     )
