@@ -240,3 +240,22 @@ def run_dedupe_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_sliding_stream(
+    spark: SparkSession, events_dir: str, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts as a stream (complete mode) — same logical
+    plan as the oracle-checked ``events_sliding_window`` batch twin."""
+    from .events import sliding_counts
+
+    agg = sliding_counts(stream_events(spark, events_dir), width, slide)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("sliding_stream")

@@ -182,3 +182,28 @@ def test_bilingual_half_crop(spark, tmp_path):
     assert got[("a.pdf", 0)] == "1. UMUM"             # left half kept
     assert got[("a.pdf", 1)] == "kas dan setara"
     assert got[("b.pdf", 1)] == "kas dan setara kas"  # non-bilingual untouched
+
+
+def test_parquet_sink_partition_pruning(spark, tmp_path):
+    """The tahun/quartal layout must actually prune: a tahun filter reads
+    only that partition (PartitionFilters in the scan, not a post-filter)."""
+    from etl_financial_report_spark.sources.sinks import ParquetSink
+
+    sink = ParquetSink(str(tmp_path / "facts"))
+    rows = [
+        ("BBNI", "PT BNI", y, q, "Laporan Neraca", f"item {y}{q}", 1.0, None)
+        for y in (2022, 2023)
+        for q in (1, 2)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "kode_emiten string, nama_emiten string, tahun int, quartal int, "
+        "grup_laporan_keuangan string, item string, nilai double, notes string",
+    )
+    sink.append(df)
+    scan = sink.read(spark).where("tahun = 2023 AND quartal = 2")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = scan._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan
+    assert "(tahun" in plan.split("PartitionFilters")[1][:200]  # filter reached the scan
+    assert scan.count() == 1

@@ -116,3 +116,13 @@ def test_dedupe_parquet_sink_exactly_once(spark, events_dir, tmp_path):
     # same checkpoint, no new input -> nothing reprocessed or re-written
     runtime.run_dedupe_to_parquet(spark, events_dir, out, ckpt)
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    from etl_financial_report_spark.streaming.events import sliding_counts
+
+    got = runtime.run_sliding_stream(spark, events_dir)
+    want = sliding_counts(spark.read.parquet(events_dir))
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
