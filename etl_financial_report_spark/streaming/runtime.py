@@ -259,3 +259,62 @@ def run_sliding_stream(
     )
     q.awaitTermination()
     return spark.table("sliding_stream")
+
+
+def run_stream_static_enrichment(
+    spark: SparkSession, events_dir: str, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer) loaded per microbatch. The static side needs no
+    watermark and no state — each batch joins against the table as-of
+    that batch, the standard dimension-enrichment shape (broadcast when
+    small; here user_id maps onto the customer key space mod its size)."""
+    from ..io import load_table
+
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    enriched = (
+        stream_events(spark, events_dir)
+        .join(F.broadcast(customers), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("enrich_stream")
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch idempotent upsert: each microbatch lands through the
+    ParquetSink J3 guard (anti-join on the key before append), so a batch
+    replayed after a failure cannot double-insert — the pattern for sinks
+    with no native exactly-once support (JDBC upserts use the same shape,
+    mainTesting.py:693-729's guard as stream-side logic)."""
+    from ..sources.sinks import ParquetSink
+
+    sink = ParquetSink(out_dir, partition_cols=())
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        compact = batch_df.select("event_id", "user_id", "event_type", "value")
+        if sink.exists():
+            existing = sink.read(batch_df.sparkSession).select("event_id")
+            compact = compact.join(existing, "event_id", "left_anti")
+        compact.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_events(spark, events_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

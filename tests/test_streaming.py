@@ -126,3 +126,30 @@ def test_sliding_stream_matches_batch(spark, events_dir):
     assert got.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_static_enrichment(spark, events_dir):
+    from etl_financial_report_spark.io import SMOKE_SF_DIR, load_table
+
+    got = runtime.run_stream_static_enrichment(spark, events_dir, SMOKE_SF_DIR)
+    ev = spark.read.parquet(events_dir)
+    customers = load_table(spark, SMOKE_SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = (
+        ev.join(customers, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, events_dir, tmp_path):
+    out = str(tmp_path / "up_out")
+    runtime.run_foreach_batch_upsert(spark, events_dir, out, str(tmp_path / "up_ckpt1"))
+    n = spark.read.parquet(out).count()
+    assert n == spark.read.parquet(events_dir).count()
+    # replay from a FRESH checkpoint (simulates reprocessing the same data):
+    # the sink-side anti-join guard must prevent any double-insert
+    runtime.run_foreach_batch_upsert(spark, events_dir, out, str(tmp_path / "up_ckpt2"))
+    assert spark.read.parquet(out).count() == n
