@@ -340,3 +340,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_a").alias("canonical_id"),
         F.count(F.lit(1)).alias("n_near"),
     )
+
+
+# ------------------------------------------------- simhash hamming buckets
+
+N_BLOCKS = 2          # 16-bit signature split into 2 bytes
+MAX_HAMMING = 1       # pigeonhole: hamming<=1 pairs share >=1 of 2 blocks
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+WITH sig AS (
+SELECT doc_id, (CASE WHEN SUM(CASE WHEN substr(mw, 1, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 32768 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 2, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 16384 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 3, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 8192 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 4, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 4096 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 5, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 2048 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 6, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 1024 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 7, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 512 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 8, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 256 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 9, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 128 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 10, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 64 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 11, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 32 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 12, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 16 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 13, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 8 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 14, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 4 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 15, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 2 ELSE 0 END) + (CASE WHEN SUM(CASE WHEN substr(mw, 16, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END) AS simhash
+FROM (SELECT doc_id, md5(w) AS mw
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents WHERE doc_id < 200))
+GROUP BY doc_id
+),
+blocks AS (
+    SELECT doc_id, simhash, b.block_idx,
+           (simhash // CAST(power(256, 1 - b.block_idx) AS BIGINT)) % 256 AS block_val
+    FROM sig, (SELECT unnest(generate_series(0, {N_BLOCKS - 1})) AS block_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM blocks a JOIN blocks b
+      ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {MAX_HAMMING}
+""",
+    doc=(
+        "SimHash near-dup pairs within hamming distance 1: the 16-bit "
+        "signature splits into 2 byte blocks; by pigeonhole every <=1-bit "
+        "pair collides on >=1 block, so candidates come from an equi-join on "
+        "(block_idx, nibble) — the rotation/blocking trick that makes "
+        "hamming search a hash join instead of an all-pairs scan."
+    ),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_simhash(spark, sf_dir).where(F.col("doc_id") < 200)  # bounded demo corpus (like dedup_ngram_jaccard)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_idx"),
+                ((F.col("simhash").cast("long") / F.lit(256 ** (1 - b))).cast("long") % 256).alias(
+                    "block_val"
+                ),
+            )
+            for b in range(N_BLOCKS)
+        ]
+    )
+    blocks = sig.select("doc_id", "simhash", F.explode(block_structs).alias("b")).select(
+        "doc_id", "simhash", F.col("b.block_idx").alias("block_idx"), F.col("b.block_val").alias("block_val")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= MAX_HAMMING
+    )

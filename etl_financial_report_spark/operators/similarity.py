@@ -320,3 +320,79 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ------------------------------------------------------------ multi-probe
+
+N_PROBE_BITS = 4  # sign_bucket width; probes = bucket + its 4 hamming-1 neighbors
+
+
+@register(
+    "sim_ann_multiprobe",
+    oracle=f"""
+WITH {_Q_CTE},
+buckets AS (
+    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+probes AS (
+    SELECT DISTINCT p.pb FROM qb,
+        LATERAL (SELECT unnest([qb.bucket,
+                                xor(qb.bucket, 1), xor(qb.bucket, 2),
+                                xor(qb.bucket, 4), xor(qb.bucket, 8)]) AS pb) p
+),
+cand AS (
+    SELECT b.vec_id FROM buckets b JOIN probes p ON b.bucket = p.pb
+    WHERE b.vec_id <> 0
+),
+qdot AS (
+    SELECT c.vec_id, SUM(ex.v * qq.v) AS dot
+    FROM cand c
+    JOIN ex ON ex.vec_id = c.vec_id
+    JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON ex.i = qq.i
+    GROUP BY c.vec_id
+)
+SELECT d.vec_id,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cosine
+FROM qdot d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+""",
+    doc=(
+        "Multi-probe LSH ANN: probe the query's bucket AND its hamming-1 "
+        "neighbor buckets (one sign-bit flip each) — recovers most of the "
+        "recall lost to bucket-boundary effects at ~5x the candidate cost, "
+        "without more hash tables."
+    ),
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _quantized(spark, sf_dir).join(
+        emb.select("vec_id", sign_bucket(F.col("embedding")).alias("bucket")), "vec_id"
+    )
+    q_bucket = (
+        qv.where(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.expr(f"bucket ^ {1 << i}") for i in range(N_PROBE_BITS)],
+                )
+            ).alias("pb")
+        )
+        .distinct()
+    )
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    return (
+        qv.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q_bucket), F.col("bucket") == F.col("pb"))
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
