@@ -5,7 +5,11 @@ are the reporting queries its EAV model exists to feed, expressed
 DataFrame-first with decimal money discipline.
 
 Q1's shape is already covered by ``agg_statement_summary``; here: Q3
-(shipping priority), Q5 (local supplier volume), Q10 (returned items).
+(shipping priority), Q5 (local supplier volume), Q10 (returned items),
+Q6 (forecast revenue), Q7 (volume shipping), Q8 (market share),
+Q9 (product profit — adapted: no ``partsupp`` table in the testdata, so
+supply cost is proxied as 60% of ``p_retailprice``), Q14 (promo effect),
+Q18 (large-volume customers).
 """
 
 from __future__ import annotations
@@ -155,4 +159,282 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
+    )
+
+NET_SQL = """CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"""
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2))
+      BETWEEN CAST(0.02 AS DECIMAL(4,2)) AND CAST(0.06 AS DECIMAL(4,2))
+  AND l_quantity < 24
+""",
+    doc=(
+        "TPC-H Q6: single-table scan-heavy aggregate; all three predicates "
+        "push down to the parquet scan, no shuffle beyond the final 1-row agg."
+    ),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & disc.between(F.lit("0.02").cast("decimal(4,2)"), F.lit("0.06").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(as_double(F.sum(money("l_extendedprice") * disc), "revenue"))
+    )
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year, {NET_SQL} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc=(
+        "TPC-H Q7: bidirectional trade volume between two nations by ship "
+        "year — nation dim joined twice under different roles; both nation "
+        "joins broadcast so the fact side only shuffles for the group-by."
+    ),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") <= F.to_timestamp(F.lit("1997-12-31")))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(as_double(F.sum(net_price()), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(COALESCE(SUM(CASE WHEN nation = 'NATION_3' THEN volume END), 0) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (SELECT year(o_orderdate) AS o_year, {NET_SQL} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        AND p_type = 'ECONOMY')
+GROUP BY o_year
+ORDER BY o_year
+""",
+    doc=(
+        "TPC-H Q8: NATION_3's share of EUROPE's ECONOMY-part market by order "
+        "year — conditional-sum ratio; sums stay DECIMAL (exact) until the "
+        "final double division so the ratio is bit-stable cross-engine."
+    ),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") <= F.to_timestamp(F.lit("1997-12-31")))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation"))
+    vol = F.sum(net_price())
+    nat_vol = F.sum(F.when(F.col("nation") == "NATION_3", net_price()))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r), F.col("rk1") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.coalesce(nat_vol, F.lit(0)).cast("double") / vol.cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             {NET_SQL}
+             - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(2,1))
+               * CAST(l_quantity AS DECIMAL(4,0)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc=(
+        "TPC-H Q9 (adapted): profit on red parts by supplier nation and order "
+        "year. The testdata has no partsupp table, so ps_supplycost is proxied "
+        "as 60% of p_retailprice per unit — same join/agg shape, exact DECIMAL "
+        "arithmetic throughout."
+    ),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = net_price() - money("p_retailprice") * F.lit("0.6").cast(
+        "decimal(2,1)"
+    ) * F.col("l_quantity").cast("decimal(4,0)")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(as_double(F.sum("amount"), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+SELECT 100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN volume END), 0) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS promo_revenue
+FROM (SELECT p_type, {NET_SQL} AS volume
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01')
+""",
+    doc=(
+        "TPC-H Q14: percent of September-1996 revenue from PROMO parts — "
+        "broadcast part join + conditional-sum ratio, DECIMAL until the "
+        "final double division."
+    ),
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", net_price()))
+    total = F.sum(net_price())
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.coalesce(promo, F.lit(0)).cast("double")
+                / total.cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey AS bok, SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = bok
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+    doc=(
+        "TPC-H Q18: customers with orders totalling >300 units — the "
+        "HAVING-on-aggregate semi-join shape; the heavy lineitem group-by "
+        "runs first and its tiny survivor set drives the remaining joins."
+    ),
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
     )
