@@ -438,3 +438,216 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc=(
+        "TPC-H Q13 (adapted): distribution of non-urgent order counts per "
+        "customer — LEFT OUTER join with a predicate on the outer side "
+        "(order-less customers count as 0), then a second aggregation over "
+        "the first. The original filters o_comment, absent here; the "
+        "o_orderpriority filter preserves the join-predicate shape."
+    ),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no, SUM({NET_SQL}) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc=(
+        "TPC-H Q15: supplier(s) with the maximum quarterly revenue — the "
+        "correlated-max-scalar-subquery shape; the max is computed on the "
+        "exact DECIMAL revenue (no double ties ambiguity) and the 1-row max "
+        "broadcasts back onto the revenue frame."
+    ),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(net_price()).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+    SELECT l_partkey AS pk, l_suppkey AS sk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+asia_supp AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+),
+offers AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, unit_cost
+    FROM part
+    JOIN cost ON pk = p_partkey
+    JOIN asia_supp ON sk = s_suppkey
+    WHERE p_type = 'LARGE' AND p_size <= 10
+)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, unit_cost
+FROM offers o
+WHERE unit_cost = (SELECT MIN(unit_cost) FROM offers i
+                   WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc=(
+        "TPC-H Q2 (adapted): cheapest ASIA supplier per LARGE part — the "
+        "correlated-min-per-group shape. The testdata has no partsupp, so "
+        "the observed (part, supplier) price list is derived from lineitem "
+        "with unit cost = sum(extendedprice)/sum(quantity), summed exactly "
+        "in DECIMAL and divided once in double for cross-engine stability."
+    ),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cost = li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).agg(
+        (
+            F.sum(money("l_extendedprice")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(4,0)")).cast("double")
+        ).alias("unit_cost")
+    )
+    asia = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        cost.join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+        .join(asia, F.col("sk") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bpk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bpk")) & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+WITH rich AS (
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0)
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc=(
+        "TPC-H Q22 (adapted): wealthy customers with no recent (2000+) "
+        "orders, by nation — scalar-average subquery + anti-join + "
+        "aggregate. The original groups by phone country code and uses "
+        "no-orders-at-all; the testdata has no phone column and every "
+        "customer has old orders, so nation key and a date-bounded "
+        "anti-join play those roles. The average is sum-exact DECIMAL "
+        "over COUNT to stay bit-stable cross-engine."
+    ),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+    recent = o.where(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+    never_ordered = rich.join(
+        recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        never_ordered.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            as_double(F.sum(money("c_acctbal")), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
