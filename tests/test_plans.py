@@ -60,3 +60,50 @@ def test_filters_pushed_to_scan(spark, name):
     for line in plan.splitlines():
         if "ReadSchema" in line and "lineitem" in line:
             assert "l_comment" not in line
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q5_local_supplier_volume",
+        "tpch_q8_market_share",
+        "tpch_q19_discounted_revenue",
+    ],
+)
+def test_tpch_joins_never_nested_loop(spark, name):
+    # dim joins must stay hash joins; the disjunctive Q19 predicate and the
+    # same-nation Q5 constraint are residual filters on an equi join, never a
+    # BroadcastNestedLoopJoin/CartesianProduct over the fact
+    plan = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_predicates_reach_scan(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    # shipdate range pushes into the lineitem parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    # scan reads only the 3 referenced columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_orderkey" not in line and "l_partkey" not in line
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    # the lineitem group-by must run before any join so only the tiny
+    # >300-unit survivor set drives the order/customer joins
+    plan = plan_of(spark, "tpch_q18_large_volume_customer")
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted-plan node ids are assigned in execution order: the lineitem
+    # HashAggregate must have a lower id than every join, and its survivor
+    # set must be the broadcast (build) side
+    import re
+
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    join_ids = [int(m) for m in re.findall(r"BroadcastHashJoin \w+ \w+ \((\d+)\)", plan)]
+    assert agg_ids and join_ids and min(agg_ids) < min(join_ids)
+    assert re.search(
+        r"BroadcastExchange \(\d+\)\n[\s:]*\+- Filter \(\d+\)\n[\s:]*\+- HashAggregate", plan
+    )
