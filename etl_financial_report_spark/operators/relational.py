@@ -486,3 +486,153 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         as_double(F.sum("pq"), "total_qty"),
     )
+
+# --------------------------------------------------------------------------
+# EAV -> wide report reconstruction. The reference stores one row per
+# statement line item and rebuilds the statement by filtering the composite
+# key (SURVEY.md §1.1); the wide "statement" view — items as rows, periods
+# as columns — is the pivot the GUI renders implicitly. Here: quarterly
+# revenue pivoted to one column per quarter.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p_pivot_statement",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS tahun,
+       CAST(SUM(CASE WHEN quarter(o_orderdate) = 1 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q1,
+       CAST(SUM(CASE WHEN quarter(o_orderdate) = 2 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q2,
+       CAST(SUM(CASE WHEN quarter(o_orderdate) = 3 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q3,
+       CAST(SUM(CASE WHEN quarter(o_orderdate) = 4 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+""",
+    doc=(
+        "EAV long -> wide statement pivot (the report view the reference's "
+        "GUI renders): .pivot() with explicit quarter values so Spark skips "
+        "the extra distinct-values job; one shuffle, partial+final agg."
+    ),
+)
+def p_pivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").alias("tahun"),
+            F.quarter("o_orderdate").alias("quartal"),
+            net_price().alias("net"),
+        )
+        .groupBy("tahun")
+        .pivot("quartal", [1, 2, 3, 4])
+        .agg(F.sum("net"))
+        .select(
+            "tahun",
+            *[F.col(str(q)).cast("double").alias(f"q{q}") for q in (1, 2, 3, 4)],
+        )
+        .orderBy("tahun")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quarter-over-quarter delta — the reporting query the EAV model feeds
+# (SURVEY.md §2.4: "quarter-over-quarter deltas"). lag() over the period
+# sequence; in production the window is partitioned per issuer, so the
+# single-partition sort below becomes a per-key sort.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w_qoq_delta",
+    oracle="""
+WITH q AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS tahun,
+           CAST(quarter(o_orderdate) AS INTEGER) AS quartal,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)
+SELECT tahun, quartal, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY tahun, quartal) AS qoq_delta
+FROM q
+ORDER BY tahun, quartal
+""",
+    doc=(
+        "Quarter-over-quarter revenue delta: decimal-exact quarterly sums "
+        "cast to double once, then lag() over the period order — the delta "
+        "is a difference of two bit-identical doubles, so cross-engine "
+        "stable. First period's delta is NULL by definition."
+    ),
+)
+def w_qoq_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    q = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").alias("tahun"),
+            F.quarter("o_orderdate").alias("quartal"),
+            net_price().alias("net"),
+        )
+        .groupBy("tahun", "quartal")
+        .agg(as_double(F.sum("net"), "revenue"))
+    )
+    w = Window.orderBy("tahun", "quartal")
+    return (
+        q.withColumn("qoq_delta", F.col("revenue") - F.lag("revenue").over(w))
+        .orderBy("tahun", "quartal")
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — the general form of rollup/cube (both already covered):
+# an explicit set list with grouping_id() to tell aggregated-away nulls
+# from data nulls.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS tahun,
+       o_orderpriority,
+       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority), (year(o_orderdate)), ())
+ORDER BY gid, tahun, o_orderpriority
+""",
+    doc=(
+        "GROUPING SETS ((year, priority), (year), ()) via the native "
+        "DataFrame.groupingSets API — one shuffle produces all three "
+        "granularities; grouping_id disambiguates rollup nulls from data "
+        "nulls (same bit encoding in Spark and DuckDB)."
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("tahun"), "o_orderpriority", "o_totalprice"
+    )
+    return (
+        o.groupingSets(
+            [[F.col("tahun"), F.col("o_orderpriority")], [F.col("tahun")], []],
+            F.col("tahun"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            as_double(F.sum(money("o_totalprice")), "total"),
+        )
+        .orderBy("gid", "tahun", "o_orderpriority")
+    )
