@@ -245,3 +245,36 @@ def events_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = tumbling_counts(ev.where(F.date_trunc("hour", "ts") < cutoff))
     tail = tumbling_counts(ev.where(F.date_trunc("hour", "ts") >= cutoff))
     return old.unionByName(tail)
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc=(
+        "Semi-structured props via the Spark 4 VARIANT type: parse_json once, "
+        "variant_get typed paths — the open-schema alternative to from_json "
+        "when the props shape isn't declared up front (events_json_extract "
+        "covers the declared-schema path)."
+    ),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -318,3 +318,85 @@ def run_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------ transformWithState (Spark 4)
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+def tws_available() -> bool:
+    """True when the runtime can execute ``transformWithStateInPandas``:
+    its driver/state-server protocol is protobuf-encoded, so the python
+    environment must provide ``google.protobuf``."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """Per-user lifetime counters on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` with named state
+    variables, timers, and TTL. Same semantics as ``_update_user_totals``
+    above, kept side by side so both stateful surfaces stay covered."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", USER_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._state.exists():
+            n, total = self._state.get()
+        else:
+            n, total = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_user_totals_tws(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The ``transformWithStateInPandas`` twin of
+    ``run_user_totals_stream``. Requires the RocksDB state store (set on
+    the session here; harmless for the other runners) and the protobuf
+    package (the TWS state-server wire protocol) — call
+    :func:`tws_available` first; environments without protobuf fall back
+    to ``run_user_totals_stream``, which has identical semantics."""
+    if not tws_available():
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(pyspark TWS state protocol); use run_user_totals_stream instead"
+        )
+    proc = _UserTotalsProcessor()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = stream_events(spark, events_dir, max_files_per_trigger=max_files_per_trigger)
+    totals = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("user_totals_tws")

@@ -153,3 +153,29 @@ def test_foreach_batch_upsert_is_idempotent(spark, events_dir, tmp_path):
     # the sink-side anti-join guard must prevent any double-insert
     runtime.run_foreach_batch_upsert(spark, events_dir, out, str(tmp_path / "up_ckpt2"))
     assert spark.read.parquet(out).count() == n
+
+
+def test_user_totals_transform_with_state(spark, events_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) computes
+    the same per-user lifetime totals as the applyInPandasWithState path
+    and the batch group-by. Skipped where protobuf (the TWS state-server
+    wire protocol) is absent — the applyInPandasWithState twin above
+    covers the semantics there."""
+    import pytest
+
+    if not runtime.tws_available():
+        pytest.skip("protobuf not installed: transformWithState cannot run")
+    got = runtime.run_user_totals_tws(spark, events_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = got.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    want = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert (
+        final.select("user_id", "n_events").exceptAll(want).count() == 0
+        and want.exceptAll(final.select("user_id", "n_events")).count() == 0
+    )
