@@ -636,3 +636,44 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "tahun", "o_orderpriority")
     )
+
+@register(
+    "p_unpivot_statement",
+    oracle="""
+WITH wide AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS tahun,
+           CAST(SUM(CASE WHEN quarter(o_orderdate) = 1 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q1,
+           CAST(SUM(CASE WHEN quarter(o_orderdate) = 2 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q2,
+           CAST(SUM(CASE WHEN quarter(o_orderdate) = 3 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q3,
+           CAST(SUM(CASE WHEN quarter(o_orderdate) = 4 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS q4
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+)
+SELECT tahun, quartal, nilai
+FROM wide
+UNPIVOT (nilai FOR quartal IN (q1, q2, q3, q4))
+ORDER BY tahun, quartal
+""",
+    doc=(
+        "Wide -> EAV long unpivot (DataFrame.unpivot/melt): the inverse of "
+        "p_pivot_statement and exactly the reference's storage shape — one "
+        "row per (period, line item). DuckDB's UNPIVOT drops NULL cells and "
+        "so does this plan (a quarter absent from the data emits no row)."
+    ),
+)
+def p_unpivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = p_pivot_statement(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["tahun"],
+            values=["q1", "q2", "q3", "q4"],
+            variableColumnName="quartal",
+            valueColumnName="nilai",
+        )
+        .where(F.col("nilai").isNotNull())
+        .orderBy("tahun", "quartal")
+    )
