@@ -13,6 +13,8 @@ partitioned scan of the corpus — no shuffle of the big side.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -395,4 +397,59 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# --------------------------------------------------------- centroid UDAF
+
+EMB_DIM = 64
+
+
+@register(
+    "agg_embedding_centroid",
+    oracle=f"""
+WITH q AS (
+    SELECT label, {QUANTIZE_SQL} AS qe FROM embeddings
+),
+per_dim AS (
+    SELECT label, t.i AS dim, SUM(qe[t.i]) AS s, COUNT(*) AS n
+    FROM q, unnest(generate_series(1, len(qe))) t(i)
+    GROUP BY label, t.i
+)
+SELECT label,
+       MAX(n) AS n_vectors,
+       list(CAST(s AS DOUBLE) / (n * {10_000}) ORDER BY dim) AS centroid
+FROM per_dim
+GROUP BY label
+ORDER BY label
+""",
+    doc=(
+        "Per-label embedding centroid via a GROUPED_AGG pandas UDAF "
+        "(SURVEY.md §2.9's named example): Arrow ships each label's "
+        "quantized vectors to one numpy sum — exact int64, so the "
+        "centroid is bit-stable regardless of row order; the divide "
+        "back to float space happens once in double."
+    ),
+)
+def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vectors import QUANT_SCALE
+
+    @pandas_udf("array<double>")
+    def centroid_q(vecs: pd.Series) -> list[float]:
+        m = np.array(vecs.tolist(), dtype=np.int64)  # (n_rows, dim), exact
+        return (m.sum(axis=0) / (len(m) * QUANT_SCALE)).tolist()
+
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates,
+    # so the row count is a pandas agg too
+    @pandas_udf("long")
+    def n_rows(vecs: pd.Series) -> int:
+        return len(vecs)
+
+    emb = _quantized(spark, sf_dir)
+    return (
+        emb.groupBy("label")
+        .agg(n_rows(F.col("qe")).alias("n_vectors"), centroid_q(F.col("qe")).alias("centroid"))
+        .orderBy("label")
     )

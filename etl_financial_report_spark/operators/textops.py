@@ -221,3 +221,54 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * F.lit(_RH_B) + h) % F.lit(_RH_P),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ------------------------------------------------------------ UDTF chunker
+
+CHUNK_TOKENS = 32
+
+
+@register(
+    "text_chunk_udtf",
+    oracle=f"""
+WITH src AS (
+    SELECT doc_id, string_split(text, ' ') AS parts
+    FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(t.g AS INTEGER) AS chunk_no,
+       array_to_string(list_slice(parts, t.g * {CHUNK_TOKENS} + 1,
+                                  least((t.g + 1) * {CHUNK_TOKENS}, len(parts))), ' ') AS chunk,
+       CAST(least((t.g + 1) * {CHUNK_TOKENS}, len(parts)) - t.g * {CHUNK_TOKENS} AS INTEGER)
+           AS n_tokens
+FROM src,
+     unnest(generate_series(0, CAST(ceil(len(parts) / {CHUNK_TOKENS}.0) AS BIGINT) - 1)) t(g)
+""",
+    doc=(
+        "Context-window chunking via a Spark 4 Python UDTF (one doc row in, "
+        "N chunk rows out) applied with LATERAL — the table-function shape "
+        "SURVEY.md §2.9 reserves for 1-in/N-out expansion. Python UDTFs are "
+        "the slow path, so the corpus is bounded here; the at-scale twin of "
+        "this exact transform is the native slice/posexplode pipeline in "
+        "multimodal_frame_sample."
+    ),
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=f"chunk_no int, chunk string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for ci in range(0, (len(toks) + CHUNK_TOKENS - 1) // CHUNK_TOKENS):
+                window = toks[ci * CHUNK_TOKENS : (ci + 1) * CHUNK_TOKENS]
+                yield ci, " ".join(window), len(window)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "chunk_docs_src"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.chunk, c.n_tokens "
+        "FROM chunk_docs_src d, LATERAL chunk_doc(d.text) c"
+    )
