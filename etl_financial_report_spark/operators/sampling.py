@@ -106,3 +106,68 @@ def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+#: mixture keep-rates in permyriad by source-id parity/band — a stand-in
+#: for the per-corpus mixing weights of a training run (web 30%, books
+#: 80%, code 100%, ...)
+_MIX_DEFAULT = 2_500  # 25%
+_MIX_BANDS = {0: 10_000, 1: 7_500, 2: 5_000}  # src id % 4 -> permyriad
+
+
+def _mix_rate_sql(src_num: str) -> str:
+    arms = " ".join(
+        f"WHEN ({src_num}) % 4 = {k} THEN {v}" for k, v in _MIX_BANDS.items()
+    )
+    return f"CASE {arms} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+WITH rated AS (
+    SELECT doc_id, source, n_chars,
+           {_mix_rate_sql("CAST(substr(source, 4) AS BIGINT)")} AS rate,
+           {hash32_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+    FROM documents
+)
+SELECT source,
+       CAST(MAX(rate) AS BIGINT) AS rate_permyriad,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (bucket < rate) AS n_kept,
+       CAST(COALESCE(SUM(n_chars) FILTER (bucket < rate), 0) AS BIGINT) AS kept_chars
+FROM rated
+GROUP BY source
+ORDER BY source
+""",
+    doc=(
+        "Deterministic mixture sampling — the corpus-mixing step of a "
+        "training-data pipeline: each source gets a keep-rate (permyriad) "
+        "and a document survives iff hash(salt:doc_id) lands under its "
+        "source's rate. No RNG: the mix is reproducible across runs and "
+        "cluster layouts, rates are exact in expectation, and the hash salt "
+        "decorrelates this decision from the train/val/test split above "
+        "(same doc key, different hash stream)."
+    ),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("long")
+    rate = F.lit(_MIX_DEFAULT)
+    for k, v in reversed(_MIX_BANDS.items()):
+        rate = F.when(src_num % 4 == k, v).otherwise(rate)
+    bucket = hash32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % F.lit(10_000)
+    kept = F.col("bucket") < F.col("rate")
+    return (
+        docs.select("doc_id", "source", "n_chars", rate.alias("rate"), bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.max("rate").cast("long").alias("rate_permyriad"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
