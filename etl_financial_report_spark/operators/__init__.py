@@ -6,6 +6,7 @@ from . import asof  # noqa: F401
 from . import dedup  # noqa: F401
 from . import nullcol  # noqa: F401
 from . import pipelines  # noqa: F401
+from . import quality  # noqa: F401
 from . import relational  # noqa: F401
 from . import sampling  # noqa: F401
 from . import scalar  # noqa: F401

@@ -1,0 +1,234 @@
+"""Corpus quality-filter operators (north-star surface, SURVEY.md §2.10):
+the standard LLM-training-data gates — repetition filters (Gopher-style),
+cross-document boilerplate detection, corpus-frequency rarity scoring
+(CCNet-style, without the LM), and PII-shape redaction.
+
+All native Spark expressions; the only shuffles are the per-token
+aggregations, which are two-phase (partial map-side combine) and whose
+dimension side (the vocabulary) is tiny -> broadcast back. Cross-engine
+determinism: integer counts throughout, a single double division at the
+end (registry.py header rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+#: a token is "rare" when it covers < 1% of the corpus token stream —
+#: a relative threshold so the operator is scale-factor independent.
+RARE_PCT = 1
+
+#: repetition-gate thresholds (Gopher table A1 shape, constants adapted
+#: to the synthetic corpus: 31-word vocabulary -> high natural repetition)
+MAX_TOP_TOKEN_FRAC = 0.30
+MAX_DUP_BIGRAM_FRAC = 0.90
+
+#: boilerplate = a trigram seen in at least this many distinct documents
+#: (4 yields a real top-K on the synthetic corpus at every SF; real corpora
+#: would set this far higher)
+BOILERPLATE_MIN_DOCS = 4
+BOILERPLATE_TOP_K = 20
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(col, " ")
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+    FROM t
+),
+cnt AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok
+),
+top AS (
+    SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac
+    FROM cnt GROUP BY doc_id
+)
+SELECT bg.doc_id,
+       bg.n_tokens,
+       top.top_token_frac,
+       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac,
+       (top.top_token_frac <= 0.30
+        AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) <= 0.90)
+           AS passes_repetition
+FROM bg JOIN top ON bg.doc_id = top.doc_id
+""",
+    doc=(
+        "Gopher-style repetition filter: most-common-token fraction (explode -> "
+        "two-phase agg) + duplicate-bigram fraction (array-native, zero shuffle) "
+        "+ the pass/fail gate. The two metric families meet in one equi-join on "
+        "doc_id; at scale both sides share the scan and the join is co-partitioned."
+    ),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    # bigram i = toks[i] + ' ' + toks[i+1]; zip the array against its own
+    # tail so the whole thing stays inside one projection (no shuffle)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+    doc_level = docs.select(
+        "doc_id", n.alias("n_tokens"), dup_frac.alias("dup_bigram_frac")
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"))
+    )
+    return doc_level.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_bigram_frac",
+        (
+            (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
+            & (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC)
+        ).alias("passes_repetition"),
+    )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tri AS (
+    SELECT doc_id, unnest(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+    FROM t
+)
+SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total
+FROM tri
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_total DESC, gram
+LIMIT {BOILERPLATE_TOP_K}
+""",
+    doc=(
+        "Cross-document boilerplate detection: explode trigrams, count distinct "
+        "documents per gram, keep grams shared by >= N docs, top-K by frequency "
+        "with a total-order tiebreak. The classic header/footer/license-block "
+        "finder; one shuffle on gram with map-side partial aggregation."
+    ),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    trigrams = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.zip_with(
+            F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2), lambda b, c: F.concat_ws(" ", b, c)
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    return (
+        docs.select("doc_id", F.explode(trigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("n_total"))
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_total"), "gram")
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
+@register(
+    "text_token_rarity",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+),
+flagged AS (
+    SELECT tok, cnt, (cnt * 100 < (SELECT SUM(cnt) FROM freq) * {RARE_PCT}) AS is_rare
+    FROM freq
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN f.is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN f.is_rare THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_frac,
+       CAST(MIN(f.cnt) AS BIGINT) AS rarest_token_freq
+FROM tok t JOIN flagged f ON t.tok = f.tok
+GROUP BY t.doc_id
+""",
+    doc=(
+        "CCNet-style rarity scoring without the LM: corpus token frequencies "
+        "(tiny vocabulary dimension) broadcast-joined back onto the token "
+        "stream; per-doc rare-token fraction and rarest-token frequency. "
+        "Integer counts end-to-end, one double division — cross-engine exact. "
+        "The corpus-frequency side is computed once and broadcast, so the "
+        "expensive side never shuffles on tok at 100 TB."
+    ),
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    flagged = freq.crossJoin(F.broadcast(total)).select(
+        "tok", "cnt", (F.col("cnt") * 100 < F.col("total") * RARE_PCT).alias("is_rare")
+    )
+    return (
+        tok.join(F.broadcast(flagged), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("is_rare"), 1).otherwise(0)).alias("n_rare"),
+            (
+                F.sum(F.when(F.col("is_rare"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_frac"),
+            F.min("cnt").alias("rarest_token_freq"),
+        )
+    )
+
+
+@register(
+    "text_redact_numbers",
+    oracle=r"""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+(\.[0-9]+)?', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(props, '[0-9]+(\.[0-9]+)?')) AS n_redactions
+FROM events
+""",
+    doc=(
+        "PII-shape scrubbing: redact numeric literals from the semi-structured "
+        "props payload and count the redactions — regexp_replace + "
+        "regexp_extract_all, pure projection (no shuffle, fully codegen'd). "
+        "The same shape covers emails/phones/SSNs: swap the pattern."
+    ),
+)
+def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pat = r"[0-9]+(\.[0-9]+)?"
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", pat, "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all("props", F.lit(pat), 0)).alias("n_redactions"),
+    )
