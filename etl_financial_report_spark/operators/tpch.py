@@ -4,16 +4,15 @@ aggregation, top-k). The reference is ingest-only (SURVEY.md §2.4); these
 are the reporting queries its EAV model exists to feed, expressed
 DataFrame-first with decimal money discipline.
 
-21 of the 22 query shapes: faithful Q1, Q3, Q5, Q6, Q7, Q8, Q10, Q13,
+All 22 query shapes: faithful Q1, Q3, Q5, Q6, Q7, Q8, Q10, Q13,
 Q14, Q15, Q17, Q18, plus documented adaptations where the testdata
-lacks a column or table: Q2/Q9/Q11/Q16 need ``partsupp`` (price list /
-stock value derived from lineitem, retail-price cost proxy), Q4/Q21
-need commit/receipt dates (returned-line existence carries the blame
-semantics), Q12/Q19 need shipmode/container (returnflag and
-brand/size/quantity bands keep the IN-list and disjunctive-arm
-shapes), Q22 needs phone (nation key + date-bounded anti-join). Q20
-(excess inventory) is out of scope: ps_availqty has no analogue in the
-available columns.
+lacks a column or table: Q2/Q9/Q11/Q16/Q20 need ``partsupp`` (price
+list / stock value / available stock derived from lineitem,
+retail-price cost proxy), Q4/Q21 need commit/receipt dates
+(returned-line existence carries the blame semantics), Q12/Q19 need
+shipmode/container (returnflag and brand/size/quantity bands keep the
+IN-list and disjunctive-arm shapes), Q22 needs phone (nation key +
+date-bounded anti-join).
 """
 
 from __future__ import annotations
@@ -559,10 +558,17 @@ LIMIT 100
         "correlated-min-per-group shape. The testdata has no partsupp, so "
         "the observed (part, supplier) price list is derived from lineitem "
         "with unit cost = sum(extendedprice)/sum(quantity), summed exactly "
-        "in DECIMAL and divided once in double for cross-engine stability."
+        "in DECIMAL and divided once in double for cross-engine stability. "
+        "The part filter is broadcast-joined BELOW the price-list aggregate "
+        "(Catalyst won't push a join under an agg itself) so the shuffle "
+        "only carries qualifying parts, and the correlated min is a window "
+        "over the aggregate — one evaluation of the expensive subtree, not "
+        "the two a min-subquery self-join would cost."
     ),
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
@@ -570,30 +576,29 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    cost = li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).agg(
-        (
-            F.sum(money("l_extendedprice")).cast("double")
-            / F.sum(F.col("l_quantity").cast("decimal(4,0)")).cast("double")
-        ).alias("unit_cost")
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", F.col("l_suppkey").alias("sk"))
+        .agg(
+            (
+                F.sum(money("l_extendedprice")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(4,0)")).cast("double")
+            ).alias("unit_cost")
+        )
     )
     asia = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    offers = (
-        cost.join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
-        .join(asia, F.col("sk") == F.col("s_suppkey"))
-        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_cost")
-    )
-    best = offers.groupBy(F.col("p_partkey").alias("bpk")).agg(
-        F.min("unit_cost").alias("min_cost")
+    offers = cost.join(asia, F.col("sk") == F.col("s_suppkey")).select(
+        "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_cost"
     )
     return (
-        offers.join(
-            F.broadcast(best),
-            (F.col("p_partkey") == F.col("bpk")) & (F.col("unit_cost") == F.col("min_cost")),
+        offers.withColumn(
+            "min_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
         )
+        .where(F.col("unit_cost") == F.col("min_cost"))
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name",
@@ -974,10 +979,16 @@ LIMIT 100
     doc=(
         "TPC-H Q21 (adapted): suppliers solely to blame on multi-supplier "
         "finished orders — the EXISTS + NOT EXISTS double-correlation "
-        "shape, planned as a semi-join and an anti-join on the same fact. "
-        "The original's late-delivery predicate needs receipt/commit dates "
-        "the testdata lacks; returned lines (l_returnflag = 'R') carry the "
-        "blame semantics."
+        "shape. The original's late-delivery predicate needs receipt/commit "
+        "dates the testdata lacks; returned lines (l_returnflag = 'R') "
+        "carry the blame semantics. Physically the double correlation is "
+        "decorrelated into one per-order aggregate (distinct suppliers, "
+        "distinct returning suppliers) equi-joined back to the returned "
+        "lines: EXISTS(other supplier) = n_supp > 1, NOT EXISTS(other "
+        "returning supplier) = n_ret_supp = 1 given the probe line itself "
+        "returns. The naive semi+anti plan broadcasts the whole fact table "
+        "twice (OOM at scale); this form is two co-partitioned shuffles on "
+        "l_orderkey."
     ),
 )
 def tpch_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,19 +999,15 @@ def tpch_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = li.where(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("o1_key"), F.col("l_suppkey").alias("s1_key")
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_key"),
-        F.col("l_suppkey").alias("s2_key"),
-        F.col("l_returnflag").alias("rf2"),
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_ret_supp"
+        ),
     )
-    exists_other = (F.col("o2_key") == F.col("o1_key")) & (F.col("s2_key") != F.col("s1_key"))
-    blamed = (
-        l1.join(others, exists_other, "left_semi")
-        .join(
-            others.where(F.col("rf2") == "R"),
-            exists_other,
-            "left_anti",
-        )
+    blamed = l1.join(
+        ord_stats.where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)),
+        F.col("l_orderkey") == F.col("o1_key"),
     )
     return (
         blamed.join(o, F.col("o_orderkey") == F.col("o1_key"))
@@ -1010,4 +1017,68 @@ def tpch_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
+    )
+
+
+@register(
+    "tpch_q20_excess_stock_supplier",
+    oracle="""
+WITH ps AS (
+    SELECT l_suppkey AS sk, l_partkey AS pk,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         THEN CAST(l_quantity AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(18,0)) END) AS BIGINT)
+               AS avail_proxy,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'
+                         THEN CAST(l_quantity AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(18,0)) END) AS BIGINT)
+               AS moved
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_11'
+  AND s_suppkey IN (SELECT sk FROM ps WHERE moved > 0 AND avail_proxy > 2 * moved)
+ORDER BY s_name
+""",
+    doc=(
+        "TPC-H Q20 (adapted): suppliers in one nation holding excess stock "
+        "of 'red' parts — the nested-IN + correlated-threshold shape. "
+        "ps_availqty does not exist in the testdata, so available stock is "
+        "proxied by the (supplier, part) quantity shipped AFTER the probe "
+        "year (still flowing later = was on hand), compared against double "
+        "what moved during 1996; the original compares availqty against "
+        "half a year's demand. Physically: the part name filter semi-joins "
+        "the fact below the per-(supplier, part) aggregate, the qualifying "
+        "supplier set semi-joins the (tiny) supplier dimension — no "
+        "correlated subquery survives into the plan."
+    ),
+)
+def tpch_q20_excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_11")
+    in_96 = (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01"))) & (
+        F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    after = F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01"))
+    qty = F.col("l_quantity").cast("decimal(18,0)")
+    zero = F.lit(0).cast("decimal(18,0)")
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.when(after, qty).otherwise(zero)).cast("long").alias("avail_proxy"),
+            F.sum(F.when(in_96, qty).otherwise(zero)).cast("long").alias("moved"),
+        )
+    )
+    excess = ps.where((F.col("moved") > 0) & (F.col("avail_proxy") > 2 * F.col("moved")))
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
     )
