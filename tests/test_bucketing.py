@@ -5,6 +5,7 @@ either side of the join (SURVEY.md §4 partition-layout discipline)."""
 import pytest
 from pyspark.sql import functions as F
 
+from etl_financial_report_spark.plans import formatted_plan
 from etl_financial_report_spark.io import load_table
 from etl_financial_report_spark.sources.sinks import write_bucketed
 
@@ -39,8 +40,7 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
 
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    plan = joined._jdf.queryExecution().explainString(mode)
+    plan = formatted_plan(joined)
     join_section = plan.split("HashAggregate")[0]
     assert "SortMergeJoin" in plan
     # co-located buckets: no shuffle feeds the join

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import types as T
 
+from etl_financial_report_spark.plans import formatted_plan
 from etl_financial_report_spark.sources.interchange import (
     FORMATS,
     read_corpus,
@@ -68,8 +69,7 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     pruned = spark.read.format("json").schema(
         T.StructType([f for f in docs.schema.fields if f.name != "lang"])
     ).load(path).where(f"lang = '{langs[0]}'")
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    plan = pruned._jdf.queryExecution().explainString(mode)
+    plan = formatted_plan(pruned)
     assert "PartitionFilters" in plan and langs[0] in plan
     assert back.count() == docs.count()
 

@@ -7,14 +7,13 @@ refactor that silently degrades the plan fails CI, not the cluster."""
 import pytest
 
 from etl_financial_report_spark import registry
+from etl_financial_report_spark.plans import formatted_plan
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = registry.all_queries()[name].fn(spark, SF)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
+    return formatted_plan(registry.all_queries()[name].fn(spark, SF))
 
 
 def test_flagship_pushdown_and_broadcast(spark):

@@ -8,6 +8,7 @@ import json
 
 import pytest
 
+from etl_financial_report_spark.plans import formatted_plan
 from etl_financial_report_spark.sources.excel import (
     find_sheet_with_keyword,
     read_workbook_cells,
@@ -202,8 +203,7 @@ def test_parquet_sink_partition_pruning(spark, tmp_path):
     )
     sink.append(df)
     scan = sink.read(spark).where("tahun = 2023 AND quartal = 2")
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    plan = scan._jdf.queryExecution().explainString(mode)
+    plan = formatted_plan(scan)
     assert "PartitionFilters" in plan
     assert "(tahun" in plan.split("PartitionFilters")[1][:200]  # filter reached the scan
     assert scan.count() == 1
