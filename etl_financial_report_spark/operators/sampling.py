@@ -171,3 +171,53 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: per-class cap for the balancing sampler; labels with fewer rows keep all
+BALANCE_CAP = 40
+
+
+@register(
+    "sample_stratified_balance",
+    oracle=f"""
+WITH ranked AS (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY CAST('0x' || substr(md5('bal|' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                        vec_id) AS rk
+    FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_kept,
+       CAST(MIN(vec_id) AS BIGINT) AS first_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+FROM ranked
+WHERE rk <= {BALANCE_CAP}
+GROUP BY label
+ORDER BY label
+""",
+    doc=(
+        "Stratified class-balancing sampler: cap every label at K rows, "
+        "chosen by ranking on a salted content hash (deterministic, no RNG, "
+        "rerun-stable) with vec_id as the total-order tiebreak. The standard "
+        "label-rebalancing step before training-set assembly; one shuffle on "
+        "label, and at 100 TB the window never materializes more than a "
+        "partition's run because row_number streams within each sorted group."
+    ),
+)
+def sample_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    order_key = hash32(F.concat(F.lit("bal|"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("label").orderBy(order_key, "vec_id")
+    return (
+        emb.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= BALANCE_CAP)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("vec_id").alias("first_kept"),
+            F.sum("vec_id").alias("kept_id_sum"),
+        )
+        .orderBy("label")
+    )

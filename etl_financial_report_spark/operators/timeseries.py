@@ -1,0 +1,138 @@
+"""Time-series resampling operators over the events table: gap-filled
+regular grids and OHLC downsampling — the hypertable/rollup query family
+(net-new capability; the reference's only time axis is (tahun, quartal)
+equality filters, SURVEY.md §2.2 P3).
+
+Both operators are native Spark: the time spine is ``sequence()`` +
+``explode`` (no driver-side loop, spine generated per group inside the
+executors), fills are window functions, OHLC picks are ``min_by/max_by``.
+Cross-engine determinism: epoch-second integer grids, integer counts,
+ties broken on event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+#: resample bucket width (seconds) — one hour
+BUCKET_S = 3600
+
+
+def _hour_bucket(col: str = "ts") -> F.Column:
+    return (F.unix_timestamp(col) - (F.unix_timestamp(col) % BUCKET_S)).alias("bucket_s")
+
+
+@register(
+    "ts_gap_fill",
+    oracle=f"""
+WITH b AS (
+    SELECT user_id,
+           (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % {BUCKET_S}) AS bucket_s,
+           value, event_id
+    FROM events WHERE user_id < 8
+),
+bounds AS (
+    SELECT user_id, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi FROM b GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, CAST(g AS BIGINT) AS bucket_s
+    FROM bounds, unnest(generate_series(lo, hi, {BUCKET_S})) t(g)
+),
+agg AS (
+    SELECT user_id, bucket_s, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM b GROUP BY user_id, bucket_s
+),
+joined AS (
+    SELECT s.user_id, s.bucket_s,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN agg a USING (user_id, bucket_s)
+)
+SELECT user_id, bucket_s, n_events, total_value,
+       (n_events = 0) AS is_gap,
+       CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY bucket_s
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_events
+FROM joined
+""",
+    doc=(
+        "Gap-filled hourly resample: per-user dense time spine minted with "
+        "sequence()/explode inside the executors (no driver loop), left-join "
+        "of the real aggregates onto the spine, zero-fill, and a running "
+        "total across the filled grid. The regularization step every "
+        "downstream time-series model assumes; one shuffle on user_id "
+        "shared by the spine build, the join, and the window."
+    ),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    b = ev.select("user_id", _hour_bucket(), F.col("value"))
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(BUCKET_S))).alias("bucket_s"),
+        )
+    )
+    agg = b.groupBy("user_id", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(agg, ["user_id", "bucket_s"], "left")
+        .select(
+            "user_id",
+            "bucket_s",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .select(
+            "*",
+            (F.col("n_events") == 0).alias("is_gap"),
+            F.sum("n_events").over(w).cast("long").alias("running_events"),
+        )
+    )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle=f"""
+SELECT user_id,
+       (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % {BUCKET_S}) AS bucket_s,
+       arg_min(value, event_id) AS open_v,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS high_v,
+       CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS low_v,
+       arg_max(value, event_id) AS close_v,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, bucket_s
+""",
+    doc=(
+        "OHLC downsampling: per (user, hour) open/high/low/close/volume in "
+        "one partial+final aggregate pass — open/close via min_by/max_by on "
+        "event_id (arrival order; monotone with ts in the testdata and a "
+        "total order, unlike raw timestamps which can tie). The classic "
+        "financial-bar rollup, no window and no self-join."
+    ),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", _hour_bucket(), "value", "event_id")
+        .groupBy("user_id", "bucket_s")
+        .agg(
+            F.min_by("value", "event_id").alias("open_v"),
+            F.max(F.col("value").cast("decimal(18,6)")).cast("double").alias("high_v"),
+            F.min(F.col("value").cast("decimal(18,6)")).cast("double").alias("low_v"),
+            F.max_by("value", "event_id").alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -223,6 +223,57 @@ def run_stream_stream_join(
     return spark.table("ss_join_stream")
 
 
+def run_stream_stream_left_outer(
+    spark: SparkSession, events_dir: str, window_s: int = 300
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits, with
+    null click columns when no click preceded it within ``window_s``.
+
+    Outer emission is the semantically hard part of streaming joins: an
+    unmatched left row can only be declared unmatched once the watermark
+    has passed the end of its join interval (a matching click can no
+    longer arrive), so null rows trail matched rows by the watermark
+    delay. State stays bounded exactly as in the inner variant; purchases
+    newer than (final watermark - interval) may still be pending when an
+    availableNow run terminates — callers needing a complete answer batch
+    over the closed prefix, which is what the test's batch twin does.
+    """
+    clicks = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_outer_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ss_left_outer_stream")
+
+
 def run_dedupe_to_parquet(
     spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -179,3 +179,48 @@ def test_user_totals_transform_with_state(spark, events_dir):
         final.select("user_id", "n_events").exceptAll(want).count() == 0
         and want.exceptAll(final.select("user_id", "n_events")).count() == 0
     )
+
+
+def test_stream_stream_left_outer_matches_batch(spark, events_dir, tmp_path):
+    """Matched rows equal the batch inner join; null-click rows appear
+    exactly for purchases with no qualifying click. A left-outer stream
+    can only certify 'no click' once the watermark passes the interval
+    end, and the watermark lags one batch behind the data — so the input
+    gets a punctuation event (far-future, joins nothing) that drives the
+    watermark past every real purchase before the stream terminates."""
+    import datetime
+
+    ev = spark.read.parquet(events_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # one punctuation per join side: the event_type filter is pushed below
+    # the watermark node, so each side's watermark only advances on rows of
+    # its own type — a click-only sentinel would leave the purchase-side
+    # watermark (and the min-policy global watermark) pinned at the newest
+    # real purchase, which then never certifies as unmatched
+    far = max_ts + datetime.timedelta(days=1)
+    sentinels = spark.createDataFrame(
+        [(10**12, far, -1, "click", 0.0, "{}"), (10**12 + 1, far, -1, "purchase", 0.0, "{}")],
+        ev.schema,
+    )
+    punct_dir = str(tmp_path / "events_punct")
+    ev.unionByName(sentinels).repartition(2).write.parquet(punct_dir)
+
+    got = runtime.run_stream_stream_left_outer(spark, punct_dir)
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 300 SECONDS"))
+    )
+    want = purchases.join(clicks, cond, "leftOuter").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+    got_cmp = got.where(F.col("user_id") >= 0).select("purchase_id", "click_id", "user_id")
+    assert got.where(F.col("click_id").isNull()).count() > 0
+    assert got_cmp.exceptAll(want).count() == 0
+    assert want.exceptAll(got_cmp).count() == 0
