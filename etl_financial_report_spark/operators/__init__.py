@@ -4,6 +4,7 @@ registry definition and the operator implementation in one place)."""
 
 from . import asof  # noqa: F401
 from . import dedup  # noqa: F401
+from . import graph  # noqa: F401
 from . import nullcol  # noqa: F401
 from . import pipelines  # noqa: F401
 from . import quality  # noqa: F401

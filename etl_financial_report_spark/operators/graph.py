@@ -1,0 +1,113 @@
+"""Graph analytics over the near-duplicate pair graph (north-star
+surface): PageRank-style centrality identifies the "template" documents
+at the heart of large near-dup clusters — the ones worth keeping (or
+auditing) when the cluster collapses to a canonical representative.
+
+Iterative dataflow beyond connected components (dedup.dedup_components):
+a fixed number of power-iteration rounds, each one join + one aggregate.
+All arithmetic is FIXED-POINT INTEGER (scale 1e6, integral division via
+``DIV``/``//``) so partial sums commute exactly and the result is
+bit-identical across engines and across partitionings — float PageRank
+cannot be value-hash-checked because double addition does not commute.
+
+At 100 TB: edges and degrees are computed once and re-joined per round
+(localCheckpoint in the components operator shows the lineage-truncation
+pattern; two fixed rounds here keep the DAG shallow without it), ranks
+shuffle on node id every round — the same co-partitioned join profile as
+any vertex-centric framework.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .dedup import _BANDS, _minhash_signature_sql, dedup_minhash_lsh_pairs
+from ..functions.hashing import MINHASH_P
+
+#: fixed-point scale: rank 1.0 == 1_000_000
+PR_SCALE = 1_000_000
+#: damping factor 0.85 expressed as integer percents
+PR_D_PCT = 85
+#: power-iteration rounds (fixed so the oracle can unroll them)
+PR_ROUNDS = 2
+
+_BASE = PR_SCALE * (100 - PR_D_PCT) // 100  # (1-d) * scale
+
+
+def _bands_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig"
+        for bi, (_, h1, h2) in enumerate(_BANDS)
+    )
+
+
+def _iter_sql(prev: str) -> str:
+    return f"""
+    SELECT e.dst AS node,
+           CAST({_BASE} + ({PR_D_PCT} * SUM(p.r // d.d)) // 100 AS BIGINT) AS r
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {_bands_sql()}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+it1 AS ({_iter_sql("r0")}),
+it2 AS ({_iter_sql("it1")})
+SELECT node AS doc_id, r AS pagerank_fp
+FROM it2
+""",
+    doc=(
+        "Fixed-point integer PageRank over the MinHash-LSH near-dup graph, "
+        f"{PR_ROUNDS} power-iteration rounds: per round one equi-join of "
+        "ranks onto edges and one sum per destination. Integer arithmetic "
+        "(scale 1e6, DIV) makes partial sums commute, so the distributed "
+        "result is exact and oracle-checkable — the float variant is not. "
+        "Undirected edges mean no dangling nodes; isolated docs rank 0 by "
+        "omission (they are their own cluster and need no centrality)."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()  # computed once; every round re-joins it
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ROUNDS):
+        ranks = (
+            edges.join(ranks, ranks["node"] == edges["src"])
+            .join(deg, "src")
+            .selectExpr("dst", "(r DIV d) AS contrib")
+            .groupBy("dst")
+            .agg(
+                F.expr(f"CAST({_BASE} + ({PR_D_PCT} * SUM(contrib)) DIV 100 AS BIGINT)").alias(
+                    "r"
+                )
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank_fp"))

@@ -487,6 +487,48 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.sum("pq"), "total_qty"),
     )
 
+@register(
+    "j_salted_skew_join",
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    doc=(
+        "Skew-safe salted JOIN: the fact side salts its join key with "
+        "pmod(xxhash64(row-unique col), N_SALT) and the dimension side is "
+        "exploded N_SALT ways, so one hot supplier spreads over N_SALT "
+        "reducers — result-identical to the plain join (the oracle proves "
+        "it). The manual form of AQE's skew-join split for engines/paths "
+        "where AQE can't apply (streaming joins, pre-AQE Spark); here the "
+        "dim is small enough to broadcast outright, which is why the demo "
+        "disables broadcast for its own join via a merge hint."
+    ),
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALT))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))))
+    )
+    joined = li.hint("merge").join(
+        dim, (F.col("l_suppkey") == F.col("s_suppkey")) & (li["salt"] == dim["salt"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        as_double(F.sum(money("l_quantity")), "total_qty"),
+    )
+
+
 # --------------------------------------------------------------------------
 # EAV -> wide report reconstruction. The reference stores one row per
 # statement line item and rebuilds the statement by filtering the composite
