@@ -7,6 +7,7 @@ from . import dedup  # noqa: F401
 from . import graph  # noqa: F401
 from . import nullcol  # noqa: F401
 from . import pipelines  # noqa: F401
+from . import product_analytics  # noqa: F401
 from . import quality  # noqa: F401
 from . import relational  # noqa: F401
 from . import sampling  # noqa: F401

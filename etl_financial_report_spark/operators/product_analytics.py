@@ -1,0 +1,113 @@
+"""Event-funnel and cohort-retention operators over the events table —
+the canonical product-analytics queries an event stream exists to answer
+(net-new capability; the reference has no event/time analytics at all).
+
+Both are pure aggregate dataflow: one shuffle on user_id, integer counts
+only (cross-engine exact). At 100 TB both are the textbook two-phase
+aggregate — per-user partial state is a handful of timestamps/days, so
+the map side reduces the fact table to one row per user before the
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+#: funnel stage order: view -> click -> purchase
+FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS stage_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS stage_click,
+       COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+           AS stage_purchase
+FROM per_user
+""",
+    doc=(
+        "Ordered funnel: per user, the first time of each stage (one "
+        "map-side-combining aggregate over the fact), then a strict "
+        "first-view < first-click < first-purchase ordering test — the "
+        "min-per-stage formulation replaces per-user event sorting with a "
+        "single groupBy, which is the shape that survives 100 TB (state per "
+        "user = 3 timestamps, not an event list)."
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ns = (F.unix_micros("ts") * F.lit(1000)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, ns)).alias(f"t_{s}")
+            for s in FUNNEL
+        ]
+    )
+    reached_click = F.col("t_click") > F.col("t_view")
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(reached_click, 1)).alias("stage_click"),
+        F.count(F.when(reached_purchase, 1)).alias("stage_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_no
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(day_no) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(a.day_no - c.cohort_day AS BIGINT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN cohort c USING (user_id)
+WHERE a.day_no - c.cohort_day <= 7
+GROUP BY c.cohort_day, day_offset
+""",
+    doc=(
+        "Cohort retention triangle: cohort = each user's first active day, "
+        "cell (cohort, offset) = users still active offset days later, "
+        "first week. Distinct-day activity first (collapses the fact table "
+        "before any join), then the cohort map joins back on user_id — "
+        "co-partitioned with the activity shuffle, so the triangle costs "
+        "one exchange plus the final small re-key."
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_ns = 86_400_000_000_000
+    activity = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") * F.lit(1000)).cast("long") / F.lit(day_ns))
+        .cast("long")
+        .alias("day_no"),
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day_no").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .select("user_id", "cohort_day", (F.col("day_no") - F.col("cohort_day")).alias("day_offset"))
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
