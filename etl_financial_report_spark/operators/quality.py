@@ -232,3 +232,76 @@ def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", pat, "<NUM>").alias("redacted"),
         F.size(F.regexp_extract_all("props", F.lit(pat), 0)).alias("n_redactions"),
     )
+
+
+#: how many salient terms to keep per source
+SALIENT_TOP_K = 5
+
+
+@register(
+    "text_salient_terms",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (
+    SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY source, tok
+),
+src_tot AS (SELECT source, SUM(cnt) AS src_total FROM st GROUP BY source),
+tok_tot AS (SELECT tok, SUM(cnt) AS tok_total FROM st GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS corpus_total FROM st),
+scored AS (
+    SELECT st.source, st.tok, st.cnt,
+           CAST(st.cnt * tot.corpus_total AS DOUBLE)
+               / CAST(tok_tot.tok_total * src_tot.src_total AS DOUBLE) AS lift
+    FROM st
+    JOIN src_tot USING (source)
+    JOIN tok_tot USING (tok)
+    CROSS JOIN tot
+)
+SELECT source, tok, CAST(cnt AS BIGINT) AS cnt, lift,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY lift DESC, tok) AS rk
+    FROM scored
+)
+WHERE rk <= {SALIENT_TOP_K}
+""",
+    doc=(
+        "Distinctive vocabulary per source — the TF-IDF shape with exact "
+        "arithmetic: lift = (term share in source) / (term share in corpus) "
+        "computed as one division of two int64 products (no log, so the "
+        "value-hash holds cross-engine). Token counts aggregate once; the "
+        "three total tables are tiny and broadcast; top-K per source via "
+        "row_number with a total-order tiebreak. The corpus-drift / "
+        "source-fingerprinting diagnostic."
+    ),
+)
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_toks()).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    src_tot = st.groupBy("source").agg(F.sum("cnt").alias("src_total"))
+    tok_tot = st.groupBy("tok").agg(F.sum("cnt").alias("tok_total"))
+    tot = st.agg(F.sum("cnt").alias("corpus_total"))
+    scored = (
+        st.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(tok_tot), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            "cnt",
+            (
+                (F.col("cnt") * F.col("corpus_total")).cast("double")
+                / (F.col("tok_total") * F.col("src_total")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), "tok")
+    return (
+        scored.select("source", "tok", "cnt", "lift", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= SALIENT_TOP_K)
+    )

@@ -136,3 +136,110 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+#: moving-average trailing window, in buckets (7 hours here; 7 days at
+#: daily granularity — the shape is identical)
+MA_BUCKETS = 7
+
+
+@register(
+    "ts_moving_avg",
+    oracle=f"""
+WITH agg AS (
+    SELECT user_id,
+           (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % {BUCKET_S}) AS bucket_s,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,6))) AS bucket_sum
+    FROM events
+    GROUP BY user_id, bucket_s
+)
+SELECT user_id, bucket_s, n_events,
+       CAST(SUM(bucket_sum) OVER w AS DOUBLE)
+           / CAST(SUM(n_events) OVER w AS DOUBLE) AS ma_value,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS ma_n
+FROM agg
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+             ROWS BETWEEN {MA_BUCKETS - 1} PRECEDING AND CURRENT ROW)
+""",
+    doc=(
+        "Trailing moving average over hourly buckets: pre-aggregate to "
+        "(user, bucket) exact-decimal sums, then a rows-framed window "
+        "divides once at the end — the smoothing pass for any metric "
+        "series. Frame state is MA_BUCKETS partial sums per user, O(1) "
+        "per row; the pre-aggregate means the window runs over buckets, "
+        "not raw events (1000x fewer rows at 100 TB)."
+    ),
+)
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.select("user_id", _hour_bucket(), "value")
+        .groupBy("user_id", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("bucket_sum"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(-(MA_BUCKETS - 1), 0)
+    )
+    return agg.select(
+        "user_id",
+        "bucket_s",
+        "n_events",
+        (F.sum("bucket_sum").over(w).cast("double") / F.sum("n_events").over(w).cast("double")).alias(
+            "ma_value"
+        ),
+        F.sum("n_events").over(w).cast("long").alias("ma_n"),
+    )
+
+
+@register(
+    "ts_zscore_outliers",
+    oracle="""
+WITH stats AS (
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       CAST(s.n_events AS BIGINT) AS n_events,
+       COUNT(CASE WHEN (e.value - s.s1 / s.n_events) * (e.value - s.s1 / s.n_events)
+                       > 4.0 * (s.s2 / s.n_events - (s.s1 / s.n_events) * (s.s1 / s.n_events))
+                  THEN 1 END) AS n_outliers
+FROM events e JOIN stats s ON e.user_id = s.user_id
+GROUP BY e.user_id, s.n_events
+""",
+    doc=(
+        "Per-user 2-sigma outlier counting: moments from exact decimal sums "
+        "(commutative, partition-order independent), then the outlier test "
+        "as (x - mean)^2 > 4*variance — squared form, no sqrt, no division "
+        "per row beyond the fixed expression tree, so the double math is "
+        "bit-identical cross-engine. The per-user stats table is tiny and "
+        "broadcast back onto the events — same two-pass broadcast profile "
+        "as text_token_rarity; only integer counts are emitted."
+    ),
+)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_events")
+    var = F.col("s2") / F.col("n_events") - mean * mean
+    dev = F.col("value") - mean
+    is_outlier = dev * dev > F.lit(4.0) * var
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .groupBy("user_id", "n_events")
+        .agg(F.count(F.when(is_outlier, 1)).alias("n_outliers"))
+        .select("user_id", "n_events", "n_outliers")
+    )
