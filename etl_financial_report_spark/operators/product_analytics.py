@@ -111,3 +111,77 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+#: sessionization gap (matches streaming/events.sessionize), in ns
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+PATH_TOP_K = 10
+
+
+@register(
+    "path_top_sequences",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events
+),
+l AS (
+    SELECT *, lag(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS p FROM o
+),
+s AS (
+    SELECT *, SUM(CASE WHEN p IS NOT NULL AND ns - p > {SESSION_GAP_NS} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ns, event_id ROWS UNBOUNDED PRECEDING)
+        AS session_no
+    FROM l
+),
+paths AS (
+    SELECT user_id, session_no,
+           string_agg(event_type, '>' ORDER BY ns, event_id) AS path
+    FROM s GROUP BY user_id, session_no
+)
+SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+""",
+    doc=(
+        "Session path mining: gap-based sessionization (the lag + cumulative "
+        "break kernel, SURVEY.md §2.5 W2), then each session's ORDERED event "
+        "sequence collapsed to a path string — collect_list of (time, id, "
+        "type) structs, array_sort (struct order = field order, so the sort "
+        "key is total), project the type — and finally path frequency top-K. "
+        "The navigation-pattern query; per-session state is bounded by the "
+        "session gap, and the path build is one groupBy after the window."
+    ),
+)
+def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ns = (F.unix_micros("ts") * F.lit(1000)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ns", "event_id")
+    brk = F.when(
+        F.lag("ns").over(w).isNotNull() & (F.col("ns") - F.lag("ns").over(w) > SESSION_GAP_NS), 1
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "event_id", "event_type", ns.alias("ns"))
+        .withColumn(
+            "session_no",
+            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ns", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.count_distinct("user_id").alias("n_users"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+    )
