@@ -351,6 +351,33 @@ def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o_global_sort",
+    oracle="""
+SELECT o_orderkey, o_orderdate_s, o_totalprice
+FROM (SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate_s,
+             o_totalprice
+      FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+    doc=(
+        "True global sort (O1 generalized): full output totally ordered — "
+        "planned as a RangePartitioning exchange (sampled split points) + "
+        "per-partition sort, NOT the single-reducer sort a naive engine "
+        "does; contrast with o4_topk's TakeOrderedAndProject. The driver "
+        "hash is order-insensitive, so the companion plan test pins the "
+        "rangepartitioning shape."
+    ),
+)
+def o_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_totalprice",
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+@register(
     "agg_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,

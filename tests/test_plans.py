@@ -106,3 +106,11 @@ def test_tpch_q18_aggregates_before_join(spark):
     assert re.search(
         r"BroadcastExchange \(\d+\)\n[\s:]*\+- Filter \(\d+\)\n[\s:]*\+- HashAggregate", plan
     )
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """o_global_sort must plan a RangePartitioning exchange + distributed
+    sort, not a single-reducer sort or a TakeOrdered collapse."""
+    plan = plan_of(spark, "o_global_sort")
+    assert "rangepartitioning" in plan.lower()
+    assert "TakeOrderedAndProject" not in plan
