@@ -28,15 +28,32 @@ FORMATS = ("json", "csv", "orc")
 #: CSV must round-trip arbitrary text (quotes, embedded newlines) and
 #: carry a header; JSONL/ORC need nothing beyond the codec.
 _WRITE_OPTIONS: dict[str, dict[str, str]] = {
-    "csv": {"header": "true", "escape": '"', "quoteAll": "true"},
+    # nullValue must be a sentinel distinct from the empty string, or a
+    # written "" is ambiguous on read (Spark's default nullValue IS "");
+    # the writer also TRIMS cell whitespace by default — disable both sides
+    "csv": {
+        "header": "true",
+        "escape": '"',
+        "quoteAll": "true",
+        "nullValue": "\\N",
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
+    },
     "json": {},
     "orc": {},
 }
 
 _READ_OPTIONS: dict[str, dict[str, str]] = {
     # multiLine lets quoted cells contain record separators; escape must
-    # mirror the writer or quotes double up
-    "csv": {"header": "true", "escape": '"', "multiLine": "true"},
+    # mirror the writer or quotes double up; nullValue mirrors the writer
+    # sentinel so quoted-empty ("") round-trips as empty string, not null
+    "csv": {
+        "header": "true",
+        "escape": '"',
+        "multiLine": "true",
+        "nullValue": "\\N",
+        "emptyValue": "",
+    },
     "json": {},
     "orc": {},
 }

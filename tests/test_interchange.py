@@ -77,3 +77,37 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
 def test_unknown_format_is_loud(spark):
     with pytest.raises(ValueError):
         write_corpus(spark.range(1), "/tmp/x", "xml")
+
+
+# --------------------------------------------------------------- property
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# surrogates can't survive UTF-8 files; everything else must round-trip,
+# including quotes, commas, newlines, and the CSV escape char itself
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+def test_interchange_roundtrips_arbitrary_text(spark, tmp_path_factory, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+        ),
+    )
+    base = tmp_path_factory.mktemp("prop")
+    for fmt in ("json", "csv"):
+        path = str(base / f"rt_{fmt}")
+        write_corpus(df, path, fmt)
+        back = read_corpus(spark, path, fmt, df.schema)
+        assert back.exceptAll(df).count() == 0, fmt
+        assert df.exceptAll(back).count() == 0, fmt
