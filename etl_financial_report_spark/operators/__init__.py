@@ -12,6 +12,7 @@ from . import quality  # noqa: F401
 from . import relational  # noqa: F401
 from . import sampling  # noqa: F401
 from . import scalar  # noqa: F401
+from . import scd  # noqa: F401
 from . import sectionizer  # noqa: F401
 from . import similarity  # noqa: F401
 from . import textops  # noqa: F401
