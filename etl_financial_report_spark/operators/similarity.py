@@ -453,3 +453,67 @@ def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n_rows(F.col("qe")).alias("n_vectors"), centroid_q(F.col("qe")).alias("centroid"))
         .orderBy("label")
     )
+
+
+@register(
+    "sim_topk_arrow",
+    oracle=f"""
+WITH {_Q_CTE},
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+)
+SELECT d.vec_id,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cosine
+FROM qdot d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+""",
+    doc=(
+        "Brute-force top-k again, but the scoring stage is mapInArrow: "
+        "columnar Arrow batches flow straight into a BLAS matvec with zero "
+        "pandas materialization — the fastest Python-side path Spark "
+        "offers when built-ins can't express the kernel (~2x less "
+        "serialization than a pandas UDF on wide array columns). Same "
+        "exact quantized math as sim_ann_topk, identical oracle; the "
+        "final top-k is Spark's TakeOrderedAndProject over the scored "
+        "stream, so no executor ever holds more than its own batch."
+    ),
+)
+def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    qv = _quantized(spark, sf_dir)
+    qrow = qv.where(F.col("vec_id") == 0).select("qe", "nsq").collect()[0]
+    q_vec = np.asarray(qrow["qe"], dtype=np.float64)
+    q_norm = float(np.sqrt(float(qrow["nsq"])))
+
+    out_schema = "vec_id bigint, cosine double"
+
+    def score(batches):
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            flat = batch.column("qe").flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.float64).reshape(len(ids), -1)
+            nsq = batch.column("nsq").to_numpy(zero_copy_only=False).astype(np.float64)
+            # float64 matvec exact at |q| < 2^15 (see cosine_pairs); the
+            # divide mirrors the oracle's dot / (sqrt(a) * sqrt(b))
+            cos = (mat @ q_vec) / (np.sqrt(nsq) * q_norm)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(cos, type=pa.float64())],
+                names=["vec_id", "cosine"],
+            )
+
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    return (
+        qv.where(F.col("vec_id") != 0)
+        .select("vec_id", "qe", "nsq")
+        .repartition(n_parts)
+        .mapInArrow(score, out_schema)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
