@@ -746,3 +746,43 @@ def p_unpivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nilai").isNotNull())
         .orderBy("tahun", "quartal")
     )
+
+
+#: histogram bucket width over events.value (value range is single-digit
+#: scale in the testdata; the shape is width-agnostic)
+HIST_WIDTH = 10.0
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hi
+FROM events
+GROUP BY event_type, bucket
+""",
+    doc=(
+        "Fixed-width histogram per event type: bucket = floor(value/width), "
+        "one partial+final aggregate pass — the profiling primitive behind "
+        "every data-quality dashboard. Bucketing before the shuffle means "
+        "the exchange carries |types| x |buckets| rows regardless of input "
+        "size; min/max per bucket come along free in the same pass."
+    ),
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(dec).cast("double").alias("lo"),
+            F.max(dec).cast("double").alias("hi"),
+        )
+    )

@@ -6,6 +6,7 @@ higher-order array function, not a UDF.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -331,4 +332,53 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "df")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
         .select("token", "df", "postings", (F.col("df") > POSTINGS_CAP).alias("truncated"))
+    )
+
+
+@register(
+    "text_canonicalize",
+    oracle="""
+WITH canon AS (
+    SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g')) AS ctext,
+           text
+    FROM documents
+)
+SELECT doc_id,
+       md5(ctext) AS canon_md5,
+       length(text) AS n_chars_raw,
+       length(ctext) AS n_chars_canon,
+       (ctext <> text) AS changed
+FROM canon
+""",
+    doc=(
+        "Text canonicalization for dedup keying: lowercase + whitespace "
+        "collapse + trim run native (JVM, codegen), and only the one step "
+        "built-ins cannot express — unicode NFC composition — drops to an "
+        "Arrow-batched pandas UDF. Emits the md5 of the canonical form "
+        "(the portable dedup key used upstream of dedup_exact) so the "
+        "oracle hash-checks the whole normalization, not just lengths. "
+        "UDF discipline per SURVEY.md §2.9: narrowest possible surface, "
+        "string in / string out, stateless."
+    ),
+)
+def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(
+        F.regexp_replace(nfc(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(ctext).alias("canon_md5"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(ctext).alias("n_chars_canon"),
+        (ctext != F.col("text")).alias("changed"),
     )

@@ -1,0 +1,50 @@
+"""Clustered-write layout: range+sort clustering must produce disjoint
+per-file min/max spans (so a point filter opens ~1 file), where the
+default hash layout produces full-range spans in every file (no skip).
+This is footer-metadata evidence — exactly what a reader's row-group
+skipping consults — not an indirect timing assertion."""
+
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark.io import load_table
+from etl_financial_report_spark.sources.layout import file_stats, write_clustered
+
+SF = "/root/testdata/sf0.001"
+
+
+def _overlapping(spans, probe):
+    return [s for s in spans if s[0] <= probe <= s[1]]
+
+
+def test_clustered_layout_is_prunable(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    clustered = str(tmp_path / "clustered")
+    unclustered = str(tmp_path / "unclustered")
+    write_clustered(ev, clustered, ("user_id",), n_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(unclustered)
+
+    c_spans = file_stats(clustered, "user_id")
+    u_spans = file_stats(unclustered, "user_id")
+    assert len(c_spans) >= 4  # range partitioner actually split
+
+    probe = ev.agg(F.max("user_id")).collect()[0][0] // 2
+    # clustered: at most 2 files can contain the probe key (range
+    # boundaries may duplicate one key across neighbors)
+    assert len(_overlapping(c_spans, probe)) <= 2
+    # default layout: every file spans the whole key range -> no pruning
+    assert len(_overlapping(u_spans, probe)) == len(u_spans)
+
+    # clustering is layout-only: the rows are identical
+    back = spark.read.parquet(clustered)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+
+def test_clustered_spans_are_disjoint(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    path = str(tmp_path / "c2")
+    write_clustered(ev, path, ("user_id",), n_files=6)
+    spans = sorted(file_stats(path, "user_id"))
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        # ranges may touch at a shared boundary key but never interleave
+        assert lo_next >= hi_prev
