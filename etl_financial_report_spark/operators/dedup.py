@@ -21,7 +21,7 @@ DuckDB-oracle-checked end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import QUANTIZE_SQL
@@ -508,3 +508,40 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").alias("component")
     )
     return labels.unionAll(isolated)
+
+
+@register(
+    "dedup_keep_list",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id, source, md5(text) AS cluster_md5 FROM documents
+)
+SELECT doc_id, source, cluster_md5,
+       MIN(doc_id) OVER (PARTITION BY cluster_md5) AS canonical_doc_id,
+       (doc_id = MIN(doc_id) OVER (PARTITION BY cluster_md5)) AS keep,
+       COUNT(*) OVER (PARTITION BY cluster_md5) AS cluster_size
+FROM keyed
+""",
+    doc=(
+        "Per-document keep/drop decision list — the operational output of a "
+        "dedup stage (dedup_exact shows the cluster view; pipelines apply "
+        "THIS, a row per input doc with its verdict and canonical twin). "
+        "Clustering keys on md5(text), not text itself, so the shuffle "
+        "carries 16-byte keys instead of whole documents — at 100 TB "
+        "that is the difference between shuffling hashes and shuffling "
+        "the corpus. One shuffle on the hash serves both window functions."
+    ),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", F.md5("text").alias("cluster_md5"))
+    w = Window.partitionBy("cluster_md5")
+    canonical = F.min("doc_id").over(w)
+    return keyed.select(
+        "doc_id",
+        "source",
+        "cluster_md5",
+        canonical.alias("canonical_doc_id"),
+        (F.col("doc_id") == canonical).alias("keep"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -302,3 +302,64 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(is_outlier, 1)).alias("n_outliers"))
         .select("user_id", "n_events", "n_outliers")
     )
+
+
+@register(
+    "ts_mad_outliers",
+    oracle="""
+WITH med AS (
+    SELECT user_id, median(CAST(value AS DOUBLE)) AS med_v
+    FROM events GROUP BY user_id
+),
+mad AS (
+    SELECT e.user_id, m.med_v,
+           median(abs(CAST(e.value AS DOUBLE) - m.med_v)) AS mad_v
+    FROM events e JOIN med m ON e.user_id = m.user_id
+    GROUP BY e.user_id, m.med_v
+)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       d.med_v AS median_value,
+       d.mad_v AS mad_value,
+       COUNT(CASE WHEN abs(CAST(e.value AS DOUBLE) - d.med_v) > 3.0 * d.mad_v
+                  THEN 1 END) AS n_outliers
+FROM events e JOIN mad d ON e.user_id = d.user_id
+GROUP BY e.user_id, d.med_v, d.mad_v
+""",
+    doc=(
+        "Robust outlier counting via median absolute deviation: the "
+        "3-sigma rule's breakdown-resistant twin (ts_zscore_outliers' "
+        "moments are themselves dragged by the outliers they hunt; MAD is "
+        "not). Exact medians both passes — interpolated identically in "
+        "both engines — with the tiny per-user stats broadcast back onto "
+        "the events for the deviation pass; the double expressions are "
+        "fixed trees (abs, subtract, one multiply), so bit-identical "
+        "cross-engine. Three scans, but each aggregates map-side first."
+    ),
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("user_id").agg(F.median("v").alias("med_v"))
+    mad = (
+        ev.join(F.broadcast(med), "user_id")
+        .groupBy("user_id", "med_v")
+        .agg(F.median(F.abs(F.col("v") - F.col("med_v"))).alias("mad_v"))
+    )
+    dev = F.abs(F.col("v") - F.col("med_v"))
+    return (
+        ev.join(F.broadcast(mad), "user_id")
+        .groupBy("user_id", "med_v", "mad_v")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(dev > F.lit(3.0) * F.col("mad_v"), 1)).alias("n_outliers"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("med_v").alias("median_value"),
+            F.col("mad_v").alias("mad_value"),
+            "n_outliers",
+        )
+    )

@@ -319,3 +319,63 @@ def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_no",
         F.sum("day_total").over(w).cast("double").alias("trailing_7d"),
     )
+
+
+#: synthetic fulfillment window: an order is "open" for 30 days from its
+#: order date (the testdata has no close-date column; the sweep shape is
+#: what matters and is width-agnostic)
+OPEN_DAYS = 30
+
+
+@register(
+    "w_interval_sweep",
+    oracle=f"""
+WITH deltas AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+    UNION ALL
+    SELECT CAST(o_orderdate AS DATE) + INTERVAL {OPEN_DAYS} DAY, -1 FROM orders
+),
+per_day AS (
+    SELECT day, SUM(delta) AS net, SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_opened
+    FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_opened AS BIGINT) AS n_opened,
+       CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+FROM per_day
+""",
+    doc=(
+        "Concurrent-interval counting by sweep line: each order emits a +1 "
+        "at its start day and a -1 past its 30-day open window; a per-day "
+        "pre-aggregate collapses the deltas, then ONE running sum yields "
+        "how many orders are open on every day. The O(n log n) alternative "
+        "to the O(n x days) interval-overlap join — at 100 TB the join "
+        "explodes 30x per fact row, the sweep shuffles |days| rows after "
+        "partial aggregation. The final cumulative window is a single "
+        "ordered partition, but it runs over the per-day aggregate "
+        "(thousands of rows at any data scale), not raw facts."
+    ),
+)
+def w_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    start = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    )
+    end = orders.select(
+        F.date_add(F.to_date("o_orderdate"), OPEN_DAYS).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    per_day = (
+        start.unionByName(end)
+        .groupBy("day")
+        .agg(
+            F.sum("delta").alias("net"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_opened"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.sum("net").over(w).cast("long").alias("n_open"),
+    )
