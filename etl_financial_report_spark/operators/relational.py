@@ -786,3 +786,32 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(dec).cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle=None,  # datasketches binary images are engine-specific; rows-only
+    doc=(
+        "Mergeable-sketch distinct counting (Apache DataSketches HLL, "
+        "Spark 4 built-ins): per-(type, day) partial sketches built once, "
+        "then hll_union_agg merges them into a per-type total WITHOUT "
+        "touching raw rows again — the continuous-aggregate pattern of "
+        "ts_rollup_merge applied to COUNT DISTINCT, which plain partial "
+        "counts cannot do (distincts don't add). At 100 TB the daily "
+        "sketches are the stored rollup (KBs per group); any date-range "
+        "distinct query is a union over sketches, not a rescan. Accuracy "
+        "vs the exact twin is asserted in tests/test_sketches.py."
+    ),
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+    )
