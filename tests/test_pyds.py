@@ -1,0 +1,41 @@
+"""Python DataSource connector: partition planning is respected, reads
+are deterministic (task-retry safe), and options shape the output."""
+
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark.sources import pyds
+
+
+def _read(spark, **opts):
+    pyds.register(spark)
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_partition_planning_and_counts(spark):
+    df = _read(spark, rows=1000, partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 1000
+    # event_ids are a dense unique range — no overlap between partitions
+    agg = df.agg(
+        F.count_distinct("event_id").alias("d"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).collect()[0]
+    assert (agg["d"], agg["lo"], agg["hi"]) == (1000, 0, 999)
+
+
+def test_reads_are_deterministic(spark):
+    a = _read(spark, rows=500, partitions=3)
+    b = _read(spark, rows=500, partitions=5)  # different split, same data
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_options_bound_domains(spark):
+    df = _read(spark, rows=2000, partitions=4, users=10)
+    assert df.agg(F.max("user_id")).collect()[0][0] < 10
+    types = {r[0] for r in df.select("event_type").distinct().collect()}
+    assert types <= set(pyds.EVENT_TYPES)
