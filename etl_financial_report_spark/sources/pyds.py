@@ -18,7 +18,12 @@ rows, which is exactly the property Spark's task retry assumes).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _MASK = (1 << 64) - 1
 
@@ -65,8 +70,50 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: the offset is a row-id watermark ``{"row": N}``.
+
+    Each microbatch advances the watermark by ``batch_rows`` and replays
+    the same splitmix64 generation, so ``readBetweenOffsets`` (crash
+    recovery replaying a committed range from the checkpoint log) is
+    trivially exact — the rows ARE a pure function of the offset range.
+    That is the replayability contract every exactly-once source (Kafka
+    offsets, file lists, CDC log positions) must satisfy.
+    """
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("rows", 1000))
+        self.n_users = int(options.get("users", 100))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _gen(self, start: int, end: int):
+        for rid in range(start, end):
+            h = _mix64(rid)
+            yield (
+                rid,
+                h % self.n_users,
+                EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)],
+                ((h >> 16) % 100_000) / 1000.0,
+            )
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        # a LIST, not a generator: the engine's prefetch cache copies the
+        # returned iterator, and batches are bounded by batch_rows anyway
+        return list(self._gen(lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._gen(start["row"], end["row"]))
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N)`` source."""
+    """``spark.read.format("synthetic_events").option("rows", N)`` source;
+    ``spark.readStream`` on the same format yields offset-tracked
+    microbatches of the identical rows."""
 
     @classmethod
     def name(cls) -> str:
@@ -77,6 +124,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
