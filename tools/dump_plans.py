@@ -93,6 +93,32 @@ HEADLINERS = {
         "per-user bounds); spine build, left join, and running-total window "
         "all share the user_id shuffle."
     ),
+    "scd2_point_in_time": (
+        "Point-in-time SCD2 resolution: history side broadcast, "
+        "BroadcastHashJoin on the custkey equi-key with the validity "
+        "interval as a post-join condition — the BETWEEN join that "
+        "degrades to a nested loop when written naively."
+    ),
+    "ts_rollup_merge": (
+        "Continuous-aggregate merge: hourly-rollup branch and raw-tail "
+        "branch both pre-aggregate map-side before the union; the final "
+        "day-level merge is a re-aggregation of partials, so the exchange "
+        "carries bucket rows, not events. The two BroadcastNestedLoopJoins "
+        "are the 1-row data-derived cutoff broadcast onto each branch — a "
+        "scalar cross join whose build side is literally one row (same "
+        "shape as text_token_rarity's corpus-size scalar)."
+    ),
+    "text_inverted_index": (
+        "Posting-list build with bounded state: row_number/count windows "
+        "over the token partition rank postings before the rank filter, so "
+        "the collect_list aggregate never buffers more than the cap even "
+        "for stopword-grade hot tokens."
+    ),
+    "w_interval_sweep": (
+        "Sweep-line concurrency counting: +1/-1 deltas pre-aggregated per "
+        "day (map-side combine collapses the fact table), one cumulative "
+        "window over the tiny per-day frame — no interval-overlap join."
+    ),
 }
 
 
