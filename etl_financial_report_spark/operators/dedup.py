@@ -545,3 +545,61 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == canonical).alias("keep"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+    FROM documents WHERE doc_id < 150
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       (sa.n < sb.n) AS smaller_is_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+""",
+    doc=(
+        "Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over the same "
+        "token equi-join as dedup_ngram_jaccard — catches the quote/subset "
+        "relation jaccard structurally misses (a doc fully embedded in a "
+        "10x-longer one has jaccard ~0.1 but containment 1.0; boilerplate "
+        "wrappers around copied bodies are THE common web-corpus dup "
+        "shape). Same scale posture: integer intersection counts, runs on "
+        "LSH candidates in production, never all-pairs."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    containment = F.col("n_shared").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            containment.alias("containment"),
+            (F.col("sa.n") < F.col("sb.n")).alias("smaller_is_a"),
+        )
+        .where(F.col("containment") >= 0.9)
+    )

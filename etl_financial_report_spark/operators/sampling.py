@@ -221,3 +221,58 @@ def sample_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: temporal-split holdout width: the last N days of the stream become
+#: validation — leakage-safe because the boundary is a point in TIME, not
+#: a random per-row draw (random splits leak future context into train)
+HOLDOUT_DAYS = 7
+
+
+@register(
+    "sample_temporal_split",
+    oracle=f"""
+WITH bounds AS (
+    SELECT MAX(epoch_ns(ts) // 1000000000) - {HOLDOUT_DAYS} * 86400 AS cutoff_s
+    FROM events
+)
+SELECT CASE WHEN (epoch_ns(ts) // 1000000000) < cutoff_s THEN 'train' ELSE 'valid' END AS split,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(MIN(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_s,
+       CAST(MAX(epoch_ns(ts) // 1000000000) AS BIGINT) AS last_s
+FROM events, bounds
+GROUP BY split, event_type
+""",
+    doc=(
+        "Leakage-safe temporal train/validation split: the boundary is a "
+        "data-derived point in time (max ts - 7 days), so no future row "
+        "can inform a training row — the property a hash split "
+        "(sample_deterministic_split) cannot give for forecasting tasks. "
+        "The cutoff is a 1-row broadcast; the split column costs one "
+        "comparison per row and the per-(split, type) audit aggregate "
+        "verifies the boundary (max train ts < min valid ts is asserted "
+        "in tests)."
+    ),
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    bounds = ev.agg((F.max("ts_s") - F.lit(HOLDOUT_DAYS * 86400)).alias("cutoff_s"))
+    return (
+        ev.join(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("ts_s") < F.col("cutoff_s"), "train")
+            .otherwise("valid")
+            .alias("split"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts_s").alias("first_s"),
+            F.max("ts_s").alias("last_s"),
+        )
+    )

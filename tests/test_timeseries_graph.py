@@ -66,3 +66,13 @@ def test_pagerank_covers_edge_graph_and_is_rerun_stable(spark, sf_dir):
     # exact integer arithmetic -> bit-identical rerun
     again = graph_pagerank(spark, sf_dir)
     assert ranks.exceptAll(again).count() == 0 and again.exceptAll(ranks).count() == 0
+
+
+def test_temporal_split_boundary_is_leak_free(spark, sf_dir):
+    from etl_financial_report_spark.operators.sampling import sample_temporal_split
+
+    rows = sample_temporal_split(spark, sf_dir).collect()
+    train_last = max(r["last_s"] for r in rows if r["split"] == "train")
+    valid_first = min(r["first_s"] for r in rows if r["split"] == "valid")
+    assert train_last < valid_first
+    assert sum(r["n_events"] for r in rows if r["split"] == "valid") > 0
