@@ -815,3 +815,48 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_daily_sketches"),
         )
     )
+
+
+@register(
+    "agg_mode_per_user",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+    SELECT user_id, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, event_type) AS rk
+    FROM counts
+)
+SELECT user_id, event_type AS mode_type, n AS mode_n
+FROM ranked WHERE rk = 1
+""",
+    doc=(
+        "Deterministic mode (most frequent event_type per user): "
+        "count-then-argmax with an explicit total-order tiebreak "
+        "(count desc, type asc) — mode() built-ins are tie-unstable "
+        "across engines and partitionings, so pipelines that need "
+        "reproducible labels use this shape. Two-level aggregate: the "
+        "(user, type) pre-count collapses the fact table map-side; the "
+        "argmax runs over |users| x |types| rows via max_by on a "
+        "lexicographic struct — no second shuffle, no window over raw "
+        "events."
+    ),
+)
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # argmin on the struct key (-n, type): struct comparison is
+    # field-by-field, so the minimum is exactly (count desc, type asc) —
+    # the oracle's declared total order
+    best = F.min_by(
+        F.struct(F.col("event_type").alias("t"), F.col("n").alias("n")),
+        F.struct((-F.col("n")).alias("neg_n"), F.col("event_type").alias("t")),
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(best.alias("b"))
+        .select("user_id", F.col("b.t").alias("mode_type"), F.col("b.n").alias("mode_n"))
+    )

@@ -363,3 +363,74 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "ts_linear_trend",
+    oracle="""
+WITH based AS (
+    SELECT user_id,
+           (epoch_ns(ts) // 1000000000)
+               - MIN(epoch_ns(ts) // 1000000000) OVER (PARTITION BY user_id) AS x,
+           CAST(value AS DECIMAL(18,6)) AS y
+    FROM events
+),
+sums AS (
+    SELECT user_id,
+           COUNT(*) AS n,
+           SUM(x) AS sx,
+           SUM(x * x) AS sxx,
+           SUM(y) AS sy,
+           SUM(x * y) AS sxy
+    FROM based GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope_per_s,
+       (n * sxx - sx * sx = 0) AS degenerate
+FROM sums
+WHERE n >= 2
+""",
+    doc=(
+        "Per-user linear trend (least-squares slope of value over time) "
+        "with NO UDF and NO iteration: the closed form "
+        "(nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over exact integer/decimal sums, "
+        "one double division at the very end — so the result is "
+        "bit-identical cross-engine, unlike regr_slope whose float "
+        "accumulation is engine- and partition-order-dependent. Time is "
+        "rebased per user (x = ts − min ts, via the same user_id shuffle "
+        "the aggregate uses) to keep x² exact in decimal range. The "
+        "grouped-regression shape behind per-entity trend scoring at "
+        "corpus scale: one shuffle, all partial-aggregatable."
+    ),
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    w = Window.partitionBy("user_id")
+    based = ev.select(
+        "user_id",
+        (F.col("ts_s") - F.min("ts_s").over(w)).alias("x"),
+        "y",
+    )
+    sums = based.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.where(F.col("n") >= 2)
+        .select(
+            "user_id",
+            "n",
+            (num.cast("double") / den.cast("double")).alias("slope_per_s"),
+            (den == 0).alias("degenerate"),
+        )
+    )
