@@ -111,3 +111,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "r")
         )
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank_fp"))
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS ({_bands_sql()}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+deg AS (
+    SELECT node, COUNT(*) AS degree FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL
+        SELECT doc_b AS node FROM pairs
+    ) GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree
+""",
+    doc=(
+        "Degree distribution of the near-dup pair graph — the first "
+        "diagnostic run on any similarity graph: a heavy tail here means "
+        "template/boilerplate hubs that will dominate clustering and "
+        "deserve their own handling (cf. the posting-list cap in "
+        "text_inverted_index). Undirected degrees via UNION ALL of both "
+        "endpoints then two nested integer aggregates; the second "
+        "group-by runs over |distinct degrees| rows, so the exchange "
+        "profile is edges → nodes → O(100) rows regardless of scale."
+    ),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

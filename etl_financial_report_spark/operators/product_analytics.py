@@ -185,3 +185,92 @@ def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+WITH anchor AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+),
+rfm AS (
+    SELECT o_custkey,
+           MIN(DATE_DIFF('day', CAST(o_orderdate AS DATE), a.max_day)) AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders, anchor a
+    GROUP BY o_custkey, a.max_day
+),
+cuts AS (
+    SELECT quantile_cont(CAST(recency_days AS DOUBLE), 1.0/3) AS r33,
+           quantile_cont(CAST(recency_days AS DOUBLE), 2.0/3) AS r66,
+           quantile_cont(CAST(frequency AS DOUBLE), 1.0/3) AS f33,
+           quantile_cont(CAST(frequency AS DOUBLE), 2.0/3) AS f66,
+           quantile_cont(monetary, 1.0/3) AS m33,
+           quantile_cont(monetary, 2.0/3) AS m66
+    FROM rfm
+)
+SELECT CASE WHEN recency_days <= r33 THEN 1 WHEN recency_days <= r66 THEN 2 ELSE 3 END AS r_score,
+       CASE WHEN frequency <= f33 THEN 1 WHEN frequency <= f66 THEN 2 ELSE 3 END AS f_score,
+       CASE WHEN monetary <= m33 THEN 1 WHEN monetary <= m66 THEN 2 ELSE 3 END AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(frequency) AS BIGINT) AS total_orders
+FROM rfm, cuts
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "RFM (recency/frequency/monetary) customer segmentation: one "
+        "aggregate builds the per-customer triple, exact interpolated "
+        "terciles (percentile — deterministic cross-engine, unlike "
+        "sampled approx quantiles) come back as a 1-row broadcast, and "
+        "segment assignment is three comparisons per customer — the "
+        "whole segmentation is two shuffles (custkey, then the 27-cell "
+        "segment rollup) no matter the order volume. Recency anchors on "
+        "the data's max date so the query is reproducible, not "
+        "wall-clock-dependent."
+    ),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
+    rfm = (
+        orders.join(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("max_day"), F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    cuts = rfm.agg(
+        F.percentile(F.col("recency_days").cast("double"), F.lit(1.0 / 3)).alias("r33"),
+        F.percentile(F.col("recency_days").cast("double"), F.lit(2.0 / 3)).alias("r66"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(1.0 / 3)).alias("f33"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(2.0 / 3)).alias("f66"),
+        F.percentile(F.col("monetary"), F.lit(1.0 / 3)).alias("m33"),
+        F.percentile(F.col("monetary"), F.lit(2.0 / 3)).alias("m66"),
+    )
+
+    def score(v, q33, q66):
+        return (
+            F.when(F.col(v) <= F.col(q33), 1)
+            .when(F.col(v) <= F.col(q66), 2)
+            .otherwise(3)
+        )
+
+    return (
+        rfm.join(F.broadcast(cuts))
+        .groupBy(
+            score("recency_days", "r33", "r66").alias("r_score"),
+            score("frequency", "f33", "f66").alias("f_score"),
+            score("monetary", "m33", "m66").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").cast("long").alias("total_orders"),
+        )
+    )
