@@ -603,3 +603,93 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= 0.9)
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))}) AS n_agree,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+           / (za.n + zb.n - COALESCE(i.n_shared, 0)) AS exact_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+""",
+    doc=(
+        "MinHash estimator calibration: for every LSH candidate pair, the "
+        "signature-agreement count (the estimator: E[n_agree/k] = jaccard) "
+        "NEXT TO the exact shingle jaccard (the estimand) — the query you "
+        "run before trusting a banding config at corpus scale, because it "
+        "turns 'LSH found pairs' into measured precision. Exact "
+        "intersections are computed ONLY for candidates (pairs join the "
+        "shingle stream, never all-pairs); agreement is 8 integer "
+        "comparisons off the already-built signatures."
+    ),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    sig = _minhash_signature(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.alias("a")
+    b_sh = sh.alias("b")
+    inter = (
+        pairs.join(a_sh, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b_sh, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.w") == F.col("a.w")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    n_agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            shared.cast("long").alias("n_shared"),
+            (shared.cast("double") / (F.col("za.n") + F.col("zb.n") - shared)).alias(
+                "exact_jaccard"
+            ),
+        )
+    )

@@ -382,3 +382,74 @@ def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(ctext).alias("n_chars_canon"),
         (ctext != F.col("text")).alias("changed"),
     )
+
+
+#: bigram-table floor: pairs seen fewer times are noise for filtering
+BIGRAM_FLOOR = 3
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bigrams AS (
+    SELECT ws[i] AS w1, ws[i+1] AS w2
+    FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+),
+pair_counts AS (
+    SELECT w1, w2, COUNT(*) AS n_pair FROM bigrams GROUP BY w1, w2
+),
+ctx_counts AS (
+    SELECT w1, SUM(n_pair) AS n_ctx FROM pair_counts GROUP BY w1
+)
+SELECT p.w1, p.w2, p.n_pair,
+       CAST(c.n_ctx AS BIGINT) AS n_ctx,
+       CAST(p.n_pair AS DOUBLE) / c.n_ctx AS cond_p
+FROM pair_counts p JOIN ctx_counts c ON p.w1 = c.w1
+WHERE p.n_pair >= {BIGRAM_FLOOR}
+""",
+    doc=(
+        "Bigram language-model table: corpus-wide (w1, w2) counts, "
+        "per-context totals, and the conditional probability as one "
+        "integer ratio — the statistics behind perplexity-style corpus "
+        "filters and next-token heuristics. Bigrams are minted "
+        "executor-side from the pre-split token array (transform over an "
+        "index sequence, no self-join of token positions); the context "
+        "total is a second-level aggregate OVER pair counts, so the "
+        "exchange never carries raw bigrams twice. Counts below the "
+        "floor are dropped after counting (exactness preserved)."
+    ),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.col("ws")
+    bigrams = (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    return (
+        pair_counts.join(ctx_counts, "w1")
+        .where(F.col("n_pair") >= BIGRAM_FLOOR)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.col("n_ctx").cast("long").alias("n_ctx"),
+            (F.col("n_pair").cast("double") / F.col("n_ctx")).alias("cond_p"),
+        )
+    )
