@@ -274,3 +274,67 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("frequency").cast("long").alias("total_orders"),
         )
     )
+
+
+#: rolling engagement window, days (WAU over a 7-day trailing window)
+WAU_DAYS = 7
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT (epoch_ns(ts) // 1000000000) // 86400 AS day_n, user_id
+    FROM events
+),
+days AS (SELECT DISTINCT day_n FROM du),
+dau AS (SELECT day_n, COUNT(*) AS dau FROM du GROUP BY day_n),
+wau AS (
+    SELECT d.day_n, COUNT(DISTINCT u.user_id) AS wau
+    FROM days d
+    JOIN du u ON u.day_n BETWEEN d.day_n - {WAU_DAYS - 1} AND d.day_n
+    GROUP BY d.day_n
+)
+SELECT CAST(a.day_n AS BIGINT) AS day_n, a.dau, w.wau,
+       CAST(a.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau a JOIN wau w ON a.day_n = w.day_n
+""",
+    doc=(
+        "DAU / trailing-7-day WAU / stickiness (DAU/WAU) — the product "
+        "engagement headline. Rolling DISTINCT does not decompose into "
+        "partial aggregates (unlike sums: see ts_moving_avg), so the "
+        "rolling window is an interval join of the DEDUPLICATED "
+        "(day, user) pairs against the day spine — a bounded 7x fan-out "
+        "of pairs, not raw events (the distinct first is the scale move: "
+        "|days x users| << |events|). At extreme scale the same query "
+        "runs on per-day HLL sketches (agg_hll_sketch_merge) trading "
+        "exactness for a union instead of the fan-out join."
+    ),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        (F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day_n"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day_n").agg(F.count(F.lit(1)).alias("dau"))
+    # each (day, user) pair contributes to the trailing windows of the
+    # next WAU_DAYS days: explode the contribution range (bounded 7x
+    # fan-out, minted executor-side) and aggregate on the equi key — no
+    # range join, no nested loop over the day spine
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day_n"), F.col("day_n") + F.lit(WAU_DAYS - 1))
+        ).alias("day_n"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day_n").agg(F.countDistinct("user_id").alias("wau"))
+    # inner join onto DAU days drops synthetic trailing days with no events
+    return (
+        dau.join(wau, "day_n")
+        .select(
+            "day_n",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
