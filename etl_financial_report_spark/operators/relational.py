@@ -860,3 +860,26 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(best.alias("b"))
         .select("user_id", F.col("b.t").alias("mode_type"), F.col("b.n").alias("mode_n"))
     )
+
+
+@register(
+    "agg_approx_quantiles",
+    oracle=None,  # sketch-based: partition-order-dependent, no portable oracle
+    doc=(
+        "Approximate quantiles per event_type (approx_percentile, "
+        "Greenwald-Khanna-style mergeable summary, accuracy 1/1000) — the "
+        "at-scale quantile path where exact percentile's full sort-by-key "
+        "is unaffordable; the mergeable-summary property is what lets it "
+        "run as partial+final over partitions, same contract as the HLL "
+        "sketch family. Accuracy vs the exact twin is asserted in "
+        "tests/test_sketches.py (within the sketch's rank-error bound)."
+    ),
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = F.approx_percentile(
+        F.col("value").cast("double"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1000)
+    )
+    return ev.groupBy("event_type").agg(
+        q[0].alias("p50_approx"), q[1].alias("p90_approx"), q[2].alias("p99_approx")
+    )

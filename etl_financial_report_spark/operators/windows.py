@@ -379,3 +379,94 @@ def w_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_opened").cast("long").alias("n_opened"),
         F.sum("net").over(w).cast("long").alias("n_open"),
     )
+
+
+@register(
+    "w_user_streaks",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day_n
+    FROM events
+),
+grp AS (
+    SELECT user_id, day_n,
+           day_n - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_n) AS island
+    FROM du
+),
+streaks AS (
+    SELECT user_id, island, COUNT(*) AS streak_len,
+           CAST(MIN(day_n) AS BIGINT) AS streak_start
+    FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days,
+       CAST(MIN(streak_start) AS BIGINT) AS first_day
+FROM streaks GROUP BY user_id
+""",
+    doc=(
+        "Gaps-and-islands: longest consecutive-day activity streak per "
+        "user via the day_n - row_number() constant-difference trick — "
+        "consecutive days share an island id, so streaks fall out of a "
+        "plain group-by with NO self-join and NO iteration. One shuffle "
+        "on user_id covers the distinct, the ranking window, and both "
+        "aggregates; the engagement-streak metric every retention team "
+        "ships."
+    ),
+)
+def w_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", (F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day_n")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    grp = du.select(
+        "user_id", "day_n", (F.col("day_n") - F.row_number().over(w)).alias("island")
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day_n").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("streak_len").cast("long").alias("active_days"),
+        F.min("streak_start").cast("long").alias("first_day"),
+    )
+
+
+@register(
+    "w_priority_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT o_custkey, o_orderpriority,
+           LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_priority
+    FROM orders
+)
+SELECT prev_priority, o_orderpriority AS next_priority, COUNT(*) AS n_transitions
+FROM seq
+WHERE prev_priority IS NOT NULL
+GROUP BY prev_priority, next_priority
+""",
+    doc=(
+        "Order-priority transition matrix (first-order Markov counts): lag "
+        "over the per-customer order sequence pairs each order with its "
+        "predecessor, then one global count per (prev, next) cell — the "
+        "sequence-mining dual of scd2_build's change detection (same "
+        "window, same total order (date, orderkey), different emission). "
+        "25 output cells regardless of order volume; the transition "
+        "shuffle is the same custkey exchange the SCD2 family uses."
+    ),
+)
+def w_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderpriority", F.lag("o_orderpriority").over(w).alias("prev_priority")
+    )
+    return (
+        seq.where(F.col("prev_priority").isNotNull())
+        .groupBy("prev_priority", F.col("o_orderpriority").alias("next_priority"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -41,3 +41,26 @@ def test_merge_of_partials_equals_whole(spark):
     w = {r["event_type"]: r["est"] for r in whole.collect()}
     m = {r["event_type"]: r["est"] for r in merged.collect()}
     assert w == m
+
+
+def test_approx_quantiles_track_exact(spark):
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"], r["p99_approx"])
+        for r in registry.all_queries()["agg_approx_quantiles"].fn(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("value").cast("double"), F.lit(0.9)).alias("p90"),
+            F.percentile(F.col("value").cast("double"), F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        spread = max(exact[k]) - min(exact[k]) or 1.0
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) <= 0.05 * spread + 1e-9, (k, a, e)
