@@ -517,3 +517,72 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+WITH {_Q_CTE},
+qq AS (SELECT i, v FROM ex WHERE vec_id = 0),
+qn AS (SELECT nsq FROM norms WHERE vec_id = 0),
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+),
+true_topk AS (
+    SELECT d.vec_id
+    FROM qdot d JOIN norms n ON n.vec_id = d.vec_id CROSS JOIN qn
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) DESC,
+             d.vec_id
+    LIMIT 10
+),
+buckets AS (
+    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+lsh_topk AS (
+    SELECT d.vec_id
+    FROM qdot d
+    JOIN buckets b ON b.vec_id = d.vec_id
+    JOIN norms n ON n.vec_id = d.vec_id
+    CROSS JOIN qn CROSS JOIN qb
+    WHERE b.bucket = qb.bucket
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) DESC,
+             d.vec_id
+    LIMIT 10
+)
+SELECT CAST((SELECT COUNT(*) FROM true_topk) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM lsh_topk) AS BIGINT) AS n_retrieved,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN lsh_topk l ON t.vec_id = l.vec_id) AS BIGINT)
+           AS n_overlap,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN lsh_topk l ON t.vec_id = l.vec_id) AS DOUBLE)
+           / (SELECT COUNT(*) FROM true_topk) AS recall_at_10
+""",
+    doc=(
+        "ANN recall evaluation: recall@10 of the LSH-bucketed path against "
+        "the brute-force ground truth — the ONE number that decides whether "
+        "a bucketing config ships (the pruning-vs-recall tradeoff is "
+        "invisible without it; cf. dedup_minhash_calibration for the "
+        "near-dup twin). Both top-k lists reuse the same exact quantized "
+        "cosine and total order, the comparison is an integer overlap "
+        "count — at corpus scale this runs over a held-out query sample "
+        "with the same two-sided shape."
+    ),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    true_topk = sim_ann_topk(spark, sf_dir).select("vec_id")
+    lsh_topk = sim_ann_lsh_bucketed(spark, sf_dir).select("vec_id")
+    overlap = true_topk.join(lsh_topk, "vec_id")
+    return (
+        true_topk.agg(F.count(F.lit(1)).alias("n_true"))
+        .join(F.broadcast(lsh_topk.agg(F.count(F.lit(1)).alias("n_retrieved"))))
+        .join(F.broadcast(overlap.agg(F.count(F.lit(1)).alias("n_overlap"))))
+        .select(
+            "n_true",
+            "n_retrieved",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_true")).alias("recall_at_10"),
+        )
+    )
