@@ -6,6 +6,7 @@ bind it to reproducible inputs so the driver can check it.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -321,4 +322,93 @@ def pipeline_notes_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item",
         F.col("nilai").cast("double").alias("nilai"),
         "notes",
+    )
+
+
+@register(
+    "pipeline_corpus_clean",
+    oracle="""
+WITH canon AS (
+    SELECT doc_id, source, n_chars, text,
+           md5(trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))) AS ck,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
+    FROM documents
+),
+verdict AS (
+    SELECT *,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY ck)) AS is_canonical,
+           (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.3) AS passes_quality
+    FROM canon
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN is_canonical THEN 1 END) AS n_unique,
+       COUNT(CASE WHEN is_canonical AND passes_quality THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN NOT is_canonical THEN 1 END) AS n_dropped_dup,
+       COUNT(CASE WHEN is_canonical AND NOT passes_quality THEN 1 END)
+           AS n_dropped_quality,
+       CAST(COALESCE(SUM(CASE WHEN is_canonical AND passes_quality THEN n_chars END), 0)
+            AS BIGINT) AS chars_kept
+FROM verdict
+GROUP BY source
+""",
+    doc=(
+        "End-to-end corpus cleaning — the training-data pipeline headline "
+        "composing three already-proven stages into ONE plan: canonical "
+        "md5 key (text_canonicalize: native lower/collapse/trim + "
+        "NFC-only pandas UDF), canonical-per-cluster verdict "
+        "(dedup_keep_list's window over the 16-byte hash), and the "
+        "Gopher-style quality gate (text_quality_score), rolled up to "
+        "per-source retention accounting: docs in, unique, kept, dropped "
+        "as dup vs dropped as low-quality, chars surviving. One shuffle "
+        "on the canonical hash + one on source; Catalyst fuses the gate "
+        "expressions into the same stage as the scan, so the fact table "
+        "is read once."
+    ),
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    docs = load_table(spark, sf_dir, "documents")
+    ck = F.md5(F.trim(F.regexp_replace(nfc(F.lower(F.col("text"))), r"\s+", " ")))
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ck.alias("ck"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+    )
+    w = Window.partitionBy("ck")
+    verdict = keyed.select(
+        "*",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.3)
+        ).alias("passes_quality"),
+    )
+    kept = F.col("is_canonical") & F.col("passes_quality")
+    return verdict.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("is_canonical"), 1)).alias("n_unique"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~F.col("is_canonical"), 1)).alias("n_dropped_dup"),
+        F.count(F.when(F.col("is_canonical") & ~F.col("passes_quality"), 1)).alias(
+            "n_dropped_quality"
+        ),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("chars_kept"),
     )

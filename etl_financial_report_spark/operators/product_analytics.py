@@ -338,3 +338,72 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns,
+           MAX(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ns
+    FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(last_click_ns) AS n_attributed,
+       CAST(SUM(CASE WHEN last_click_ns IS NOT NULL
+                     THEN (ns - last_click_ns) // 1000000000 END) AS BIGINT)
+           AS total_lag_s
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    doc=(
+        "Last-touch attribution: each purchase credits the user's most "
+        "recent PRIOR click via one conditional-max window with a "
+        "1-PRECEDING frame — no self-join, no per-purchase scan-back; the "
+        "same single-pass carry-forward shape as asof_join_events, "
+        "specialized to the marketing-attribution question. Total order "
+        "(ns, event_id) makes same-timestamp rows deterministic; output "
+        "is per-user purchase/attributed counts plus the exact integer "
+        "click-to-purchase lag total."
+    ),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros("ts") * F.lit(1000)).cast("long").alias("ns"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ns",
+        F.max(F.when(F.col("event_type") == "click", F.col("ns"))).over(w).alias(
+            "last_click_ns"
+        ),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("last_click_ns").alias("n_attributed"),
+            F.sum(
+                F.when(
+                    F.col("last_click_ns").isNotNull(),
+                    (F.col("ns") - F.col("last_click_ns")) / F.lit(1_000_000_000),
+                ).cast("long")
+            ).cast("long").alias("total_lag_s"),
+        )
+    )
