@@ -26,6 +26,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: footer-inferred schema per (sf_dir, table): the first read pays the
+#: footer job, every later read passes the schema explicitly so plan
+#: construction is job-free — across a 147-query sweep that removes
+#: hundreds of driver-side metadata jobs (on a cluster the catalog
+#: serves this role)
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Schema comes from the parquet footer (it is
     authoritative); ``schemas.DRIVER_TABLES`` documents the expectation.
@@ -35,7 +43,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.prep_session) and we rebuild a microsecond timestamp here so
     downstream plans see the declared schema (schemas.EVENTS).
     """
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

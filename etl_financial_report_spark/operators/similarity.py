@@ -75,26 +75,47 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(spark, sf_dir, threshold=0.3)
 
 
+#: blocks for the all-pairs self-join grid; each task holds <= 2 blocks of
+#: vectors, so at scale B is sized so corpus/B fits one executor's memory
+#: (B grows with sqrt(n); compute is inherently O(n^2/2) for exact all-pairs)
+N_COSINE_BLOCKS = 8
+
+
 def cosine_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """All (vec_a < vec_b) pairs with cosine above ``threshold``.
 
-    Physical strategy: broadcast the (small) right matrix, Arrow-batch
-    the left side, and compute the block dot-products as an exact int64
-    numpy matmul — the vectorized-linear-algebra case where a Pandas path
-    beats per-row expressions by orders of magnitude. int64 matmul is
-    exact, sqrt/divide are IEEE-deterministic, so oracle parity holds
-    bit-for-bit. At 100 TB the same stage runs per candidate block after
-    LSH bucketing instead of all-pairs."""
-    import numpy as np
+    Physical strategy: a fully distributed blocked self-join — no driver
+    collect anywhere in the plan (round-1 shape collected the corpus to
+    the driver; a 100 TB corpus OOMs there). Every vector lands in block
+    ``vec_id % B``; each of the B*(B+1)/2 unordered block pairs becomes
+    one ``applyInPandas`` group that computes its dot-block as a single
+    BLAS matmul. Each vector is exploded to exactly B groups, so the
+    shuffle is B x corpus — the standard R x C grid tradeoff for exact
+    all-pairs, with per-task memory bounded by two blocks.
+
+    float64 matmul is EXACT here (quantized |q| < 2^15 -> every product
+    <= 9e8 and every 64-dim dot <= 6e10, all < 2^53), sqrt/divide are
+    IEEE-deterministic, so oracle parity holds bit-for-bit. The same
+    grouped-matmul stage runs per LSH/IVF bucket when candidates are
+    pre-pruned (see sim_ann_lsh_bucketed / dedup_embedding_cosine)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    qv = _quantized(spark, sf_dir)
-    rows = qv.select("vec_id", "qe", "nsq").collect()  # corpus side: small, broadcastable
-    mat = np.array([r.qe for r in rows], dtype=np.int64)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    nsq = np.array([r.nsq for r in rows], dtype=np.int64)
-    b_mat = spark.sparkContext.broadcast((ids, mat, nsq))
+    B = N_COSINE_BLOCKS
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    # one struct per partner block: group id = (min,max) pair flattened;
+    # side "a" = the lower block of the pair (both sides for the diagonal)
+    partners = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda p: F.struct(
+            (F.least(blk, p) * B + F.greatest(blk, p)).alias("gid"),
+            F.when(blk <= p, F.lit("a")).otherwise(F.lit("b")).alias("side"),
+        ),
+    )
+    exploded = qv.select(
+        "vec_id", "qe", "nsq", F.explode(partners).alias("g")
+    ).select("vec_id", "qe", "nsq", F.col("g.gid").alias("gid"), F.col("g.side").alias("side"))
 
     schema = T.StructType(
         [
@@ -104,28 +125,35 @@ def cosine_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFram
         ]
     )
 
-    def block(batches):
-        r_ids, r_mat, r_nsq = b_mat.value
-        # float64 matmul is EXACT here (quantized |q| < 2^15 -> every
-        # product <= 9e8 and every 64-dim dot <= 6e10, all < 2^53) and
-        # runs on BLAS ~50x faster than numpy's loop-based int64 matmul
-        r_matf = r_mat.astype(np.float64)
-        r_norm = np.sqrt(r_nsq.astype(np.float64))
-        for pdf in batches:
-            l_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            l_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qe"]], dtype=np.float64)
-            l_nsq = pdf["nsq"].to_numpy(dtype=np.int64)
-            dots = l_mat @ r_matf.T  # exact integer values in float64
-            cos = dots / (np.sqrt(l_nsq.astype(np.float64))[:, None] * r_norm[None, :])
-            li, ri = np.nonzero((l_ids[:, None] < r_ids[None, :]) & (cos > threshold))
-            yield pd.DataFrame(
-                {"vec_a": l_ids[li], "vec_b": r_ids[ri], "cosine": cos[li, ri]}
-            )
+    def _mat(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qe"]], dtype=np.float64)
+        # oracle computes dot / (sqrt(na) * sqrt(nb)) — mirror it exactly
+        # (reciprocal-multiply would differ in the last ulp)
+        norm = np.sqrt(pdf["nsq"].to_numpy(dtype=np.int64).astype(np.float64))
+        return ids, mat, norm
 
-    # probe side partition-parallel: the single-file scan would otherwise
-    # run the whole block matmul in one task
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    return qv.select("vec_id", "qe", "nsq").repartition(n_parts).mapInPandas(block, schema)
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if len(b) == 0:  # diagonal group: all pairs within one block
+            ids, mat, nrm = _mat(a)
+            cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+            li, ri = np.nonzero((ids[:, None] < ids[None, :]) & (cos > threshold))
+            return pd.DataFrame({"vec_a": ids[li], "vec_b": ids[ri], "cosine": cos[li, ri]})
+        if len(a) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        a_ids, a_mat, a_nrm = _mat(a)
+        b_ids, b_mat, b_nrm = _mat(b)
+        cos = (a_mat @ b_mat.T) / (a_nrm[:, None] * b_nrm[None, :])
+        li, ri = np.nonzero(cos > threshold)
+        lo = np.minimum(a_ids[li], b_ids[ri])
+        hi = np.maximum(a_ids[li], b_ids[ri])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos[li, ri]})
+
+    return exploded.groupBy("gid").applyInPandas(block_pair, schema)
 
 
 @register(

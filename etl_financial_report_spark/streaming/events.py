@@ -241,9 +241,13 @@ GROUP BY 1, 2
 )
 def events_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cutoff = F.date_trunc("hour", F.lit(ev.agg(F.max("ts")).collect()[0][0]))
-    old = tumbling_counts(ev.where(F.date_trunc("hour", "ts") < cutoff))
-    tail = tumbling_counts(ev.where(F.date_trunc("hour", "ts") >= cutoff))
+    # cutoff = the latest event's hour, derived INSIDE the plan: a 1-row
+    # max aggregate broadcast onto the scan (round 1 collect()ed it, which
+    # cost an extra full pass over events before the real job)
+    mx = ev.agg(F.date_trunc("hour", F.max("ts")).alias("cutoff"))
+    evc = ev.crossJoin(F.broadcast(mx))
+    old = tumbling_counts(evc.where(F.date_trunc("hour", "ts") < F.col("cutoff")).drop("cutoff"))
+    tail = tumbling_counts(evc.where(F.date_trunc("hour", "ts") >= F.col("cutoff")).drop("cutoff"))
     return old.unionByName(tail)
 
 

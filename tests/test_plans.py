@@ -108,6 +108,29 @@ def test_tpch_q18_aggregates_before_join(spark):
     )
 
 
+def test_cosine_pairs_constructs_without_driver_jobs(spark):
+    """The exact-cosine family must stay fully distributed: building the
+    sim_pairwise_cosine plan may not run ANY Spark job (round 1 collected
+    the whole embeddings corpus to the driver at plan-construction time —
+    a guaranteed driver OOM at 100 TB). Constructing under a dedicated job
+    group and asserting the group stays empty pins the no-collect shape."""
+    sc = spark.sparkContext
+    fn = registry.all_queries()["sim_pairwise_cosine"].fn
+    fn(spark, SF)  # warm io's footer-schema cache (a one-time metadata job)
+    group = "plan-construction-probe"
+    sc.setJobGroup(group, "cosine_pairs construction must be lazy")
+    try:
+        df = fn(spark, SF)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    plan = formatted_plan(df)
+    # the compute stage is the grouped Arrow matmul, fed by a hash shuffle
+    # on the block-pair id — no broadcast of the corpus, no cartesian
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_global_sort_is_range_partitioned(spark):
     """o_global_sort must plan a RangePartitioning exchange + distributed
     sort, not a single-reducer sort or a TakeOrdered collapse."""
