@@ -38,10 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Schema comes from the parquet footer (it is
     authoritative); ``schemas.DRIVER_TABLES`` documents the expectation.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
-    nano-epoch long (``spark.sql.legacy.parquet.nanosAsLong``, pinned in
-    session.prep_session) and we rebuild a microsecond timestamp here so
-    downstream plans see the declared schema (schemas.EVENTS).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (Spark reads nano-epoch
+    long under ``spark.sql.legacy.parquet.nanosAsLong``, pinned in
+    session.prep_session) and as TIMESTAMP(MICROS, utc=false) (reads as
+    TIMESTAMP_NTZ); both are normalized here to a UTC microsecond
+    timestamp so downstream plans see the declared schema (schemas.EVENTS)
+    regardless of which encoding the driver generated.
     """
     path = table_path(sf_dir, name)
     key = (sf_dir, name)
@@ -51,14 +53,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[key] = df.schema
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer DIV keeps the truncation exact; double division drifts up
-        # to ~0.4 ulp at 2^60-scale nanos and can flip a microsecond boundary
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as nano-epoch long: integer DIV keeps
+            # the truncation exact; double division drifts up to ~0.4 ulp
+            # at 2^60-scale nanos and can flip a microsecond boundary
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ; the
+            # session timezone is pinned UTC (session.prep_session), so the
+            # cast to LTZ is value-preserving and downstream epoch math
+            # (unix_micros et al.) sees the same instants DuckDB does
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER metadata — a pure
+    driver-side metadata read (pyarrow), never a Spark job, so operators
+    may size plan parameters (e.g. the cosine block grid) from it without
+    violating the no-plan-time-jobs contract (tests/test_plans.py). On a
+    cluster the catalog's table statistics serve this role."""
+    key = (sf_dir, name)
+    cached = _ROW_COUNT_CACHE.get(key)
+    if cached is None:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            cached = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            cached = pq.ParquetFile(path).metadata.num_rows
+        _ROW_COUNT_CACHE[key] = cached
+    return cached

@@ -10,9 +10,12 @@ Five dedup families, each designed for the 100 TB shape:
                      (shuffle on band hash), never an O(n^2) compare.
   * simhash        — 16-bit majority signature; near-dups collide on the
                      signature (or within small hamming distance).
-  * n-gram jaccard — exact verification for candidate pairs (here bounded
-                     to a doc_id subset; at scale it runs AFTER LSH
-                     filtering, never standalone).
+  * n-gram jaccard — exact verification as a pair-driven stage: the
+                     exact_jaccard / containment functions take an explicit
+                     candidate-pair DataFrame and join the token stream
+                     THROUGH it (dedup_lsh_verified = LSH recall -> exact
+                     precision end-to-end; the bounded doc_id<150 forms are
+                     oracle demos only).
   * embedding cosine — see similarity.py (shares the quantized math).
 
 All hashing is portable md5 (functions/hashing.py) so every operator is
@@ -247,6 +250,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- n-gram jaccard
+#
+# The exact verifiers are PARAMETERIZED STAGES over an explicit candidate-pair
+# DataFrame: at scale the pair frame comes from LSH (dedup_lsh_verified), so
+# the token stream is only ever joined THROUGH candidates — never against
+# itself. The bounded doc_id<150 forms survive only as oracle demo harnesses
+# whose candidate generation is the token self-join the oracle SQL mirrors.
+
+
+def distinct_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, w): distinct whitespace tokens per document."""
+    return docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+
+
+def _pair_intersections(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared, na, nb) for every candidate pair.
+
+    Pair-driven: ``toks`` joins through ``pairs`` on doc_id — the b-side join
+    key is (doc_id, w), so Spark never builds the token×token self-join whose
+    output is quadratic under stopword skew. Shuffle cost is O(|pairs| ×
+    avg_tokens), the shape dedup_minhash_calibration established. Disjoint
+    candidates come back with n_shared = 0 (left join), so downstream
+    verdicts cover every candidate, not just overlapping ones."""
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.w") == F.col("a.w")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+        )
+    )
+
+
+def exact_jaccard(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+    """Exact token-set jaccard for an explicit candidate-pair frame.
+
+    ``pairs``: (doc_a, doc_b) candidates (from LSH banding, simhash blocks,
+    or any other recall stage). ``toks``: (doc_id, w) distinct tokens.
+    Returns (doc_a, doc_b, n_shared, jaccard) for EVERY candidate pair."""
+    base = _pair_intersections(pairs, toks)
+    shared = F.col("n_shared")
+    return base.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (shared.cast("double") / (F.col("na") + F.col("nb") - shared)).alias("jaccard"),
+    )
+
+
+def containment(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+    """Asymmetric containment |A∩B| / min(|A|,|B|) for an explicit
+    candidate-pair frame; same pair-driven join as :func:`exact_jaccard`.
+    Returns (doc_a, doc_b, n_shared, containment, smaller_is_a)."""
+    base = _pair_intersections(pairs, toks)
+    return base.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.least(F.col("na"), F.col("nb"))).alias(
+            "containment"
+        ),
+        (F.col("na") < F.col("nb")).alias("smaller_is_a"),
+    )
+
+
+def _bounded_token_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Oracle-demo candidate generation: all (a < b) pairs sharing >= 1 token
+    within the bounded subset — the shape the bounded oracles mirror. Only
+    used by the doc_id<150 demo queries; the scale path is LSH candidates."""
+    toks = distinct_tokens(docs)
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs, toks
 
 
 @register(
@@ -270,30 +362,84 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
 """,
     doc=(
-        "Exact token-set jaccard for a bounded candidate set — integer "
-        "intersection counts via token equi-join (never O(n^2) scans at scale; "
-        "runs after LSH candidate generation)."
+        "Exact token-set jaccard demo over a bounded corpus slice: candidate "
+        "pairs (any shared token, doc_id<150) fed through the pair-driven "
+        "exact_jaccard stage. The at-scale form is dedup_lsh_verified, where "
+        "the same stage runs on LSH candidates over the full corpus."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jacc = F.col("n_shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    pairs, toks = _bounded_token_pairs(docs)
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        exact_jaccard(pairs, toks)
+        .select("doc_a", "doc_b", "jaccard")
         .where(F.col("jaccard") >= 0.8)
+    )
+
+
+#: token-jaccard verdict threshold for LSH candidates (matches the bounded
+#: demo's 0.8 near-dup bar)
+VERIFY_JACCARD = 0.8
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM pairs p
+    JOIN toks a ON a.doc_id = p.doc_a
+    JOIN toks b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.n_shared, 0)) AS jaccard,
+       (CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.n_shared, 0)) >= {VERIFY_JACCARD}) AS is_dup
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+""",
+    doc=(
+        "The end-to-end scale dedup path: MinHash-LSH candidate generation "
+        "over the FULL corpus (no doc_id bound anywhere), then the exact "
+        "token-jaccard verdict computed ONLY for candidates via the "
+        "pair-driven exact_jaccard stage — recall from banding, precision "
+        "from exact verification. At 100 TB every join here is an equi-join "
+        "keyed by band hash or (doc_id, token); the token stream never "
+        "self-joins."
+    ),
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize candidates once — the verifier stage references the pair
+    # frame three times (intersection probe + final left join + sizes), and
+    # without this the whole shingle->minhash->band pipeline re-runs per use
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    verdicts = exact_jaccard(pairs, distinct_tokens(docs))
+    return verdicts.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "jaccard",
+        (F.col("jaccard") >= VERIFY_JACCARD).alias("is_dup"),
     )
 
 
@@ -569,38 +715,21 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.9
 """,
     doc=(
-        "Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over the same "
-        "token equi-join as dedup_ngram_jaccard — catches the quote/subset "
-        "relation jaccard structurally misses (a doc fully embedded in a "
-        "10x-longer one has jaccard ~0.1 but containment 1.0; boilerplate "
-        "wrappers around copied bodies are THE common web-corpus dup "
-        "shape). Same scale posture: integer intersection counts, runs on "
-        "LSH candidates in production, never all-pairs."
+        "Asymmetric containment dedup demo: |A∩B| / min(|A|,|B|) via the "
+        "pair-driven containment stage over a bounded slice — catches the "
+        "quote/subset relation jaccard structurally misses (a doc fully "
+        "embedded in a 10x-longer one has jaccard ~0.1 but containment 1.0; "
+        "boilerplate wrappers around copied bodies are THE common web-corpus "
+        "dup shape). At scale the same stage runs on LSH candidate pairs "
+        "(see dedup_lsh_verified), never on a token self-join."
     ),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    containment = F.col("n_shared").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    pairs, toks = _bounded_token_pairs(docs)
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            containment.alias("containment"),
-            (F.col("sa.n") < F.col("sb.n")).alias("smaller_is_a"),
-        )
+        containment(pairs, toks)
+        .select("doc_a", "doc_b", "containment", "smaller_is_a")
         .where(F.col("containment") >= 0.9)
     )
 

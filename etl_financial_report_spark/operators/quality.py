@@ -156,6 +156,17 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: broadcast-vocabulary cap: only the top-K most frequent tokens ride the
+#: broadcast; everything in the tail is by definition rare (it is at most as
+#: frequent as the K-th token). Web corpora have billions of distinct tokens
+#: — an unbounded vocabulary broadcast OOMs every executor — but rarity only
+#: needs exact counts for the HEAD of the Zipf curve (the CCNet shape).
+VOCAB_TOP_K = 1024
+
+#: corpus frequency assumed for out-of-vocabulary (tail) tokens
+TAIL_FREQ = 1
+
+
 @register(
     "text_token_rarity",
     oracle=f"""
@@ -165,25 +176,31 @@ WITH tok AS (
 freq AS (
     SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
 ),
-flagged AS (
+vocab AS (
     SELECT tok, cnt, (cnt * 100 < (SELECT SUM(cnt) FROM freq) * {RARE_PCT}) AS is_rare
     FROM freq
+    ORDER BY cnt DESC, tok
+    LIMIT {VOCAB_TOP_K}
 )
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
-       CAST(SUM(CASE WHEN f.is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-       CAST(SUM(CASE WHEN f.is_rare THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_frac,
-       CAST(MIN(f.cnt) AS BIGINT) AS rarest_token_freq
-FROM tok t JOIN flagged f ON t.tok = f.tok
+       CAST(SUM(CASE WHEN COALESCE(f.is_rare, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN COALESCE(f.is_rare, TRUE) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS rare_frac,
+       CAST(MIN(COALESCE(f.cnt, {TAIL_FREQ})) AS BIGINT) AS rarest_token_freq
+FROM tok t LEFT JOIN vocab f ON t.tok = f.tok
 GROUP BY t.doc_id
 """,
     doc=(
-        "CCNet-style rarity scoring without the LM: corpus token frequencies "
-        "(tiny vocabulary dimension) broadcast-joined back onto the token "
-        "stream; per-doc rare-token fraction and rarest-token frequency. "
-        "Integer counts end-to-end, one double division — cross-engine exact. "
-        "The corpus-frequency side is computed once and broadcast, so the "
-        "expensive side never shuffles on tok at 100 TB."
+        "CCNet-style rarity scoring without the LM: per-doc rare-token "
+        "fraction and rarest-token frequency against corpus frequencies. "
+        "The vocabulary dimension is CAPPED at the top-K most frequent "
+        f"tokens ({VOCAB_TOP_K}, deterministic count-then-token order) — the "
+        "only side that rides a broadcast — and every tail token is scored "
+        "rare with a default frequency, so the broadcast stays bounded at "
+        "any corpus size while the token stream still never shuffles on "
+        "tok. Integer counts end-to-end, one double division — "
+        "cross-engine exact."
     ),
 )
 def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,20 +208,23 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(_toks()).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
-    flagged = freq.crossJoin(F.broadcast(total)).select(
-        "tok", "cnt", (F.col("cnt") * 100 < F.col("total") * RARE_PCT).alias("is_rare")
+    vocab = (
+        freq.crossJoin(F.broadcast(total))
+        .select("tok", "cnt", (F.col("cnt") * 100 < F.col("total") * RARE_PCT).alias("is_rare"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_TOP_K)
     )
+    is_rare = F.coalesce(F.col("is_rare"), F.lit(True))
     return (
-        tok.join(F.broadcast(flagged), "tok")
+        tok.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("is_rare"), 1).otherwise(0)).alias("n_rare"),
-            (
-                F.sum(F.when(F.col("is_rare"), 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("rare_frac"),
-            F.min("cnt").alias("rarest_token_freq"),
+            F.sum(F.when(is_rare, 1).otherwise(0)).alias("n_rare"),
+            (F.sum(F.when(is_rare, 1).otherwise(0)).cast("double") / F.count(F.lit(1))).alias(
+                "rare_frac"
+            ),
+            F.min(F.coalesce(F.col("cnt"), F.lit(TAIL_FREQ))).alias("rarest_token_freq"),
         )
     )
 

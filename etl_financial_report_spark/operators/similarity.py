@@ -27,7 +27,7 @@ from ..functions.vectors import (
     sign_bucket,
     sign_bucket_sql,
 )
-from ..io import load_table
+from ..io import load_table, table_row_count
 from ..registry import register
 
 _Q_CTE = f"""
@@ -75,13 +75,36 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(spark, sf_dir, threshold=0.3)
 
 
-#: blocks for the all-pairs self-join grid; each task holds <= 2 blocks of
-#: vectors, so at scale B is sized so corpus/B fits one executor's memory
-#: (B grows with sqrt(n); compute is inherently O(n^2/2) for exact all-pairs)
-N_COSINE_BLOCKS = 8
+#: memory target for the block grid: a block never exceeds this many
+#: vectors, so a task (two blocks) holds ~2 x 100k x 64 dims x 8 B ≈ 100 MB
+COSINE_BLOCK_TARGET_ROWS = 100_000
 
 
-def cosine_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+def _derive_n_blocks(spark: SparkSession, sf_dir: str) -> int:
+    """Size the cosine block grid from the corpus, not a constant.
+
+    Two constraints, take the max:
+      * memory — corpus/B rows per block must fit the target (B grows
+        LINEARLY with n past the target, which keeps per-task memory flat;
+        the price is the B x corpus shuffle amplification — inherent to
+        exact all-pairs, whose compute is O(n^2/2) regardless);
+      * parallelism — the grid has B(B+1)/2 groups, which must cover the
+        cluster's cores or most of them idle (B >= sqrt(2 x parallelism)).
+
+    The corpus count comes from parquet footer metadata (io.table_row_count)
+    — a driver-side metadata read, NOT a Spark job, so plan construction
+    stays lazy (pinned by tests/test_plans.py)."""
+    import math
+
+    n = table_row_count(sf_dir, "embeddings")
+    parallelism_floor = math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism))
+    memory_need = math.ceil(n / COSINE_BLOCK_TARGET_ROWS)
+    return max(1, parallelism_floor, memory_need)
+
+
+def cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, n_blocks: int | None = None
+) -> DataFrame:
     """All (vec_a < vec_b) pairs with cosine above ``threshold``.
 
     Physical strategy: a fully distributed blocked self-join — no driver
@@ -97,11 +120,15 @@ def cosine_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFram
     <= 9e8 and every 64-dim dot <= 6e10, all < 2^53), sqrt/divide are
     IEEE-deterministic, so oracle parity holds bit-for-bit. The same
     grouped-matmul stage runs per LSH/IVF bucket when candidates are
-    pre-pruned (see sim_ann_lsh_bucketed / dedup_embedding_cosine)."""
+    pre-pruned (see sim_ann_lsh_bucketed / dedup_embedding_cosine).
+
+    ``n_blocks`` overrides the derived grid size (output is identical for
+    any B >= 1 — pinned by tests/test_similarity_blocks.py); by default B
+    comes from _derive_n_blocks (memory bound + parallelism floor)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    B = N_COSINE_BLOCKS
+    B = n_blocks if n_blocks is not None else _derive_n_blocks(spark, sf_dir)
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
     blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
     # one struct per partner block: group id = (min,max) pair flattened;
@@ -509,21 +536,30 @@ LIMIT 10
         "serialization than a pandas UDF on wide array columns). Same "
         "exact quantized math as sim_ann_topk, identical oracle; the "
         "final top-k is Spark's TakeOrderedAndProject over the scored "
-        "stream, so no executor ever holds more than its own batch."
+        "stream, so no executor ever holds more than its own batch. The "
+        "query vector reaches the kernel as a broadcast 1-row join column "
+        "— plan construction runs ZERO driver jobs (same contract as "
+        "cosine_pairs, pinned by tests/test_plans.py)."
     ),
 )
 def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     qv = _quantized(spark, sf_dir)
-    qrow = qv.where(F.col("vec_id") == 0).select("qe", "nsq").collect()[0]
-    q_vec = np.asarray(qrow["qe"], dtype=np.float64)
-    q_norm = float(np.sqrt(float(qrow["nsq"])))
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
 
     out_schema = "vec_id bigint, cosine double"
 
     def score(batches):
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            # the broadcast join stamped the query on every row; one
+            # de-reference per batch costs nothing
+            q_vec = np.asarray(batch.column("q_qe")[0].as_py(), dtype=np.float64)
+            q_norm = float(np.sqrt(float(batch.column("q_nsq")[0].as_py())))
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             flat = batch.column("qe").flatten().to_numpy(zero_copy_only=False)
             mat = flat.astype(np.float64).reshape(len(ids), -1)
@@ -540,6 +576,7 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qv.where(F.col("vec_id") != 0)
         .select("vec_id", "qe", "nsq")
+        .crossJoin(F.broadcast(query))
         .repartition(n_parts)
         .mapInArrow(score, out_schema)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -1,0 +1,52 @@
+"""Pair-driven exact-verifier stage tests: the jaccard/containment verdicts
+must be computed THROUGH an explicit candidate-pair frame — never via a
+token self-join (the quadratic-under-stopword-skew shape). The behavioral
+tests prove pair-driven semantics (a non-candidate dup pair must NOT appear
+in the output even though its docs share every token); the plan pin lives
+in tests/test_plans.py::test_lsh_verified_token_join_is_pair_driven."""
+
+from etl_financial_report_spark.operators.dedup import (
+    containment,
+    distinct_tokens,
+    exact_jaccard,
+)
+
+
+def _toks(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "a b c d"),  # exact dup of doc 1 — but never a candidate below
+            (4, "x y z"),
+            (5, "a b"),  # contained in doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    return distinct_tokens(docs)
+
+
+def test_exact_jaccard_is_pair_driven(spark):
+    toks = _toks(spark)
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["doc_a", "doc_b"])
+    out = {(r.doc_a, r.doc_b): r for r in exact_jaccard(pairs, toks).collect()}
+    # docs 1 and 3 are identical, yet (1, 3) is absent: the stage scored
+    # exactly the candidate frame, so the token stream never self-joined
+    assert set(out) == {(1, 2), (1, 4)}
+    assert out[(1, 2)].n_shared == 3
+    assert abs(out[(1, 2)].jaccard - 3 / 5) < 1e-12
+    # a disjoint candidate comes back with an explicit 0, not a dropped row
+    assert out[(1, 4)].n_shared == 0
+    assert out[(1, 4)].jaccard == 0.0
+
+
+def test_containment_is_pair_driven(spark):
+    toks = _toks(spark)
+    pairs = spark.createDataFrame([(1, 5), (2, 4)], ["doc_a", "doc_b"])
+    out = {(r.doc_a, r.doc_b): r for r in containment(pairs, toks).collect()}
+    assert set(out) == {(1, 5), (2, 4)}
+    # doc 5 ("a b") is fully contained in doc 1 ("a b c d")
+    assert out[(1, 5)].n_shared == 2
+    assert out[(1, 5)].containment == 1.0
+    assert out[(1, 5)].smaller_is_a is False  # |A|=4 > |B|=2
+    assert out[(2, 4)].containment == 0.0

@@ -108,27 +108,66 @@ def test_tpch_q18_aggregates_before_join(spark):
     )
 
 
-def test_cosine_pairs_constructs_without_driver_jobs(spark):
-    """The exact-cosine family must stay fully distributed: building the
-    sim_pairwise_cosine plan may not run ANY Spark job (round 1 collected
-    the whole embeddings corpus to the driver at plan-construction time —
-    a guaranteed driver OOM at 100 TB). Constructing under a dedicated job
-    group and asserting the group stays empty pins the no-collect shape."""
+@pytest.mark.parametrize("name", ["sim_pairwise_cosine", "sim_topk_arrow"])
+def test_cosine_family_constructs_without_driver_jobs(spark, name):
+    """The exact-cosine family must stay fully distributed: building these
+    plans may not run ANY Spark job (round 1 collected the whole embeddings
+    corpus to the driver at plan-construction time — a guaranteed driver
+    OOM at 100 TB; round 2's sim_topk_arrow still fetched the query row via
+    collect()). Constructing under a dedicated job group and asserting the
+    group stays empty pins the no-collect shape."""
     sc = spark.sparkContext
-    fn = registry.all_queries()["sim_pairwise_cosine"].fn
+    fn = registry.all_queries()[name].fn
     fn(spark, SF)  # warm io's footer-schema cache (a one-time metadata job)
     group = "plan-construction-probe"
-    sc.setJobGroup(group, "cosine_pairs construction must be lazy")
+    sc.setJobGroup(group, "plan construction must be lazy")
     try:
         df = fn(spark, SF)
     finally:
         sc.setJobGroup(None, None)
     assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
     plan = formatted_plan(df)
-    # the compute stage is the grouped Arrow matmul, fed by a hash shuffle
-    # on the block-pair id — no broadcast of the corpus, no cartesian
-    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
     assert "CartesianProduct" not in plan
+    if name == "sim_pairwise_cosine":
+        # the compute stage is the grouped Arrow matmul, fed by a hash shuffle
+        # on the block-pair id — no broadcast of the corpus, no cartesian
+        assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    else:
+        # the query row rides a broadcast into the Arrow kernel
+        assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+        assert "BroadcastExchange" in plan
+
+
+def test_lsh_verified_token_join_is_pair_driven(spark):
+    """dedup_lsh_verified's exact-jaccard stage must join the token stream
+    THROUGH the LSH candidate-pair frame: every join keyed on the token
+    column must also carry a doc-id key. A bare (w = w) join is the
+    quadratic token self-join that melts under stopword skew at 100 TB."""
+    import re
+
+    plan = plan_of(spark, "dedup_lsh_verified")
+    token_joins = 0
+    for side in ("Left", "Right"):
+        for m in re.finditer(rf"{side} keys \[\d+\]: \[([^\]]*)\]", plan):
+            keys = m.group(1)
+            if "w#" in keys:
+                token_joins += 1
+                assert "doc" in keys, f"token-only join keys: [{keys}]"
+    assert token_joins >= 2  # the (doc_id, w) probe join exists, both sides
+
+
+def test_token_rarity_vocab_broadcast_is_bounded(spark):
+    """text_token_rarity may only broadcast a CAPPED vocabulary: the plan
+    must take the top-K frequency rows (TakeOrderedAndProject with the
+    VOCAB_TOP_K limit) before any BroadcastExchange. An unlimited distinct-
+    token broadcast is billions of rows on a web corpus."""
+    from etl_financial_report_spark.operators.quality import VOCAB_TOP_K
+
+    plan = plan_of(spark, "text_token_rarity")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # formatted detail: "Arguments: <limit>, [<sort order>], ..."
+    assert f"Arguments: {VOCAB_TOP_K}, [cnt#" in plan
 
 
 def test_global_sort_is_range_partitioned(spark):

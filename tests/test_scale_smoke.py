@@ -1,0 +1,133 @@
+"""~sf1 scale smoke (VERDICT r2 task 4): the cheapest local proxy for the
+100x question. The big LLM-pipeline tables (documents / events / embeddings)
+are replicated 10x with shifted ids — replicas are EXACT near-dup clusters,
+deliberately the adversarial shape for dedup (every LSH band collides across
+replicas) — and the top shuffle-heavy queries run end-to-end on the result:
+
+  * dedup_lsh_verified    — minhash -> banding -> pair-driven exact verify
+  * dedup_components      — iterative label propagation over the pair graph
+  * sim_pairwise_cosine   — the blocked all-pairs grid, B raised to 16
+  * tpch_q21              — the decorrelated multi-pass lineitem query
+
+Each run records wall time + AQE/skew plan markers to SCALE_SMOKE.json at
+the repo root so round-over-round drift is visible. Structural assertions
+(cover-every-doc, replica pairs found) keep it a correctness smoke, not
+just a timing loop.
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark import registry
+from etl_financial_report_spark.io import TABLES, load_table
+from etl_financial_report_spark.plans import formatted_plan
+
+SRC_SF = "/root/testdata/sf0.1"
+REPLICAS = 10
+ID_OFFSET = 10_000_000
+ARTIFACT = "/root/repo/SCALE_SMOKE.json"
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="session")
+def sf1_dir(spark, tmp_path_factory):
+    """10x-replicated documents/events/embeddings; every other table is a
+    symlink to sf0.1 (read-only source, never written)."""
+    root = tmp_path_factory.mktemp("sf1")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    shifted = {
+        "documents": ("doc_id",),
+        "events": ("event_id", "user_id"),
+        "embeddings": ("vec_id",),
+    }
+    for name, id_cols in shifted.items():
+        df = load_table(spark, SRC_SF, name).select("*", rep)
+        for c in id_cols:
+            df = df.withColumn(c, F.col(c) + F.col("rep") * ID_OFFSET)
+        df.drop("rep").repartition(32).write.parquet(str(root / f"{name}.parquet"))
+    for name in TABLES:
+        if name not in shifted:
+            os.symlink(f"{SRC_SF}/{name}.parquet", str(root / f"{name}.parquet"))
+    return str(root)
+
+
+def _run(spark, name, make_df, record):
+    t0 = time.monotonic()
+    df = make_df()  # construction included: localCheckpoint stages run here
+    n = df.count()
+    elapsed = time.monotonic() - t0
+    plan = formatted_plan(df)  # post-action: AQE-final plan
+    record[name] = {
+        "rows": n,
+        "sec": round(elapsed, 2),
+        "adaptive": "AdaptiveSparkPlan" in plan,
+        "aqe_coalesced_read": "AQEShuffleRead" in plan,
+        "skewed_join": "skew=true" in plan,
+    }
+    return df, n
+
+
+@pytest.fixture(scope="session")
+def smoke_record():
+    rec = {}
+    yield rec
+    with open(ARTIFACT, "w") as f:
+        json.dump({"sf": "sf0.1 x 10", "queries": rec}, f, indent=1, sort_keys=True)
+
+
+def test_lsh_verified_finds_replica_pairs(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "dedup_lsh_verified",
+        lambda: registry.all_queries()["dedup_lsh_verified"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    # every base doc's 10 replicas are identical -> C(10,2) candidate pairs
+    # per base doc must surface and verify as dups (jaccard 1.0)
+    n_base = 5000
+    min_replica_pairs = n_base * REPLICAS * (REPLICAS - 1) // 2
+    assert n >= min_replica_pairs
+    dup_pairs = df.where(F.col("is_dup")).count()
+    assert dup_pairs >= min_replica_pairs
+
+
+def test_components_cover_scaled_corpus(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "dedup_components",
+        lambda: registry.all_queries()["dedup_components"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    n_docs = load_table(spark, sf1_dir, "documents").count()
+    assert n == n_docs
+    # replicas collapse: far fewer components than documents
+    n_components = df.select("component").distinct().count()
+    assert n_components <= n_docs // REPLICAS
+
+
+def test_blocked_cosine_at_scale(spark, sf1_dir, smoke_record):
+    from etl_financial_report_spark.operators.similarity import cosine_pairs
+
+    df, n = _run(
+        spark,
+        "sim_pairwise_cosine_b16",
+        lambda: cosine_pairs(spark, sf1_dir, threshold=0.3, n_blocks=16),
+        smoke_record,
+    )
+    # identical replicas guarantee C(10,2) cosine-1.0 pairs per base vector
+    assert n >= 2000 * REPLICAS * (REPLICAS - 1) // 2
+
+
+def test_q21_runs_at_scale(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "tpch_q21",
+        lambda: registry.all_queries()["tpch_q21_sole_blame_supplier"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n > 0

@@ -1,0 +1,38 @@
+"""The cosine block-grid size B is a physical parameter only: any B >= 1
+must produce the identical pair set (the grid changes which task computes a
+pair, never whether it is computed). B is derived from the corpus row count
+(parquet footer) + cluster parallelism by default — these tests pin both
+the invariance and the derivation's two constraints."""
+
+import math
+
+from etl_financial_report_spark.operators.similarity import (
+    COSINE_BLOCK_TARGET_ROWS,
+    _derive_n_blocks,
+    cosine_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(spark, n_blocks):
+    rows = cosine_pairs(spark, SF, threshold=0.3, n_blocks=n_blocks).collect()
+    return sorted((r.vec_a, r.vec_b, r.cosine) for r in rows)
+
+
+def test_block_count_does_not_change_output(spark):
+    assert _pairs(spark, 3) == _pairs(spark, 8)
+
+
+def test_derived_blocks_cover_parallelism_and_memory(spark):
+    b = _derive_n_blocks(spark, SF)
+    parallelism = spark.sparkContext.defaultParallelism
+    # grid must have enough groups to feed the cluster...
+    assert b * (b + 1) // 2 >= parallelism
+    # ...and the derivation must scale linearly once the corpus outgrows the
+    # per-block memory target (synthetic check on the formula's memory term)
+    from etl_financial_report_spark.operators import similarity
+
+    n_huge = 10_000_000
+    assert math.ceil(n_huge / COSINE_BLOCK_TARGET_ROWS) == 100
+    assert similarity.COSINE_BLOCK_TARGET_ROWS * 2 * 64 * 8 < 512 * 1024 * 1024

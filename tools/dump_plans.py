@@ -74,9 +74,17 @@ HEADLINERS = {
         "window over the aggregate (one evaluation of the subtree)."
     ),
     "text_token_rarity": (
-        "Corpus-frequency scoring: vocabulary dimension aggregated once and "
-        "broadcast back onto the token stream — the big side never shuffles "
-        "on token; per-doc rollup is the only wide exchange."
+        "Corpus-frequency scoring with a BOUNDED vocabulary: only the top-K "
+        "most frequent tokens (TakeOrderedAndProject) ride the broadcast "
+        "back onto the token stream, tail tokens default to rare — the big "
+        "side never shuffles on token and the broadcast stays capped at any "
+        "corpus size; per-doc rollup is the only wide exchange."
+    ),
+    "dedup_lsh_verified": (
+        "End-to-end scale dedup: minhash banding makes candidates (equi-join "
+        "on band keys), then the exact token-jaccard verdict joins the token "
+        "stream THROUGH the pair frame — every token join keyed (doc_id, w), "
+        "the token stream never self-joins."
     ),
     "j_salted_skew_join": (
         "Manual skew-join split: fact side salted, dim side exploded per "
