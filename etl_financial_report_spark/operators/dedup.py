@@ -443,6 +443,235 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: containment verdict bar for LSH candidates (the bounded demo's 0.9)
+VERIFY_CONTAINMENT = 0.9
+
+
+@register(
+    "dedup_containment_verified",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM pairs p
+    JOIN toks a ON a.doc_id = p.doc_a
+    JOIN toks b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(i.n_shared, 0) AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       (sa.n < sb.n) AS smaller_is_a,
+       (CAST(COALESCE(i.n_shared, 0) AS DOUBLE) / least(sa.n, sb.n)
+           >= {VERIFY_CONTAINMENT}) AS is_dup
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+""",
+    doc=(
+        "Containment verdicts for LSH candidates over the FULL corpus — the "
+        "scale path for quote/subset dup detection (a doc fully embedded in "
+        "a 10x-longer one has jaccard ~0.1 but containment 1.0, the common "
+        "boilerplate-wrapper web-dup shape). Same pair-driven containment "
+        "stage as the bounded demo; candidates from minhash banding."
+    ),
+)
+def dedup_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    verdicts = containment(pairs, distinct_tokens(docs))
+    return verdicts.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "containment",
+        "smaller_is_a",
+        (F.col("containment") >= VERIFY_CONTAINMENT).alias("is_dup"),
+    )
+
+
+#: ground-truth jaccard bar for the recall eval — matched to the banding
+#: config's estimand (4 bands x 2 hashes surface j>=0.5 pairs w.h.p.)
+TRUTH_JACCARD = 0.5
+
+#: bounded eval slice (all-pairs ground truth is O(slice^2) by definition)
+EVAL_SLICE = 150
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+lsh AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.doc_id < {EVAL_SLICE} AND b.doc_id < {EVAL_SLICE}
+),
+sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS w
+    FROM documents WHERE doc_id < {EVAL_SLICE}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+allp AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM allp p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY p.doc_a, p.doc_b
+),
+truth AS (
+    SELECT p.doc_a, p.doc_b
+    FROM allp p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    WHERE CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+          / (sa.n + sb.n - COALESCE(i.n_shared, 0)) >= {TRUTH_JACCARD}
+),
+hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_overlap,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+           / (SELECT COUNT(*) FROM truth) AS recall,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+           / (SELECT COUNT(*) FROM lsh) AS precision_at_truth
+""",
+    doc=(
+        "LSH banding recall eval: exact shingle-jaccard ground truth over a "
+        "bounded all-pairs slice vs the banding's candidate pairs on the "
+        "same slice — the dedup twin of sim_ann_recall_eval, and the number "
+        "that justifies a banding config before a 100 TB run (4 bands x 2 "
+        "hashes -> P[candidate] = 1-(1-j^2)^4, ~0.68 at j=0.5). Ground "
+        "truth reuses the SAME pair-driven exact_jaccard stage, fed shingle "
+        "rows instead of word tokens — the stage is measure-agnostic."
+    ),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < EVAL_SLICE)
+    sh = (
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+    )
+    ids = sh.select("doc_id").distinct()
+    allp = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    truth = (
+        exact_jaccard(allp, sh)
+        .where(F.col("jaccard") >= TRUTH_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    lsh = dedup_minhash_lsh_pairs(spark, sf_dir).where(
+        (F.col("doc_a") < EVAL_SLICE) & (F.col("doc_b") < EVAL_SLICE)
+    )
+    hit = truth.join(lsh, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_candidates"))))
+        .join(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_overlap"))))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_overlap").cast("double") / F.col("n_candidates")).alias(
+                "precision_at_truth"
+            ),
+        )
+    )
+
+
+# -------------------------------------------------------- decontamination
+
+#: held-out "benchmark" slice: everything from this source plays the role
+#: of an eval set the training corpus must not leak
+DECONTAM_HOLDOUT = "src0"
+
+#: fraction of a doc's shingles found in the benchmark set -> contaminated
+DECONTAM_FRAC = 0.5
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, source, unnest({_SHINGLES_SQL}) AS w FROM documents
+),
+bench AS (SELECT DISTINCT w FROM sh WHERE source = '{DECONTAM_HOLDOUT}'),
+corpus AS (SELECT doc_id, w FROM sh WHERE source <> '{DECONTAM_HOLDOUT}'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+    SELECT c.doc_id, COUNT(*) AS n_contaminated
+    FROM corpus c JOIN bench b ON c.w = b.w
+    GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_grams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_grams AS contamination_frac,
+       (CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_grams
+           >= {DECONTAM_FRAC}) AS is_contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+""",
+    doc=(
+        "Train/eval decontamination: flag corpus documents whose word-3-gram "
+        "shingles overlap a held-out benchmark slice — the standard 'remove "
+        "test-set leakage before training' pass. The benchmark gram set is "
+        "the small side (eval suites are tiny next to a 100 TB corpus) and "
+        "the overlap is one equi-join on the gram, grouped per document; "
+        "docs with zero overlap still report an explicit 0 (left join), "
+        "because decontamination must PROVE cleanliness, not just list hits."
+    ),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", "source", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+    )
+    bench = sh.where(F.col("source") == DECONTAM_HOLDOUT).select("w").distinct()
+    corpus = sh.where(F.col("source") != DECONTAM_HOLDOUT).select("doc_id", "w")
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = corpus.join(bench, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    contaminated = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    frac = contaminated.cast("double") / F.col("n_grams")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            contaminated.cast("long").alias("n_contaminated"),
+            frac.alias("contamination_frac"),
+            (frac >= DECONTAM_FRAC).alias("is_contaminated"),
+        )
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 _EMB_DUP_THRESHOLD = 0.3  # synthetic-corpus threshold; production near-dup ~0.95
