@@ -412,3 +412,136 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_kept"),
     )
+
+
+@register(
+    "pipeline_keep_manifest",
+    oracle="""
+WITH canon AS (
+    SELECT doc_id, source, text,
+           md5(trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))) AS ck,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
+    FROM documents
+),
+verdict AS (
+    SELECT doc_id, source,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY ck)) AS is_canonical,
+           (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.3) AS passes_quality
+    FROM canon
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                ELSE list_distinct(list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 2),
+                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                              || ' ' || string_split(text, ' ')[i+2]))
+           END) AS w
+    FROM documents
+),
+bench AS (SELECT DISTINCT w FROM sh WHERE source = 'src0'),
+corpus AS (SELECT doc_id, w FROM sh WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+    SELECT c.doc_id, COUNT(*) AS n_contaminated
+    FROM corpus c JOIN bench b ON c.w = b.w GROUP BY c.doc_id
+),
+contam AS (
+    SELECT s.doc_id,
+           (CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_grams >= 0.5)
+               AS is_contaminated
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+)
+SELECT v.doc_id, v.source, v.is_canonical, v.passes_quality, c.is_contaminated,
+       (v.source <> 'src0' AND v.is_canonical AND v.passes_quality
+        AND NOT COALESCE(c.is_contaminated, FALSE)) AS keep,
+       CASE WHEN v.source = 'src0' THEN 'holdout'
+            WHEN NOT v.is_canonical THEN 'duplicate'
+            WHEN NOT v.passes_quality THEN 'quality'
+            WHEN COALESCE(c.is_contaminated, FALSE) THEN 'contaminated'
+            ELSE NULL END AS drop_reason
+FROM verdict v LEFT JOIN contam c ON c.doc_id = v.doc_id
+""",
+    doc=(
+        "The per-document keep manifest — the row-level operational output a "
+        "training-data build actually consumes (pipeline_corpus_clean is its "
+        "per-source accounting rollup): every gate's verdict side by side "
+        "(canonical-per-cluster, Gopher-style quality, benchmark "
+        "decontamination, holdout exclusion), one final keep bit, and the "
+        "FIRST failing gate as an explicit drop_reason so corpus composition "
+        "changes are attributable. All verdicts compose in one plan: one "
+        "shuffle on the canonical hash, one gram equi-join against the tiny "
+        "benchmark side, one doc_id join to stitch — nothing rescans, "
+        "nothing collects."
+    ),
+)
+def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import DECONTAM_FRAC, DECONTAM_HOLDOUT, _shingles
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    docs = load_table(spark, sf_dir, "documents")
+    ck = F.md5(F.trim(F.regexp_replace(nfc(F.lower(F.col("text"))), r"\s+", " ")))
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    w = Window.partitionBy("ck")
+    verdict = docs.select(
+        "doc_id", "source", ck.alias("ck"), n_tokens.alias("n_tokens"), n_stop.alias("n_stop")
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.3)
+        ).alias("passes_quality"),
+    )
+    sh = (
+        docs.select("doc_id", "source", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", "source", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+    )
+    bench = sh.where(F.col("source") == DECONTAM_HOLDOUT).select("w").distinct()
+    corpus = sh.where(F.col("source") != DECONTAM_HOLDOUT).select("doc_id", "w")
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = corpus.join(bench, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    contam = sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double") / F.col("n_grams")
+            >= DECONTAM_FRAC
+        ).alias("is_contaminated"),
+    )
+    out = verdict.join(contam, "doc_id", "left")
+    contaminated = F.coalesce(F.col("is_contaminated"), F.lit(False))
+    keep = (
+        (F.col("source") != DECONTAM_HOLDOUT)
+        & F.col("is_canonical")
+        & F.col("passes_quality")
+        & ~contaminated
+    )
+    reason = (
+        F.when(F.col("source") == DECONTAM_HOLDOUT, "holdout")
+        .when(~F.col("is_canonical"), "duplicate")
+        .when(~F.col("passes_quality"), "quality")
+        .when(contaminated, "contaminated")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "is_canonical",
+        "passes_quality",
+        "is_contaminated",
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
