@@ -3,11 +3,13 @@ the standard LLM-training-data gates — repetition filters (Gopher-style),
 cross-document boilerplate detection, corpus-frequency rarity scoring
 (CCNet-style, without the LM), and PII-shape redaction.
 
-All native Spark expressions; the only shuffles are the per-token
-aggregations, which are two-phase (partial map-side combine) and whose
-dimension side (the vocabulary) is tiny -> broadcast back. Cross-engine
-determinism: integer counts throughout, a single double division at the
-end (registry.py header rules).
+All native Spark expressions; the only shuffles are the per-token/span
+aggregations, which are two-phase (partial map-side combine). Dimension
+sides are bounded before any broadcast (the rarity vocabulary is capped
+at its top-K head); unbounded dimensions (the span space) stay in
+co-partitioned shuffles, never a broadcast. Cross-engine determinism:
+integer counts throughout, a single double division at the end
+(registry.py header rules).
 """
 
 from __future__ import annotations
@@ -324,4 +326,75 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("source", "tok", "cnt", "lift", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= SALIENT_TOP_K)
+    )
+
+
+#: positional span width for cross-document duplication scoring
+SPAN_N = 10
+
+_SPAN_CONCAT_SQL = " || ' ' || ".join(f"toks[i + {k}]" for k in range(SPAN_N))
+
+
+@register(
+    "text_dup_span_frac",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sp AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < {SPAN_N} THEN [md5(list_aggregate(toks, 'string_agg', ' '))]
+                ELSE list_transform(generate_series(1, len(toks) - {SPAN_N - 1}),
+                                    i -> md5({_SPAN_CONCAT_SQL}))
+           END) AS sh
+    FROM t
+),
+counted AS (
+    SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS c FROM sp
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac
+FROM counted
+GROUP BY doc_id
+""",
+    doc=(
+        "Cross-document duplicate-span fraction (the Gopher/Dolma "
+        f"'duplicated {SPAN_N}-gram' filter): every positional {SPAN_N}-token "
+        "span is hashed, counted corpus-wide, and each document scores the "
+        "fraction of its spans that occur 2+ times anywhere — the metric "
+        "that catches template text and boilerplate BETWEEN documents, "
+        "which within-doc repetition stats (text_repetition_stats) cannot "
+        "see. Spans shuffle as 16-byte md5 keys, the corpus-wide count is "
+        "a window over that one span shuffle (no dimension table, no "
+        "broadcast — the span vocabulary is unbounded), and the per-doc "
+        "rollup is the second and last exchange. Short docs fall back to "
+        "one whole-text span, so every document is scored."
+    ),
+)
+def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(SPAN_N)])
+        ),
+    )
+    guarded = F.when(
+        F.size(toks) < SPAN_N, F.array(F.md5(F.concat_ws(" ", toks)))
+    ).otherwise(spans)
+    sp = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(guarded).alias("sh")
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    counted = sp.select("doc_id", c.alias("c"))
+    dup = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        dup.cast("long").alias("n_dup_spans"),
+        (dup.cast("double") / F.count(F.lit(1))).alias("dup_span_frac"),
     )

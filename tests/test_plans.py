@@ -170,6 +170,27 @@ def test_token_rarity_vocab_broadcast_is_bounded(spark):
     assert f"Arguments: {VOCAB_TOP_K}, [cnt#" in plan
 
 
+def test_dup_span_frac_never_broadcasts_the_span_space(spark):
+    """text_dup_span_frac's span dimension is unbounded (one entry per
+    distinct 10-gram in the corpus) — it must stay in a co-partitioned
+    shuffle + window, never a broadcast, and spans must travel as md5
+    hashes, not raw 10-token strings."""
+    plan = plan_of(spark, "text_dup_span_frac")
+    assert "BroadcastExchange" not in plan
+    assert "Window" in plan
+    assert "md5" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_decontaminate", "pipeline_keep_manifest"])
+def test_decontamination_joins_are_equi(spark, name):
+    """The benchmark-overlap join is an equi-join on the gram (and the
+    stitch joins are equi on doc_id) — no nested-loop or cartesian
+    anywhere in the corpus-sized path."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_global_sort_is_range_partitioned(spark):
     """o_global_sort must plan a RangePartitioning exchange + distributed
     sort, not a single-reducer sort or a TakeOrdered collapse."""

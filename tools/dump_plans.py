@@ -86,6 +86,16 @@ HEADLINERS = {
         "stream THROUGH the pair frame — every token join keyed (doc_id, w), "
         "the token stream never self-joins."
     ),
+    "text_dup_span_frac": (
+        "Cross-doc duplicate-span scoring with an unbounded span space: "
+        "corpus-wide span count as a window over ONE md5-keyed span "
+        "shuffle — no dimension table, no broadcast anywhere."
+    ),
+    "pipeline_keep_manifest": (
+        "Per-doc keep manifest: canonical-hash window, quality gate "
+        "expressions fused into the scan stage, benchmark-gram equi-join, "
+        "one doc_id stitch join — four gates, one plan, no cartesian."
+    ),
     "j_salted_skew_join": (
         "Manual skew-join split: fact side salted, dim side exploded per "
         "salt, SortMergeJoin on (key, salt) — one hot key spreads over "
