@@ -39,9 +39,14 @@ def main() -> None:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(registry.all_queries().items()):
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # one bad query must not zero out the artifact
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -52,6 +57,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
     # Full per-query record -> disk (BENCH.json). The driver captures only
     # the LAST ~2000 chars of stdout, so the full 147-query JSON line got
     # truncated mid-line in round 1 ("parsed": null). stdout now carries a
@@ -65,8 +72,10 @@ def main() -> None:
     n_slowest = 25
     while n_slowest > 0:
         compact = dict(result)
+        compact.pop("errors", None)
         compact["queries"] = dict(sorted(keep[:n_slowest]))
         compact["n_queries"] = len(timings)
+        compact["n_errors"] = len(errors)
         compact["queries_full"] = "BENCH.json"
         line = json.dumps(compact)
         if len(line) <= 1800:

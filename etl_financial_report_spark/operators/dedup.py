@@ -554,9 +554,9 @@ SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
        CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_candidates,
        CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_overlap,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-           / (SELECT COUNT(*) FROM truth) AS recall,
+           / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-           / (SELECT COUNT(*) FROM lsh) AS precision_at_truth
+           / NULLIF((SELECT COUNT(*) FROM lsh), 0) AS precision_at_truth
 """,
     doc=(
         "LSH banding recall eval: exact shingle-jaccard ground truth over a "
@@ -597,10 +597,14 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             "n_candidates",
             "n_overlap",
-            (F.col("n_overlap").cast("double") / F.col("n_truth")).alias("recall"),
-            (F.col("n_overlap").cast("double") / F.col("n_candidates")).alias(
-                "precision_at_truth"
+            # empty slices are a legal input (an eval over a clean corpus):
+            # NULL metric, never an ANSI divide-by-zero abort
+            F.try_divide(F.col("n_overlap").cast("double"), F.col("n_truth")).alias(
+                "recall"
             ),
+            F.try_divide(
+                F.col("n_overlap").cast("double"), F.col("n_candidates")
+            ).alias("precision_at_truth"),
         )
     )
 

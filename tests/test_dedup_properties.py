@@ -1,0 +1,53 @@
+"""Property-based checks for the pair-driven verifier stages: for random
+tiny corpora, exact_jaccard / containment over ALL pairs must equal a
+brute-force set computation in Python — the stages' equi-join +
+left-join plumbing may never drop, duplicate, or misattribute a pair.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_financial_report_spark.operators.dedup import (
+    containment,
+    distinct_tokens,
+    exact_jaccard,
+)
+
+_word = st.sampled_from(["a", "b", "c", "d", "e"])
+_doc = st.lists(_word, min_size=1, max_size=6).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=5)
+
+
+def _spark_stage(spark, corpus, fn):
+    docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(len(corpus)) for j in range(i + 1, len(corpus))],
+        ["doc_a", "doc_b"],
+    )
+    return {(r.doc_a, r.doc_b): r for r in fn(pairs, distinct_tokens(docs)).collect()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus)
+def test_exact_jaccard_matches_set_math(spark, corpus):
+    got = _spark_stage(spark, corpus, exact_jaccard)
+    sets = [set(t.split(" ")) for t in corpus]
+    assert set(got) == {(i, j) for i in range(len(sets)) for j in range(i + 1, len(sets))}
+    for (i, j), row in got.items():
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        assert row.n_shared == inter
+        assert row.jaccard == inter / union
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus)
+def test_containment_matches_set_math(spark, corpus):
+    got = _spark_stage(spark, corpus, containment)
+    sets = [set(t.split(" ")) for t in corpus]
+    for (i, j), row in got.items():
+        inter = len(sets[i] & sets[j])
+        assert row.containment == inter / min(len(sets[i]), len(sets[j]))
+        assert row.smaller_is_a is (len(sets[i]) < len(sets[j]))
+        # containment dominates jaccard by construction
+        assert row.containment >= inter / len(sets[i] | sets[j])

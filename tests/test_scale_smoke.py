@@ -123,6 +123,39 @@ def test_blocked_cosine_at_scale(spark, sf1_dir, smoke_record):
     assert n >= 2000 * REPLICAS * (REPLICAS - 1) // 2
 
 
+def test_dup_span_frac_at_scale(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "text_dup_span_frac",
+        lambda: registry.all_queries()["text_dup_span_frac"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    n_docs = load_table(spark, sf1_dir, "documents").count()
+    assert n == n_docs
+    # replicas make every span a cross-doc duplicate: the corpus-wide
+    # window must score (almost) everything dup
+    full_dup = df.where(F.col("dup_span_frac") == 1.0).count()
+    assert full_dup == n_docs
+
+
+def test_decontaminate_at_scale(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "dedup_decontaminate",
+        lambda: registry.all_queries()["dedup_decontaminate"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    # every non-holdout doc is scored, including explicit zeros
+    from etl_financial_report_spark.operators.dedup import DECONTAM_HOLDOUT
+
+    n_corpus = (
+        load_table(spark, sf1_dir, "documents")
+        .where(F.col("source") != DECONTAM_HOLDOUT)
+        .count()
+    )
+    assert n == n_corpus
+
+
 def test_q21_runs_at_scale(spark, sf1_dir, smoke_record):
     df, n = _run(
         spark,
