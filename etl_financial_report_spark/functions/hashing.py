@@ -85,3 +85,22 @@ def simhash_bit(md5_col: Column, bit: int) -> Column:
 def simhash_bit_sql(md5_expr: str, bit: int) -> str:
     hi = ", ".join(f"'{c}'" for c in HI_NIBBLE)
     return f"CASE WHEN substr({md5_expr}, {bit}, 1) IN ({hi}) THEN 1 ELSE -1 END"
+
+
+#: hex digits whose SECOND-highest bit (value 4) is set — the second
+#: independent +-1 decision extractable from one nibble
+BIT2_NIBBLE = ("4", "5", "6", "7", "c", "d", "e", "f")
+
+
+def simhash_bit2(md5_col: Column, pos: int) -> Column:
+    """+1/-1 from the second-highest bit of nibble ``pos`` (1..32) of a
+    precomputed md5 hex column — together with :func:`simhash_bit` this
+    yields 64 independent decisions from one 32-digit md5, so a 64-bit
+    SimHash still hashes each token exactly once."""
+    nibble = F.substring(md5_col, pos, 1)
+    return F.when(nibble.isin(*BIT2_NIBBLE), 1).otherwise(-1)
+
+
+def simhash_bit2_sql(md5_expr: str, pos: int) -> str:
+    b2 = ", ".join(f"'{c}'" for c in BIT2_NIBBLE)
+    return f"CASE WHEN substr({md5_expr}, {pos}, 1) IN ({b2}) THEN 1 ELSE -1 END"

@@ -1055,3 +1055,144 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- 64-bit simhash (scale)
+
+#: the 16-bit signature above saturates once the corpus outgrows 2^16
+#: distinguishable neighborhoods (~65k docs); production simhash is 64-bit.
+#: 64 independent +-1 decisions come from one md5 per SHINGLE (high bit of
+#: each of the 32 nibbles + second bit of each nibble) — shingles, not
+#: tokens, so word ORDER differentiates docs drawn from a small vocabulary.
+N_SIM64_BLOCKS = 4        # 4 x 16-bit blocks
+MAX_HAMMING64 = 3         # pigeonhole: hamming<=3 -> >=1 of 4 blocks equal
+
+
+def _sim64_block_sql(j: int) -> str:
+    from ..functions.hashing import simhash_bit2_sql, simhash_bit_sql
+
+    terms = []
+    for i in range(16):
+        p = j * 16 + i
+        dec = simhash_bit_sql("mw", p + 1) if p < 32 else simhash_bit2_sql("mw", p - 31)
+        terms.append(f"(CASE WHEN SUM({dec}) >= 0 THEN {2 ** (15 - i)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sim64_block_col(j: int):
+    from ..functions.hashing import simhash_bit, simhash_bit2
+
+    parts = []
+    for i in range(16):
+        p = j * 16 + i
+        dec = (
+            simhash_bit(F.col("mw"), p + 1) if p < 32 else simhash_bit2(F.col("mw"), p - 31)
+        )
+        s = F.sum(dec)
+        parts.append(F.when(s >= 0, F.lit(2 ** (15 - i))).otherwise(F.lit(0)))
+    out = parts[0]
+    for b in parts[1:]:
+        out = out + b
+    return out
+
+
+_SIM64_SIG_SQL = f"""
+SELECT doc_id, {", ".join(f"{_sim64_block_sql(j)} AS b{j}" for j in range(N_SIM64_BLOCKS))}
+FROM (SELECT doc_id, md5(w) AS mw
+      FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents))
+GROUP BY doc_id
+"""
+
+
+def _simhash64_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+        .select("doc_id", F.md5("w").alias("mw"))
+    )
+    return sh.groupBy("doc_id").agg(
+        *[_sim64_block_col(j).cast("int").alias(f"b{j}") for j in range(N_SIM64_BLOCKS)]
+    )
+
+
+@register(
+    "dedup_simhash64",
+    oracle=_SIM64_SIG_SQL,
+    doc=(
+        "64-bit SimHash signatures stored as 4 x 16-bit block ints (b0..b3 "
+        "— the pigeonhole layout, and it sidesteps int64 sign overflow). "
+        "Majority vote over one md5 per distinct word-3-gram shingle; 64 "
+        "decisions per shingle from one hash (both top bits of every "
+        "nibble), so the shingle stream is hashed exactly once."
+    ),
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash64_signature(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash64_hamming",
+    oracle=f"""
+WITH sig AS ({_SIM64_SIG_SQL}),
+blocks AS (
+    {" UNION ALL ".join(f"SELECT doc_id, b0, b1, b2, b3, {j} AS block_idx, b{j} AS block_val FROM sig" for j in range(N_SIM64_BLOCKS))}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {", ".join(f"a.b{j} AS a{j}, b.b{j} AS c{j}" for j in range(N_SIM64_BLOCKS))}
+    FROM blocks a JOIN blocks b
+      ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({" + ".join(f"bit_count(xor(a{j}, c{j}))" for j in range(N_SIM64_BLOCKS))} AS INTEGER)
+           AS hamming
+FROM cand
+WHERE {" + ".join(f"bit_count(xor(a{j}, c{j}))" for j in range(N_SIM64_BLOCKS))} <= {MAX_HAMMING64}
+""",
+    doc=(
+        f"64-bit SimHash near-dup pairs within hamming distance {MAX_HAMMING64} "
+        "over the FULL corpus — no doc_id bound anywhere: by pigeonhole every "
+        f"<= {MAX_HAMMING64}-bit pair agrees exactly on >= 1 of the 4 16-bit "
+        "blocks, so candidates come from an equi-join on (block_idx, "
+        "block_val) and the exact hamming filter runs only on collisions. "
+        "This is the signature width/blocking that survives web scale; the "
+        "16-bit dedup_simhash_hamming stays as the bounded oracle demo."
+    ),
+)
+def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash64_signature(spark, sf_dir).localCheckpoint()
+    block_structs = F.array(
+        *[
+            F.struct(F.lit(j).alias("block_idx"), F.col(f"b{j}").alias("block_val"))
+            for j in range(N_SIM64_BLOCKS)
+        ]
+    )
+    blocks = sig.select("doc_id", "b0", "b1", "b2", "b3", F.explode(block_structs).alias("g")).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("g.block_idx").alias("block_idx"),
+        F.col("g.block_val").alias("block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.b{j}").alias(f"a{j}") for j in range(N_SIM64_BLOCKS)],
+            *[F.col(f"b.b{j}").alias(f"c{j}") for j in range(N_SIM64_BLOCKS)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(N_SIM64_BLOCKS)
+    ).cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= MAX_HAMMING64
+    )
