@@ -181,11 +181,13 @@ def test_dup_span_frac_never_broadcasts_the_span_space(spark):
     assert "md5" in plan
 
 
-@pytest.mark.parametrize("name", ["dedup_decontaminate", "pipeline_keep_manifest"])
-def test_decontamination_joins_are_equi(spark, name):
-    """The benchmark-overlap join is an equi-join on the gram (and the
-    stitch joins are equi on doc_id) — no nested-loop or cartesian
-    anywhere in the corpus-sized path."""
+@pytest.mark.parametrize(
+    "name", ["dedup_decontaminate", "pipeline_keep_manifest", "dedup_simhash64_hamming"]
+)
+def test_corpus_sized_joins_are_equi(spark, name):
+    """Corpus-sized paths (benchmark-overlap gram join, keep-manifest
+    stitches, simhash pigeonhole block join) must plan as equi joins —
+    no nested-loop or cartesian fallback anywhere."""
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -156,6 +156,20 @@ def test_decontaminate_at_scale(spark, sf1_dir, smoke_record):
     assert n == n_corpus
 
 
+def test_simhash64_hamming_at_scale(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "dedup_simhash64_hamming",
+        lambda: registry.all_queries()["dedup_simhash64_hamming"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    # identical replicas share the full 64-bit signature: every replica
+    # pair collides on all 4 pigeonhole blocks at hamming 0
+    n_base = 5000
+    assert n >= n_base * REPLICAS * (REPLICAS - 1) // 2
+    assert df.where(F.col("hamming") == 0).count() >= n_base * REPLICAS * (REPLICAS - 1) // 2
+
+
 def test_q21_runs_at_scale(spark, sf1_dir, smoke_record):
     df, n = _run(
         spark,
