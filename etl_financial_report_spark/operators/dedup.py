@@ -1158,10 +1158,16 @@ WHERE {" + ".join(f"bit_count(xor(a{j}, c{j}))" for j in range(N_SIM64_BLOCKS))}
         "blocks, so candidates come from an equi-join on (block_idx, "
         "block_val) and the exact hamming filter runs only on collisions. "
         "This is the signature width/blocking that survives web scale; the "
-        "16-bit dedup_simhash_hamming stays as the bounded oracle demo."
+        "16-bit dedup_simhash_hamming stays as the bounded oracle demo. "
+        "``max_bucket`` (default None = exact) drops over-common block "
+        "values before pairing — the Dolma-style guard against hash-skew "
+        "buckets whose pair fan-out is quadratic without being near-dups; "
+        "a production run sets it to a few hundred and logs what it drops."
     ),
 )
-def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash64_hamming(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     sig = _simhash64_signature(spark, sf_dir).localCheckpoint()
     block_structs = F.array(
         *[
@@ -1174,6 +1180,15 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g.block_idx").alias("block_idx"),
         F.col("g.block_val").alias("block_val"),
     )
+    if max_bucket is not None:
+        # drop over-common block values BEFORE the self-join: one window
+        # count over the same (block_idx, block_val) shuffle the join needs
+        bucket_n = F.count(F.lit(1)).over(
+            Window.partitionBy("block_idx", "block_val")
+        )
+        blocks = blocks.withColumn("bucket_n", bucket_n).where(
+            F.col("bucket_n") <= max_bucket
+        ).drop("bucket_n")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

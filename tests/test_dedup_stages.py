@@ -50,3 +50,20 @@ def test_containment_is_pair_driven(spark):
     assert out[(1, 5)].containment == 1.0
     assert out[(1, 5)].smaller_is_a is False  # |A|=4 > |B|=2
     assert out[(2, 4)].containment == 0.0
+
+
+def test_simhash64_bucket_cap_prunes_hot_buckets(spark):
+    """max_bucket=None is exact; a huge cap changes nothing; cap=1 kills
+    every candidate (any collision implies bucket size >= 2) — the
+    Dolma-style hash-skew guard is a strict pre-join filter, not a
+    post-hoc sample."""
+    from etl_financial_report_spark.operators.dedup import dedup_simhash64_hamming
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.doc_a, r.doc_b) for r in dedup_simhash64_hamming(spark, sf).collect()}
+    huge = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash64_hamming(spark, sf, max_bucket=10**6).collect()
+    }
+    assert huge == exact
+    assert dedup_simhash64_hamming(spark, sf, max_bucket=1).count() == 0
