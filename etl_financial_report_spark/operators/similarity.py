@@ -651,3 +651,66 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap").cast("double") / F.col("n_true")).alias("recall_at_10"),
         )
     )
+
+
+# ------------------------------------------------------------- batch ANN
+
+N_QUERY_BATCH = 8  # deterministic query set: the first 8 vectors
+
+
+@register(
+    "sim_ann_topk_batch",
+    oracle=f"""
+WITH {_Q_CTE},
+qex AS (SELECT vec_id AS q_id, i, v FROM ex WHERE vec_id < {N_QUERY_BATCH}),
+qn AS (SELECT vec_id AS q_id, nsq FROM norms WHERE vec_id < {N_QUERY_BATCH}),
+dots AS (
+    SELECT c.vec_id, qex.q_id, SUM(c.v * qex.v) AS dot
+    FROM ex c JOIN qex ON c.i = qex.i
+    WHERE c.vec_id >= {N_QUERY_BATCH}
+    GROUP BY c.vec_id, qex.q_id
+),
+scored AS (
+    SELECT d.q_id, d.vec_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN qn ON qn.q_id = d.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+""",
+    doc=(
+        f"Batch ANN: exact top-10 for {N_QUERY_BATCH} query vectors in ONE "
+        "corpus pass — the realistic serving shape (per-query jobs rescan "
+        "the corpus N times). The query block rides a broadcast, every "
+        "corpus row scores against all queries in the same task, and the "
+        "per-query top-k is a rank window partitioned by query id, so the "
+        "only wide exchange carries q_id-keyed score rows. Same exact "
+        "quantized cosine and total order as sim_ann_topk."
+    ),
+)
+def sim_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    qv = _quantized(spark, sf_dir)
+    queries = qv.where(F.col("vec_id") < N_QUERY_BATCH).select(
+        F.col("vec_id").alias("q_id"), F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    scored = (
+        qv.where(F.col("vec_id") >= N_QUERY_BATCH)
+        .crossJoin(F.broadcast(queries))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "rank", "vec_id", "cosine")
+    )
