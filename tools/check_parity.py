@@ -70,12 +70,33 @@ def normalize(df: pd.DataFrame):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help=(
+            "build a driver-like session (non-UTC tz, default confs) instead "
+            "of get_spark — every query must still pass, because the driver "
+            "constructs its own session and only prep_session (applied per "
+            "query by the registry wrapper) may be relied on"
+        ),
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     all_q = registry.all_queries()
     names = args.names or sorted(all_q)
-    spark = get_spark("parity-check")
+    if args.hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-hostile")
+            .config("spark.sql.session.timeZone", "Asia/Jakarta")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("parity-check")
     con = duck_con(args.sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
