@@ -61,6 +61,11 @@ def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: target shard size in characters (stand-in for tokens on the testdata)
 _SHARD_BUDGET = 50_000
 
+#: docs per prefix-sum group: the corpus-sized window partitions by
+#: doc_id DIV this, so one reducer only ever sorts G rows; the second-level
+#: offset window touches n/G rows (100k groups at 100 TB — one small task)
+_PACK_GROUP = 4096
+
 
 @register(
     "pack_shards",
@@ -80,19 +85,36 @@ GROUP BY 1
 """,
     doc=(
         "Shard packing: documents packed into ~fixed-size shards by running "
-        "token(char) budget — cumulative-sum window then floor-divide, the "
-        "relational form of greedy sequence packing (deterministic order key "
-        "makes it reproducible; at scale the window runs per partition-range "
-        "with a two-pass offset, same plan shape as Spark's global sort)."
+        "token(char) budget — cumulative sum then floor-divide, the "
+        "relational form of greedy sequence packing. The prefix sum is "
+        "DISTRIBUTED two-level: per-group running sums (window partitioned "
+        "by doc_id DIV G — every group computes in parallel) plus a prefix "
+        "of per-group totals (one tiny n/G-row window) broadcast-joined "
+        "back as offsets. No single reducer ever sees the corpus; identical "
+        "output to the naive global window, which remains the oracle."
     ),
 )
 def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sharded = docs.select(
+    grouped = docs.select(
+        "doc_id", "n_chars", F.expr(f"doc_id DIV {_PACK_GROUP}").alias("pack_group")
+    )
+    w_in = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = grouped.withColumn("cum_in", F.sum("n_chars").over(w_in))
+    totals = grouped.groupBy("pack_group").agg(F.sum("n_chars").alias("group_total"))
+    w_g = Window.orderBy("pack_group").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pack_group",
+        F.coalesce(F.sum("group_total").over(w_g), F.lit(0)).alias("offset"),
+    )
+    sharded = within.join(F.broadcast(offsets), "pack_group").select(
         "doc_id",
         "n_chars",
-        F.sum("n_chars").over(w).alias("cum_chars"),
+        (F.col("cum_in") + F.col("offset")).alias("cum_chars"),
     ).select(
         "doc_id",
         "n_chars",

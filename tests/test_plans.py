@@ -193,6 +193,16 @@ def test_corpus_sized_joins_are_equi(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pack_shards_prefix_sum_is_partitioned(spark):
+    """pack_shards' corpus-sized running sum must be a PARTITIONED window
+    (doc_id DIV G groups) with the tiny per-group offsets broadcast back —
+    a single-reducer global window over every document is the 100 TB
+    straggler this operator used to have."""
+    plan = plan_of(spark, "pack_shards")
+    assert "windowspecdefinition(pack_group#" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_global_sort_is_range_partitioned(spark):
     """o_global_sort must plan a RangePartitioning exchange + distributed
     sort, not a single-reducer sort or a TakeOrdered collapse."""

@@ -59,9 +59,9 @@ HEADLINERS = {
         "all build sides, conditional-sum ratio split partial/final."
     ),
     "pack_shards": (
-        "Global running-sum window (single-partition sort at test scale; at "
-        "100 TB use range partitioning + per-partition offsets, same shape as "
-        "Spark's global sort)."
+        "Two-level distributed prefix sum: per-group running-sum window "
+        "(partitioned by doc_id DIV G) + tiny per-group offset window "
+        "broadcast back — no single reducer ever sorts the corpus."
     ),
     "tpch_q21_sole_blame_supplier": (
         "EXISTS/NOT-EXISTS double correlation decorrelated to one per-order "
