@@ -428,6 +428,12 @@ def o_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+#: spend-band width for the distributed ntile rank: bands partition the
+#: sort key's range, so in-band windows parallelize and only the per-band
+#: counts (a few thousand rows at any scale) see a global prefix window
+NTILE_BAND_WIDTH = 100_000.0
+
+
 @register(
     "w_ntile_percentile",
     oracle="""
@@ -443,16 +449,52 @@ SELECT ntile,
 FROM (SELECT o_custkey, spend, ntile(4) OVER (ORDER BY spend, o_custkey) AS ntile FROM t)
 GROUP BY ntile
 """,
-    doc="ntile quartiles over per-customer spend (deterministic total order) + per-bucket bounds.",
+    doc=(
+        "ntile quartiles over per-customer spend (deterministic total "
+        "order) + per-bucket bounds. The global rank is DISTRIBUTED: "
+        "row_number within spend bands (window partitioned by "
+        "floor(spend/band)) plus a broadcast prefix of band counts — "
+        "band order is consistent with the sort key, so global rank = "
+        "band offset + in-band rank; the quartile comes from the rank via "
+        "ntile's exact uneven-bucket formula. No single-reducer sort of "
+        "the customer dimension anywhere."
+    ),
 )
 def w_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(as_double(F.sum(money("o_totalprice")), "spend"))
-    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    banded = spend.withColumn(
+        "band", F.floor(F.col("spend") / F.lit(NTILE_BAND_WIDTH)).cast("long")
+    )
+    w_in = Window.partitionBy("band").orderBy(F.asc("spend"), F.asc("o_custkey"))
+    ranked_in = banded.withColumn("r_in", F.row_number().over(w_in))
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("band_n"))
+    w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "band", F.coalesce(F.sum("band_n").over(w_b), F.lit(0)).alias("band_offset")
+    )
+    total = banded.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = (
+        ranked_in.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(total))
+        .withColumn("r", F.col("band_offset") + F.col("r_in"))
+    )
+    # ntile(4) from the global rank: the first n%4 buckets hold n DIV 4 + 1
+    # rows, the rest n DIV 4 (CASE is lazy, so the ELSE division never runs
+    # when n < 4 makes the base size zero)
+    ntile = F.expr(
+        """
+        CASE WHEN r <= (n_total % 4) * (n_total DIV 4 + 1)
+             THEN (r - 1) DIV (n_total DIV 4 + 1) + 1
+             ELSE (n_total % 4)
+                  + (r - (n_total % 4) * (n_total DIV 4 + 1) - 1) DIV (n_total DIV 4) + 1
+        END
+        """
+    ).cast("int")
     return (
-        spend.select("o_custkey", "spend", F.ntile(4).over(w).alias("ntile"))
+        ranked.select("o_custkey", "spend", ntile.alias("ntile"))
         .groupBy("ntile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

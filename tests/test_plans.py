@@ -203,6 +203,14 @@ def test_pack_shards_prefix_sum_is_partitioned(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ntile_rank_is_partitioned(spark):
+    """w_ntile_percentile's customer-level rank window must be partitioned
+    by the spend band; only the per-band count prefix may run unbounded."""
+    plan = plan_of(spark, "w_ntile_percentile")
+    assert "windowspecdefinition(band#" in plan
+    assert "ntile(" not in plan  # the quartile is computed FROM the rank
+
+
 def test_global_sort_is_range_partitioned(spark):
     """o_global_sort must plan a RangePartitioning exchange + distributed
     sort, not a single-reducer sort or a TakeOrdered collapse."""
