@@ -75,6 +75,20 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def table_size_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table — a pure os.stat metadata read (no Spark
+    job), for sizing decisions like 'is this scan too small to parallelize
+    naturally'. On a cluster, catalog file statistics serve this role."""
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    return os.path.getsize(path)
+
+
 _ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 

@@ -27,7 +27,7 @@ from ..functions.vectors import (
     sign_bucket,
     sign_bucket_sql,
 )
-from ..io import load_table, table_row_count
+from ..io import load_table, table_row_count, table_size_bytes
 from ..registry import register
 
 _Q_CTE = f"""
@@ -572,13 +572,21 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["vec_id", "cosine"],
             )
 
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    return (
+    stream = (
         qv.where(F.col("vec_id") != 0)
         .select("vec_id", "qe", "nsq")
         .crossJoin(F.broadcast(query))
-        .repartition(n_parts)
-        .mapInArrow(score, out_schema)
+    )
+    # a big corpus parallelizes from its file splits; only a scan too small
+    # to split (the local test shape) earns a redistribution — at 100 TB an
+    # unconditional repartition here would be a full corpus shuffle for
+    # nothing. os.stat metadata, no Spark job (plan-time-jobs test covers).
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    est_splits = max(1, table_size_bytes(sf_dir, "embeddings") // max_split)
+    if est_splits < spark.sparkContext.defaultParallelism:
+        stream = stream.repartition(max(2, spark.sparkContext.defaultParallelism))
+    return (
+        stream.mapInArrow(score, out_schema)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
