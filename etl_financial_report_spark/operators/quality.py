@@ -309,8 +309,12 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_tot = st.groupBy("tok").agg(F.sum("cnt").alias("tok_total"))
     tot = st.agg(F.sum("cnt").alias("corpus_total"))
     scored = (
+        # src_tot (one row per source) and the 1-row corpus total are
+        # bounded -> broadcast; tok_tot is one row PER TOKEN — unbounded
+        # vocabulary, so it joins by shuffle on tok (AQE may still
+        # broadcast it when genuinely small)
         st.join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(tok_tot), "tok")
+        .join(tok_tot, "tok")
         .crossJoin(F.broadcast(tot))
         .select(
             "source",

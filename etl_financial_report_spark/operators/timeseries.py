@@ -296,8 +296,11 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.col("s2") / F.col("n_events") - mean * mean
     dev = F.col("value") - mean
     is_outlier = dev * dev > F.lit(4.0) * var
+    # NO broadcast hint: the stats side is one row PER USER — unbounded at
+    # corpus scale. The join key matches the groupBy shuffle, so Catalyst
+    # co-partitions it (and AQE still broadcasts when it is actually small).
     return (
-        ev.join(F.broadcast(stats), "user_id")
+        ev.join(stats, "user_id")
         .groupBy("user_id", "n_events")
         .agg(F.count(F.when(is_outlier, 1)).alias("n_outliers"))
         .select("user_id", "n_events", "n_outliers")
@@ -331,7 +334,7 @@ GROUP BY e.user_id, d.med_v, d.mad_v
         "3-sigma rule's breakdown-resistant twin (ts_zscore_outliers' "
         "moments are themselves dragged by the outliers they hunt; MAD is "
         "not). Exact medians both passes — interpolated identically in "
-        "both engines — with the tiny per-user stats broadcast back onto "
+        "both engines — with the per-user stats co-partitioned back onto "
         "the events for the deviation pass; the double expressions are "
         "fixed trees (abs, subtract, one multiply), so bit-identical "
         "cross-engine. Three scans, but each aggregates map-side first."
@@ -341,15 +344,17 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("value").cast("double").alias("v")
     )
+    # per-user frames carry NO broadcast hint (a row per user is unbounded
+    # at scale); all three passes share the user_id shuffle key
     med = ev.groupBy("user_id").agg(F.median("v").alias("med_v"))
     mad = (
-        ev.join(F.broadcast(med), "user_id")
+        ev.join(med, "user_id")
         .groupBy("user_id", "med_v")
         .agg(F.median(F.abs(F.col("v") - F.col("med_v"))).alias("mad_v"))
     )
     dev = F.abs(F.col("v") - F.col("med_v"))
     return (
-        ev.join(F.broadcast(mad), "user_id")
+        ev.join(mad, "user_id")
         .groupBy("user_id", "med_v", "mad_v")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
