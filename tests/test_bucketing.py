@@ -52,3 +52,38 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
         .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_vector_index_bucket_pruning(spark):
+    """ANN index-as-table: persisting the embedding corpus bucketed by its
+    LSH cell turns a probe into BUCKET PRUNING — the scan reads only the
+    probed cell's files (SelectedBucketsCount in the plan), which is the
+    partition-pruning story for vector search at rest: no job touches the
+    other cells' bytes."""
+    import shutil
+
+    from etl_financial_report_spark.functions.vectors import sign_bucket
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS emb_ivf_b")
+    shutil.rmtree(f"{warehouse}/emb_ivf_b", ignore_errors=True)
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("cell")
+    )
+    write_bucketed(emb, "emb_ivf_b", "cell", 8, sort_col="vec_id")
+
+    # a bare filter-scan has no join/agg to justify the bucketed layout, so
+    # the auto-bucketed-scan heuristic would fall back to a plain scan and
+    # skip pruning — pin the bucketed read for the probe
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        probe = spark.table("emb_ivf_b").where(F.col("cell") == 3)
+        plan = formatted_plan(probe)
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        # pruned read still returns exactly the cell's rows
+        want = emb.where(F.col("cell") == 3).count()
+        assert probe.count() == want
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
