@@ -64,6 +64,53 @@ class ParquetSink:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(self.path)
 
+    def _partition_files(self) -> dict[str, list[str]]:
+        """{relative partition dir: [data files]} from a filesystem walk —
+        driver-side metadata only (a real deployment asks the catalog)."""
+        out: dict[str, list[str]] = {}
+        for root, _dirs, files in os.walk(self.path):
+            data = [f for f in files if f.endswith(".parquet")]
+            if data:
+                out[os.path.relpath(root, self.path)] = sorted(data)
+        return out
+
+    def compact(self, spark: SparkSession, target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction — the OPTIMIZE step every append-heavy
+        partitioned table needs (each micro-batch append leaves another
+        file; scans then pay per-file open/footer costs). Partitions whose
+        file count exceeds what ``target_bytes`` requires are rewritten
+        through the dynamic-overwrite path (same idempotent dance as S14,
+        so a failed compaction retries safely); untouched partitions are
+        never rewritten. Rows are preserved exactly; only layout changes."""
+        import math
+
+        before = self._partition_files()
+        flagged = []
+        for part, files in before.items():
+            size = sum(os.path.getsize(os.path.join(self.path, part, f)) for f in files)
+            if len(files) > max(1, math.ceil(size / target_bytes)):
+                flagged.append(part)
+        if flagged:
+            df = self.read(spark)
+            conds = None
+            for part in flagged:
+                kv = dict(p.split("=", 1) for p in part.split(os.sep))
+                c = None
+                for col, val in kv.items():
+                    e = df[col].cast("string") == val
+                    c = e if c is None else (c & e)
+                conds = c if conds is None else (conds | c)
+            # one task per flagged partition value -> one output file each
+            # (partitions larger than target_bytes keep multiple via the
+            # dynamic overwrite of a repartitionByRange — not needed here)
+            self.overwrite_partitions(df.where(conds).repartition(*self.partition_cols))
+        after = self._partition_files()
+        return {
+            "partitions_compacted": len(flagged),
+            "files_before": sum(len(v) for v in before.values()),
+            "files_after": sum(len(v) for v in after.values()),
+        }
+
 
 @dataclass
 class JdbcSink:

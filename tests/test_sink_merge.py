@@ -119,3 +119,26 @@ def test_disjoint_partition_writers_serialize(spark, tmp_path):
     assert sorted(v for k, t, q, v in results["ab"] if (t, q) == (1996, 1)) == [1100.0, 1300.0]
     assert [v for k, t, q, v in results["ab"] if (t, q) == (1997, 1)] == [5400.0]
     assert [v for k, t, q, v in results["ab"] if (t, q) == (1996, 2)] == [200.0]
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """Six tiny appends leave >= 6 files per partition; compaction rewrites
+    each flagged partition to one file without changing a single row."""
+    sink = ParquetSink(str(tmp_path / "facts"))
+    for i in range(6):
+        sink.append(
+            spark.createDataFrame(
+                [(f"E{i}", 1996, 1, float(i)), (f"E{i}", 1996, 2, float(i))],
+                ["kode_emiten", "tahun", "quartal", "nilai"],
+            )
+        )
+    rows_before = _state(sink, spark)
+    stats = sink.compact(spark)
+    assert stats["partitions_compacted"] == 2
+    assert stats["files_before"] >= 12
+    assert stats["files_after"] == 2
+    assert _state(sink, spark) == rows_before
+    # second compaction is a no-op (already at target layout)
+    stats2 = sink.compact(spark)
+    assert stats2["partitions_compacted"] == 0
+    assert stats2["files_after"] == stats["files_after"]
