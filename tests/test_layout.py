@@ -48,3 +48,44 @@ def test_clustered_spans_are_disjoint(spark, tmp_path):
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         # ranges may touch at a shared boundary key but never interleave
         assert lo_next >= hi_prev
+
+
+def test_sorted_write_produces_skippable_row_groups(spark, tmp_path):
+    """Range-partition + sort-within-partition on l_shipdate yields parquet
+    files whose row-group min/max stats tile the date range — the at-rest
+    layout that lets a shipdate predicate skip whole row groups (the
+    filter-pushdown story continued past the scan into the file bytes)."""
+    import pyarrow.parquet as pq
+    from etl_financial_report_spark.io import load_table
+
+    out = str(tmp_path / "li_sorted")
+    (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(out)
+    )
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = md.schema.names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        # sorted within the file: row-group mins never regress
+        assert mins == sorted(mins)
+        ranges.append((min(mins), max(maxs)))
+    # range partitioning: file ranges tile the key space (sorted by min,
+    # each file's min is >= the previous file's min)
+    ranges.sort()
+    assert [r[0] for r in ranges] == sorted(r[0] for r in ranges)
+    # and at least half the files are fully disjoint from their successor
+    disjoint = sum(1 for a, b in zip(ranges, ranges[1:]) if a[1] <= b[0])
+    assert disjoint >= (len(ranges) - 1) // 2
