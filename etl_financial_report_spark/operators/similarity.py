@@ -722,3 +722,65 @@ def sim_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("q_id", "rank", "vec_id", "cosine")
     )
+
+
+@register(
+    "sim_bucketed_cosine_pairs",
+    oracle=f"""
+WITH {_Q_CTE},
+buckets AS (
+    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM ex a
+    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    JOIN buckets ba ON ba.vec_id = a.vec_id
+    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) > 0.3
+""",
+    doc=(
+        "Bucketed embedding near-dup pairs — the SemDeDup/web-scale shape: "
+        "vectors land in sign-bit LSH buckets and exact cosine runs ONLY "
+        "within each bucket as one per-group BLAS matmul (applyInPandas), "
+        "so compute drops from O(n^2) to sum of bucket^2 and the shuffle "
+        "key is the bucket id. Same exact quantized math as cosine_pairs; "
+        "recall is traded at bucket boundaries (measured by "
+        "sim_ann_recall_eval's twin methodology). Per-task memory is one "
+        "bucket — at production scale the bucket width grows with the bit "
+        "count, keeping buckets executor-sized."
+    ),
+)
+def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _quantized(spark, sf_dir).join(
+        emb.select("vec_id", sign_bucket(F.col("embedding")).alias("bucket")), "vec_id"
+    ).select("vec_id", "qe", "nsq", "bucket")
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    threshold = 0.3
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qe"]], dtype=np.float64)
+        nrm = np.sqrt(pdf["nsq"].to_numpy(dtype=np.int64).astype(np.float64))
+        cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+        li, ri = np.nonzero((ids[:, None] < ids[None, :]) & (cos > threshold))
+        return pd.DataFrame({"vec_a": ids[li], "vec_b": ids[ri], "cosine": cos[li, ri]})
+
+    return qv.groupBy("bucket").applyInPandas(bucket_pairs, schema)
