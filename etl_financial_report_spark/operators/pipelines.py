@@ -472,8 +472,10 @@ FROM verdict v LEFT JOIN contam c ON c.doc_id = v.doc_id
         "FIRST failing gate as an explicit drop_reason so corpus composition "
         "changes are attributable. All verdicts compose in one plan: one "
         "shuffle on the canonical hash, one gram equi-join against the tiny "
-        "benchmark side, one doc_id join to stitch — nothing rescans, "
-        "nothing collects."
+        "benchmark side, one doc_id join to stitch, and no collects. The "
+        "documents scan is read once per gate family (column-pruned each "
+        "time) — at scale re-reading pruned columns beats materializing the "
+        "exploded shingle stream, which is many times the corpus size."
     ),
 )
 def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

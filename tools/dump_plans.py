@@ -91,6 +91,11 @@ HEADLINERS = {
         "corpus-wide span count as a window over ONE md5-keyed span "
         "shuffle — no dimension table, no broadcast anywhere."
     ),
+    "sim_bucketed_cosine_pairs": (
+        "SemDeDup shape: one FlatMapGroupsInPandas matmul per sign-bit LSH "
+        "bucket — the only shuffle keys the bucket id; no all-pairs join "
+        "anywhere."
+    ),
     "pipeline_keep_manifest": (
         "Per-doc keep manifest: canonical-hash window, quality gate "
         "expressions fused into the scan stage, benchmark-gram equi-join, "
