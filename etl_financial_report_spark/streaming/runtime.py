@@ -371,6 +371,48 @@ def run_foreach_batch_upsert(
     q.awaitTermination()
 
 
+def run_corpus_ingest_stream(
+    spark: SparkSession, docs_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming corpus ingest with cross-batch canonical dedup — the
+    §2.8 twin of the batch keep-manifest's dedup gate: documents stream in
+    per-file microbatches, each batch mints the canonical md5 key
+    (lower/collapse/trim, text_canonicalize's native shape), collapses
+    within-batch duplicates to the lowest doc_id, and lands through the
+    ParquetSink J3 guard keyed on the canonical hash — so duplicates
+    ACROSS batches and replayed batches both admit exactly one row. State
+    is the sink itself (an anti-join per batch, no in-memory key set), so
+    a year-long ingest holds zero streaming state for the dedup decision.
+    Returns the deduped table."""
+    from pyspark.sql import Window
+
+    from ..sources.sinks import ParquetSink
+
+    schema = spark.read.parquet(docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+    sink = ParquetSink(out_dir, partition_cols=("source",))
+    ck = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.withColumn("ck", ck)
+        w = Window.partitionBy("ck").orderBy("doc_id")
+        first = keyed.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+        sink.append_idempotent(first, key_cols=["ck"])
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark)
+
+
 # ------------------------------------------ transformWithState (Spark 4)
 
 

@@ -224,3 +224,25 @@ def test_stream_stream_left_outer_matches_batch(spark, events_dir, tmp_path):
     assert got.where(F.col("click_id").isNull()).count() > 0
     assert got_cmp.exceptAll(want).count() == 0
     assert want.exceptAll(got_cmp).count() == 0
+
+
+def test_corpus_ingest_stream_dedupes_across_batches(spark, tmp_path):
+    """Two file chunks stream as separate microbatches; the second chunk is
+    pure duplicates (same text, shifted doc_ids) — the canonical-key guard
+    must admit exactly one row per distinct text regardless of which batch
+    carried it."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    dups = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000)
+    )
+    dups.coalesce(1).write.mode("append").parquet(src)
+
+    out = runtime.run_corpus_ingest_stream(
+        spark, src, str(tmp_path / "clean"), str(tmp_path / "ckpt")
+    )
+    # one row per canonical text, none lost
+    n_texts = docs.select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))).distinct().count()
+    assert out.count() == n_texts
+    assert out.groupBy("ck").count().where(F.col("count") > 1).count() == 0
