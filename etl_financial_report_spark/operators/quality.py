@@ -402,3 +402,49 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.cast("long").alias("n_dup_spans"),
         (dup.cast("double") / F.count(F.lit(1))).alias("dup_span_frac"),
     )
+
+
+#: percentile of the corpus TTR distribution below which a doc fails the
+#: dynamic gate
+DYNAMIC_GATE_PCT = 0.10
+
+
+@register(
+    "text_quality_percentile_gate",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+    FROM documents
+),
+cut AS (SELECT quantile_cont(ttr, {DYNAMIC_GATE_PCT}) AS p_low FROM scored)
+SELECT s.doc_id, s.ttr, c.p_low,
+       (s.ttr >= c.p_low) AS passes_dynamic
+FROM scored s CROSS JOIN cut c
+""",
+    doc=(
+        "Data-derived quality gate (the CCNet practice): instead of a fixed "
+        "threshold, the cutoff is the corpus's own P10 of type-token ratio "
+        "— recomputed per corpus, so the gate adapts to domain shift "
+        "without retuning constants. Exact interpolated percentile "
+        "(Spark percentile == DuckDB quantile_cont, the parity "
+        "agg_median_percentile established), carried as a 1-row broadcast "
+        "scalar onto the scored stream — the same shape as "
+        "ts_rollup_merge's data-derived cutoff."
+    ),
+)
+def text_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    cut = scored.agg(F.percentile(F.col("ttr"), F.lit(DYNAMIC_GATE_PCT)).alias("p_low"))
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "ttr",
+        "p_low",
+        (F.col("ttr") >= F.col("p_low")).alias("passes_dynamic"),
+    )
