@@ -547,3 +547,53 @@ def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH a AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+),
+b AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 3 = 0 THEN text || ' updated' ELSE text END) AS h
+    FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+""",
+    doc=(
+        "Corpus snapshot diff — the daily-recrawl delta every corpus "
+        "pipeline reports before reprocessing: two snapshots (synthesized "
+        "here from deterministic doc_id slices, with a third slice's text "
+        "mutated to model recrawled pages) full-outer-join on the stable "
+        "doc key and classify added / removed / changed / unchanged. Both "
+        "sides reduce to (doc_id, md5) BEFORE the join, so the shuffle "
+        "carries 16-byte hashes, never document bodies — at 100 TB the "
+        "diff costs two pruned scans plus one co-partitioned join."
+    ),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h_a")
+    )
+    mutated = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    snap_b = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5(mutated).alias("h_b")
+    )
+    joined = snap_a.join(snap_b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select("doc_id", status.alias("status"))
