@@ -407,3 +407,69 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("total_lag_s"),
         )
     )
+
+
+#: max gap between consecutive funnel stages (3 days, in nanoseconds)
+FUNNEL_WINDOW_NS = 3 * 86_400 * 10**9
+
+
+@register(
+    "funnel_windowed",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events
+),
+v AS (
+    SELECT user_id, MIN(ns) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ns) AS t2
+    FROM ev e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ns > v.t1 AND e.ns <= v.t1 + {FUNNEL_WINDOW_NS}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ns) AS t3
+    FROM ev e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ns > c.t2 AND e.ns <= c.t2 + {FUNNEL_WINDOW_NS}
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS stage_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS stage_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS stage_purchase
+""",
+    doc=(
+        "Time-bounded funnel: each stage must land within 3 days of the "
+        "PREVIOUS stage's first qualifying event — the semantics product "
+        "analytics actually ships (funnel_conversion's any-time ordering "
+        "overcounts dormant users who converted months later). Sequential "
+        "dependence is two conditional-min joins, each co-partitioned on "
+        "user_id with the event stream — per-user state is one timestamp "
+        "per stage, never an event list, and nothing broadcasts."
+    ),
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", (F.unix_micros("ts") * F.lit(1000)).cast("long").alias("ns")
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ns").alias("t1"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ns") > F.col("t1")) & (F.col("ns") <= F.col("t1") + FUNNEL_WINDOW_NS))
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ns") > F.col("t2")) & (F.col("ns") <= F.col("t2") + FUNNEL_WINDOW_NS))
+        .groupBy("user_id")
+        .agg(F.min("ns").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("stage_view"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("stage_click"))))
+        .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("stage_purchase"))))
+        .select("stage_view", "stage_click", "stage_purchase")
+    )
