@@ -298,3 +298,84 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_s").alias("last_s"),
         )
     )
+
+
+def _split_leakage_oracle() -> str:
+    from ..functions.hashing import MINHASH_P
+    from .dedup import _BANDS, _minhash_signature_sql
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig"
+        for bi, (_, h1, h2) in enumerate(_BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {bands}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sp AS (
+    SELECT doc_id,
+           CASE WHEN {hash32_sql("CAST(doc_id AS VARCHAR)")} % 1000 < {_TRAIN_MAX} THEN 'train'
+                WHEN {hash32_sql("CAST(doc_id AS VARCHAR)")} % 1000 < {_VAL_MAX} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       COUNT(*) AS n_pairs,
+       (sa.split <> sb.split) AS is_leak
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b
+GROUP BY sa.split, sb.split
+"""
+
+
+@register(
+    "sample_split_leakage",
+    oracle=_split_leakage_oracle(),
+    doc=(
+        "Split-leakage audit: every near-dup candidate pair (minhash-LSH "
+        "banding) joined onto each member's train/val/test assignment and "
+        "grouped by the split pair — off-diagonal rows are LEAKS, a "
+        "near-duplicate of a training document sitting in eval. The check "
+        "every dedup-unaware random split fails and every serious corpus "
+        "release runs; at scale it is two co-partitioned joins on doc_id "
+        "over the already-built candidate pairs. (The keyed-hash split "
+        "makes leaks likely by construction here — the operator's job is "
+        "to MEASURE them; dedup-aware splitting assigns by cluster id "
+        "instead, dedup_components supplies exactly that key.)"
+    ),
+)
+def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % F.lit(1000)
+    split = (
+        F.when(bucket < _TRAIN_MAX, "train")
+        .when(bucket < _VAL_MAX, "val")
+        .otherwise("test")
+    )
+    sp = docs.select("doc_id", split.alias("split"))
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sa = sp.alias("sa")
+    sb = sp.alias("sb")
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .groupBy(
+            F.col("sa.split").alias("split_a"), F.col("sb.split").alias("split_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
