@@ -53,17 +53,61 @@ def test_containment_is_pair_driven(spark):
 
 
 def test_simhash64_bucket_cap_prunes_hot_buckets(spark):
-    """max_bucket=None is exact; a huge cap changes nothing; cap=1 kills
+    """max_bucket=None is exact; the finite default and a huge cap change
+    nothing at this corpus size (no Manku bucket is hot); cap=1 kills
     every candidate (any collision implies bucket size >= 2) — the
     Dolma-style hash-skew guard is a strict pre-join filter, not a
     post-hoc sample."""
     from etl_financial_report_spark.operators.dedup import dedup_simhash64_hamming
 
     sf = "/root/testdata/sf0.001"
-    exact = {(r.doc_a, r.doc_b) for r in dedup_simhash64_hamming(spark, sf).collect()}
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash64_hamming(spark, sf, max_bucket=None).collect()
+    }
+    default = {(r.doc_a, r.doc_b) for r in dedup_simhash64_hamming(spark, sf).collect()}
     huge = {
         (r.doc_a, r.doc_b)
         for r in dedup_simhash64_hamming(spark, sf, max_bucket=10**6).collect()
     }
+    assert default == exact
     assert huge == exact
     assert dedup_simhash64_hamming(spark, sf, max_bucket=1).count() == 0
+
+
+def test_simhash64_manku_tables_recall_equals_single_block_pigeonhole(spark):
+    """The 20 Manku 3-of-6-sub-block tables must find EXACTLY the pairs the
+    plain 1-of-4-block pigeonhole finds (both are exact for hamming<=3);
+    the oracle SQL keeps the 4-block form, so this equality is what makes
+    the narrower Manku keys parity-safe."""
+    from pyspark.sql import functions as F
+
+    from etl_financial_report_spark.operators.dedup import (
+        MAX_HAMMING64,
+        dedup_simhash64,
+        dedup_simhash64_hamming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sig = dedup_simhash64(spark, sf)
+    a, b = sig.alias("a"), sig.alias("b")
+    # brute-force ground truth: every doc pair's exact hamming
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                F.bit_count(F.expr(f"a.b{j} ^ b.b{j}")) for j in range(4)
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= MAX_HAMMING64)
+        .collect()
+    }
+    manku = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash64_hamming(spark, sf, max_bucket=None).collect()
+    }
+    assert manku == truth
+    assert len(truth) > 0  # the corpus does contain near-dup signatures

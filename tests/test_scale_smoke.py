@@ -170,6 +170,40 @@ def test_simhash64_hamming_at_scale(spark, sf1_dir, smoke_record):
     assert df.where(F.col("hamming") == 0).count() >= n_base * REPLICAS * (REPLICAS - 1) // 2
 
 
+def test_simhash64_bucket_occupancy_at_scale(spark, sf1_dir, smoke_record):
+    """VERDICT r3 done-criterion for the Manku-ized hamming join: at the
+    x10 corpus the candidate buckets stay tiny. With ~32-bit Manku keys,
+    occupancy is bounded by (largest identical-signature cluster) + hash
+    noise — here the 10 replicas — NOT by n/2^16 as under the old
+    single-block keys (which would admit ~8 docs/bucket at 50k docs and
+    grow linearly from there). The histogram lands in SCALE_SMOKE.json so
+    round-over-round drift is visible."""
+    from etl_financial_report_spark.operators.dedup import (
+        SIM64_MAX_BUCKET,
+        simhash64_bucket_occupancy,
+    )
+
+    t0 = time.monotonic()
+    occ = simhash64_bucket_occupancy(spark, sf1_dir)
+    top = occ.orderBy(F.desc("bucket_n"), "tbl", "key").limit(5).collect()
+    stats = occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_n").alias("max_occ"),
+        F.sum((F.col("bucket_n") > SIM64_MAX_BUCKET).cast("long")).alias("hot"),
+    ).collect()[0]
+    smoke_record["simhash64_bucket_occupancy"] = {
+        "rows": stats.n_buckets,
+        "sec": round(time.monotonic() - t0, 2),
+        "max_occupancy": stats.max_occ,
+        "hot_buckets_over_default_cap": stats.hot,
+        "top5": [r.bucket_n for r in top],
+    }
+    # every bucket must sit far below the default cap (no recall loss at
+    # this scale), and within replica-cluster + noise territory
+    assert stats.hot == 0
+    assert stats.max_occ <= REPLICAS * 8
+
+
 def test_q21_runs_at_scale(spark, sf1_dir, smoke_record):
     df, n = _run(
         spark,
