@@ -910,21 +910,27 @@ FROM keyed
         "Clustering keys on md5(text), not text itself, so the shuffle "
         "carries 16-byte keys instead of whole documents — at 100 TB "
         "that is the difference between shuffling hashes and shuffling "
-        "the corpus. One shuffle on the hash serves both window functions."
+        "the corpus. Cluster stats come from a two-phase groupBy+join, not "
+        "a window over the content hash: min/count partially aggregate "
+        "map-side, so a degenerate cluster (the empty doc, a boilerplate "
+        "page) collapses to one row per task instead of one task holding "
+        "the whole cluster, and the join back is AQE-skew-splittable."
     ),
 )
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select("doc_id", "source", F.md5("text").alias("cluster_md5"))
-    w = Window.partitionBy("cluster_md5")
-    canonical = F.min("doc_id").over(w)
-    return keyed.select(
+    stats = keyed.groupBy("cluster_md5").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return keyed.join(stats, "cluster_md5").select(
         "doc_id",
         "source",
         "cluster_md5",
-        canonical.alias("canonical_doc_id"),
-        (F.col("doc_id") == canonical).alias("keep"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        "canonical_doc_id",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+        "cluster_size",
     )
 
 

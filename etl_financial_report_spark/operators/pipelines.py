@@ -358,7 +358,7 @@ GROUP BY source
         "composing three already-proven stages into ONE plan: canonical "
         "md5 key (text_canonicalize: native lower/collapse/trim + "
         "NFC-only pandas UDF), canonical-per-cluster verdict "
-        "(dedup_keep_list's window over the 16-byte hash), and the "
+        "(dedup_keep_list's two-phase min over the 16-byte hash), and the "
         "Gopher-style quality gate (text_quality_score), rolled up to "
         "per-source retention accounting: docs in, unique, kept, dropped "
         "as dup vs dropped as low-quality, chars surviving. One shuffle "
@@ -370,7 +370,6 @@ GROUP BY source
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     import unicodedata
 
-    from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -390,10 +389,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stop"),
     )
-    w = Window.partitionBy("ck")
-    verdict = keyed.select(
-        "*",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    # canonical-per-cluster via two-phase groupBy+join (min partially
+    # aggregates map-side; a window over the content hash would hold a
+    # degenerate dup cluster in one indivisible task)
+    canon = keyed.groupBy("ck").agg(F.min("doc_id").alias("canonical_id"))
+    verdict = keyed.join(canon, "ck").select(
+        keyed["*"],
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
         (
             (F.col("n_tokens") >= 20)
             & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.3)
@@ -481,7 +483,6 @@ FROM verdict v LEFT JOIN contam c ON c.doc_id = v.doc_id
 def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import unicodedata
 
-    from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     from .dedup import DECONTAM_FRAC, DECONTAM_HOLDOUT, _shingles
@@ -495,13 +496,15 @@ def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-    w = Window.partitionBy("ck")
-    verdict = docs.select(
+    keyed = docs.select(
         "doc_id", "source", ck.alias("ck"), n_tokens.alias("n_tokens"), n_stop.alias("n_stop")
-    ).select(
+    )
+    # two-phase canonical pick, same rationale as pipeline_corpus_clean
+    canon = keyed.groupBy("ck").agg(F.min("doc_id").alias("canonical_id"))
+    verdict = keyed.join(canon, "ck").select(
         "doc_id",
         "source",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
         (
             (F.col("n_tokens") >= 20)
             & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.3)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.topk import topk_per_key
 from ..io import load_table
 from ..registry import register
 
@@ -295,13 +296,13 @@ WHERE rk <= {SALIENT_TOP_K}
         "computed as one division of two int64 products (no log, so the "
         "value-hash holds cross-engine). Token counts aggregate once; the "
         "three total tables are tiny and broadcast; top-K per source via "
-        "row_number with a total-order tiebreak. The corpus-drift / "
-        "source-fingerprinting diagnostic."
+        "the salted two-level top-k (functions/topk.py) — a source's "
+        "vocabulary is corpus-sized, so a single source-partitioned window "
+        "would sort one source's whole vocab in one task. The corpus-drift "
+        "/ source-fingerprinting diagnostic."
     ),
 )
 def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(_toks()).alias("tok"))
     st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -326,10 +327,12 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.partitionBy("source").orderBy(F.desc("lift"), "tok")
-    return (
-        scored.select("source", "tok", "cnt", "lift", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= SALIENT_TOP_K)
+    return topk_per_key(
+        scored.select("source", "tok", "cnt", "lift"),
+        keys=["source"],
+        order=[F.desc("lift"), F.asc("tok")],
+        k=SALIENT_TOP_K,
+        tiebreak=F.col("tok"),
     )
 
 
@@ -370,16 +373,17 @@ GROUP BY doc_id
         "fraction of its spans that occur 2+ times anywhere — the metric "
         "that catches template text and boilerplate BETWEEN documents, "
         "which within-doc repetition stats (text_repetition_stats) cannot "
-        "see. Spans shuffle as 16-byte md5 keys, the corpus-wide count is "
-        "a window over that one span shuffle (no dimension table, no "
-        "broadcast — the span vocabulary is unbounded), and the per-doc "
-        "rollup is the second and last exchange. Short docs fall back to "
-        "one whole-text span, so every document is scored."
+        "see. Spans shuffle as 16-byte md5 keys. The corpus-wide count is "
+        "two-phase — groupBy(sh) then join back — NEVER a window over the "
+        "span key: a window partition cannot be partially aggregated or "
+        "AQE-skew-split, so one boilerplate span shared by 5% of a web "
+        "corpus would put billions of rows in a single task; the groupBy "
+        "absorbs the hot key map-side and the join (probe side against the "
+        "collapsed distinct-dup-span frame) is AQE-splittable. Short docs "
+        "fall back to one whole-text span, so every document is scored."
     ),
 )
 def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = F.col("toks")
     spans = F.transform(
@@ -394,10 +398,21 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.explode(guarded).alias("sh")
     )
-    c = F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    counted = sp.select("doc_id", c.alias("c"))
-    dup = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
-    return counted.groupBy("doc_id").agg(
+    # phase 1: collapse the span stream to one row per DUPLICATED span —
+    # partial aggregation makes a hot boilerplate span cheap (billions of
+    # identical rows combine map-side to one count per task)
+    dup_sh = (
+        sp.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("sh", F.lit(1).alias("is_dup"))
+    )
+    # phase 2: flag each positional span against the collapsed frame; the
+    # join shuffles the same (sh) key the old window did, but AQE can
+    # skew-split a join probe while a window partition is indivisible
+    flagged = sp.join(dup_sh, "sh", "left")
+    dup = F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         dup.cast("long").alias("n_dup_spans"),
         (dup.cast("double") / F.count(F.lit(1))).alias("dup_span_frac"),

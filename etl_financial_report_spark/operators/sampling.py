@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash32, hash32_sql
+from ..functions.topk import topk_per_key
 from ..io import load_table
 from ..registry import register
 
@@ -223,18 +224,23 @@ ORDER BY label
         "Stratified class-balancing sampler: cap every label at K rows, "
         "chosen by ranking on a salted content hash (deterministic, no RNG, "
         "rerun-stable) with vec_id as the total-order tiebreak. The standard "
-        "label-rebalancing step before training-set assembly; one shuffle on "
-        "label, and at 100 TB the window never materializes more than a "
-        "partition's run because row_number streams within each sorted group."
+        "label-rebalancing step before training-set assembly. The per-label "
+        "pick is the salted two-level top-k (functions/topk.py): a label "
+        "holds an unbounded share of the corpus, so a single "
+        "label-partitioned window would sort one label's rows in one task."
     ),
 )
 def sample_stratified_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     order_key = hash32(F.concat(F.lit("bal|"), F.col("vec_id").cast("string")))
-    w = Window.partitionBy("label").orderBy(order_key, "vec_id")
     return (
-        emb.select("vec_id", "label", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= BALANCE_CAP)
+        topk_per_key(
+            emb.select("vec_id", "label"),
+            keys=["label"],
+            order=[order_key.asc(), F.asc("vec_id")],
+            k=BALANCE_CAP,
+            tiebreak=F.col("vec_id"),
+        )
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -7,9 +7,10 @@ higher-order array function, not a UDF.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.topk import topk_per_key
 from ..io import load_table
 from ..registry import register
 
@@ -305,12 +306,12 @@ HAVING COUNT(*) >= {DF_FLOOR}
         "broadcast. The cap is the skew defense: stopword tokens hit every "
         "document, and collect_list-then-slice would still buffer "
         "|corpus|-length aggregation state — the single-reducer OOM at "
-        "100 TB. Instead row_number/count windows over the token partition "
-        "(spill-safe sort-based execution) rank the postings FIRST, the "
-        "rank filter drops everything past the cap, and only then does "
-        "collect_list run — its state is never longer than the cap. "
-        "One shuffle on token shared by distinct, both windows, and the "
-        "final collapse."
+        "100 TB. Document frequency is a plain groupBy (partial aggs make "
+        "the stopword key cheap); the capped posting pick is the salted "
+        "two-level top-k (functions/topk.py) — a stopword's postings rank "
+        "in n_salt parallel cells, never one window task holding the whole "
+        "key — and only then does collect_list run, its state never longer "
+        "than the cap."
     ),
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,16 +321,22 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("token") >= 3)
         .distinct()
     )
-    w = Window.partitionBy("token")
-    ranked = toks.select(
-        "token",
-        "doc_id",
-        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("df"),
+    df_counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= DF_FLOOR)
+    )
+    # inner join doubles as the DF_FLOOR filter, so sub-floor tokens never
+    # enter the ranking; the hot-token probe side is AQE-skew-splittable
+    capped = topk_per_key(
+        toks.join(df_counts, "token"),
+        keys=["token"],
+        order=[F.asc("doc_id")],
+        k=POSTINGS_CAP,
+        tiebreak=F.col("doc_id"),
     )
     return (
-        ranked.where((F.col("rn") <= POSTINGS_CAP) & (F.col("df") >= DF_FLOOR))
-        .groupBy("token", "df")
+        capped.groupBy("token", "df")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
         .select("token", "df", "postings", (F.col("df") > POSTINGS_CAP).alias("truncated"))
     )

@@ -384,8 +384,6 @@ def run_corpus_ingest_stream(
     is the sink itself (an anti-join per batch, no in-memory key set), so
     a year-long ingest holds zero streaming state for the dedup decision.
     Returns the deduped table."""
-    from pyspark.sql import Window
-
     from ..sources.sinks import ParquetSink
 
     schema = spark.read.parquet(docs_dir).schema  # one footer read, no job
@@ -399,8 +397,11 @@ def run_corpus_ingest_stream(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         keyed = batch_df.withColumn("ck", ck)
-        w = Window.partitionBy("ck").orderBy("doc_id")
-        first = keyed.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+        # first-doc-per-cluster via two-phase groupBy+join (min partially
+        # aggregates; a window over the content hash would hold a whole
+        # dup cluster in one task even within a micro-batch)
+        firsts = keyed.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+        first = keyed.join(firsts, ["ck", "doc_id"])
         sink.append_idempotent(first, key_cols=["ck"])
 
     q = (

@@ -31,6 +31,40 @@ ALLOWED_GLOBAL_WINDOW = {
 }
 
 
+#: window partition keys reviewed as scale-safe. A window partition is
+#: indivisible — no partial aggregation, no AQE skew-split — so every key
+#: here must have a BOUNDED per-key row count. Three reviewed classes:
+#:   * entity keys — rows per key track one entity's activity (a user's
+#:     events, an order's lines, a doc's sections), not corpus size;
+#:   * dimension keys — fan-in bounded by a dimension table (suppliers
+#:     per part, customers ranked within the 25-nation dimension);
+#:   * constructed groups — bounded by construction (pack_group holds
+#:     exactly _PACK_GROUP rows; band is stage 1 of the two-level ntile
+#:     prefix pattern, n/n_bands rows as the parallel unit).
+#: Corpus-derived content keys (token, span/shingle hash, content hash,
+#: cluster id, LSH band/bucket, label) must NOT appear here: use a
+#: two-phase groupBy+join (see text_dup_span_frac, dedup_keep_list) or
+#: the salted two-level top-k (functions/topk.py) instead.
+ALLOWED_WINDOW_PARTITION_KEYS = {
+    # entity keys
+    "user_id", "l_orderkey", "o_custkey", "c_custkey", "doc_id",
+    "file_id", "grup", "path", "vec_id", "q_id",
+    # dimension keys
+    "c_nationkey", "p_partkey",
+    # constructed bounded groups
+    "pack_group", "band",
+}
+
+#: files allowed Window.partitionBy calls with NON-LITERAL key args, with
+#: the reviewed count: the as-of join partitions by the caller's join
+#: keys (entity keys by contract), and the top-k helper's two windows are
+#: the salted stage 1 and the <= n_salt*k-bounded stage 2.
+ALLOWED_DYNAMIC_WINDOW_FILES = {
+    "operators/asof.py": 1,
+    "functions/topk.py": 2,
+}
+
+
 def _sources():
     for p in PKG.rglob("*.py"):
         yield str(p.relative_to(PKG)), p.read_text()
@@ -55,6 +89,55 @@ def test_no_new_unpartitioned_windows():
             "window is a single-reducer sort at scale; partition it (see "
             "pack_shards' two-level prefix sum) or prove the frame bounded "
             "and extend the allowlist"
+        )
+
+
+def _partition_by_calls(src):
+    """Yield the argument text of every Window.partitionBy(...) call,
+    scanning to the balanced close paren (args can span lines)."""
+    marker = "Window.partitionBy("
+    start = 0
+    while True:
+        i = src.find(marker, start)
+        if i < 0:
+            return
+        j = i + len(marker)
+        depth = 1
+        while depth and j < len(src):
+            depth += {"(": 1, ")": -1}.get(src[j], 0)
+            j += 1
+        yield src[i + len(marker) : j - 1]
+        start = j
+
+
+def test_no_content_keyed_window_partitions():
+    """VERDICT r3 task 3: a window partitioned by a corpus-derived value
+    (token, content hash, span hash, LSH band, cluster id) puts an entire
+    hot key's rows in one indivisible task — no partial aggregation, no
+    AQE skew-split. Every literal partition key must come from the
+    reviewed bounded-key list; calls with computed keys need a per-file
+    allowlist entry."""
+    lit = re.compile(r"^[\"']([^\"']+)[\"']$")
+    for rel, src in _sources():
+        dynamic = 0
+        for args in _partition_by_calls(src):
+            parts = [a.strip() for a in args.split(",") if a.strip()]
+            matched = [lit.match(p) for p in parts]
+            if all(matched):
+                for m in matched:
+                    assert m.group(1) in ALLOWED_WINDOW_PARTITION_KEYS, (
+                        f"{rel}: Window.partitionBy key {m.group(1)!r} is not "
+                        "a reviewed bounded key — if it is corpus-derived, "
+                        "two-phase it (groupBy+join) or use "
+                        "functions/topk.py; if genuinely bounded, document "
+                        "why and extend ALLOWED_WINDOW_PARTITION_KEYS"
+                    )
+            else:
+                dynamic += 1
+        assert dynamic <= ALLOWED_DYNAMIC_WINDOW_FILES.get(rel, 0), (
+            f"{rel} has {dynamic} Window.partitionBy call(s) with computed "
+            "keys — review the key's bound and extend "
+            "ALLOWED_DYNAMIC_WINDOW_FILES"
         )
 
 
