@@ -81,11 +81,17 @@ def table_size_bytes(sf_dir: str, name: str) -> int:
     naturally'. On a cluster, catalog file statistics serve this role."""
     path = table_path(sf_dir, name)
     if os.path.isdir(path):
-        return sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
-            if not f.startswith(("_", "."))
-        )
+        # recurse: a partitioned/nested layout must not silently undercount
+        # (a 0 here would shrink derived plan parameters with no error)
+        total = 0
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return total
     return os.path.getsize(path)
 
 
@@ -105,11 +111,17 @@ def table_row_count(sf_dir: str, name: str) -> int:
 
         path = table_path(sf_dir, name)
         if os.path.isdir(path):
-            cached = sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
+            # recurse: partitioned layouts nest data files under key=value
+            # dirs — a top-level-only listing would return 0 and silently
+            # shrink derived plan parameters (e.g. the cosine block grid)
+            cached = 0
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                cached += sum(
+                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    for f in files
+                    if f.endswith(".parquet")
+                )
         else:
             cached = pq.ParquetFile(path).metadata.num_rows
         _ROW_COUNT_CACHE[key] = cached

@@ -28,6 +28,7 @@ from ..functions.vectors import (
     sign_bucket_sql,
 )
 from ..io import load_table, table_row_count, table_size_bytes
+from ..session import parse_bytes_conf
 from ..registry import register
 
 _Q_CTE = f"""
@@ -581,7 +582,10 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to split (the local test shape) earns a redistribution — at 100 TB an
     # unconditional repartition here would be a full corpus shuffle for
     # nothing. os.stat metadata, no Spark job (plan-time-jobs test covers).
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    # full byte-suffix grammar: a driver-built session may carry '128MB'
+    max_split = parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
     est_splits = max(1, table_size_bytes(sf_dir, "embeddings") // max_split)
     if est_splits < spark.sparkContext.defaultParallelism:
         stream = stream.repartition(max(2, spark.sparkContext.defaultParallelism))

@@ -35,6 +35,33 @@ _RUNTIME_CONF = {
 }
 
 
+#: multipliers for Spark's byte-suffixed conf grammar (JavaUtils
+#: .byteStringAsBytes): bare number = bytes; suffixes case-insensitive.
+_BYTE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def parse_bytes_conf(value: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b',
+    '128MB', '64m', '1g', ...) to bytes. A driver-built session can carry
+    any human-readable form, so plan-time reads of size confs must accept
+    the full grammar, not just the bare-number default."""
+    s = str(value).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or (suffix and suffix not in _BYTE_SUFFIXES):
+        raise ValueError(f"unparseable byte-size conf value: {value!r}")
+    return int(num) * _BYTE_SUFFIXES.get(suffix, 1)
+
+
 def _cpus() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:

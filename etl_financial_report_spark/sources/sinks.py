@@ -91,13 +91,22 @@ class ParquetSink:
             if len(files) > max(1, math.ceil(size / target_bytes)):
                 flagged.append(part)
         if flagged:
+            from urllib.parse import unquote
+
             df = self.read(spark)
             conds = None
             for part in flagged:
                 kv = dict(p.split("=", 1) for p in part.split(os.sep))
                 c = None
                 for col, val in kv.items():
-                    e = df[col].cast("string") == val
+                    # Hive layout URL-escapes special chars in dir names and
+                    # writes a sentinel for nulls; match the DATA value, or
+                    # the flagged partition is re-flagged forever but never
+                    # rewritten (silent no-op compaction)
+                    if val == "__HIVE_DEFAULT_PARTITION__":
+                        e = df[col].isNull()
+                    else:
+                        e = df[col].cast("string") == unquote(val)
                     c = e if c is None else (c & e)
                 conds = c if conds is None else (conds | c)
             # one task per flagged partition value -> one output file each

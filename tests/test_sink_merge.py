@@ -142,3 +142,31 @@ def test_compact_collapses_small_files(spark, tmp_path):
     stats2 = sink.compact(spark)
     assert stats2["partitions_compacted"] == 0
     assert stats2["files_after"] == stats["files_after"]
+
+
+def test_compact_handles_escaped_and_null_partition_values(spark, tmp_path):
+    """ADVICE r3: Hive layout URL-escapes special chars in partition dir
+    names (':' -> '%3A') and writes __HIVE_DEFAULT_PARTITION__ for nulls.
+    Matching the raw dir string against the DATA value made compaction a
+    silent forever-no-op for such partitions — it must rewrite them and
+    stats must converge to a no-op on the second call."""
+    sink = ParquetSink(str(tmp_path / "facts"), partition_cols=("grp",))
+    for i in range(4):
+        sink.append(
+            spark.createDataFrame(
+                [("a:b", float(i)), (None, float(i))],
+                ["grp", "nilai"],
+            )
+        )
+    rows_before = sorted(
+        (r.grp or "", r.nilai) for r in sink.read(spark).select("grp", "nilai").collect()
+    )
+    stats = sink.compact(spark)
+    assert stats["partitions_compacted"] == 2  # the escaped AND the null dir
+    assert stats["files_after"] == 2
+    rows_after = sorted(
+        (r.grp or "", r.nilai) for r in sink.read(spark).select("grp", "nilai").collect()
+    )
+    assert rows_after == rows_before
+    stats2 = sink.compact(spark)
+    assert stats2["partitions_compacted"] == 0
