@@ -1256,10 +1256,12 @@ def dedup_simhash64_hamming(
             for t, (i, j, k) in enumerate(SIM64_KEY_COMBOS)
         ]
     )
-    keys = sig.select("doc_id", "b0", "b1", "b2", "b3", F.explode(key_structs).alias("g")).select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.col("g.tbl").alias("tbl"),
-        F.col("g.key").alias("key"),
+    # the 20x-exploded frame carries ONLY (doc_id, tbl, key): at 1e9 docs
+    # that is 20e9 narrow rows through the shuffle; the 4 signature ints
+    # re-join onto the (tiny after distinct) pair frame instead of riding
+    # every candidate row
+    keys = sig.select("doc_id", F.explode(key_structs).alias("g")).select(
+        "doc_id", F.col("g.tbl").alias("tbl"), F.col("g.key").alias("key")
     )
     if max_bucket is not None:
         # two-phase hot-key cap: groupBy partial-aggregates the hot key
@@ -1273,7 +1275,7 @@ def dedup_simhash64_hamming(
         )
         keys = keys.join(hot, ["tbl", "key"], "left_anti")
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -1283,11 +1285,18 @@ def dedup_simhash64_hamming(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            *[F.col(f"a.b{j}").alias(f"a{j}") for j in range(N_SIM64_BLOCKS)],
-            *[F.col(f"b.b{j}").alias(f"c{j}") for j in range(N_SIM64_BLOCKS)],
         )
         .distinct()
     )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(N_SIM64_BLOCKS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(N_SIM64_BLOCKS)],
+    )
+    cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
     hamming = sum(
         F.bit_count(F.expr(f"a{j} ^ c{j}")) for j in range(N_SIM64_BLOCKS)
     ).cast("int")

@@ -88,8 +88,9 @@ HEADLINERS = {
     ),
     "text_dup_span_frac": (
         "Cross-doc duplicate-span scoring with an unbounded span space: "
-        "corpus-wide span count as a window over ONE md5-keyed span "
-        "shuffle — no dimension table, no broadcast anywhere."
+        "two-phase groupBy(sh)+join (r4) — partial aggregation absorbs hot "
+        "boilerplate spans, the probe join is AQE-skew-splittable, and "
+        "spans travel as 16-byte md5 keys."
     ),
     "sim_bucketed_cosine_pairs": (
         "SemDeDup shape: one FlatMapGroupsInPandas matmul per sign-bit LSH "
@@ -131,11 +132,17 @@ HEADLINERS = {
         "scalar cross join whose build side is literally one row (same "
         "shape as text_token_rarity's corpus-size scalar)."
     ),
+    "dedup_simhash64_hamming": (
+        "Manku candidate tables (r4): one explode into 20 packed 3-of-6-"
+        "sub-block keys, two-phase hot-bucket cap (HashAggregate + left-anti, "
+        "no window over the content key), equi self-join on (tbl, key), "
+        "exact hamming only on collisions."
+    ),
     "text_inverted_index": (
-        "Posting-list build with bounded state: row_number/count windows "
-        "over the token partition rank postings before the rank filter, so "
-        "the collect_list aggregate never buffers more than the cap even "
-        "for stopword-grade hot tokens."
+        "Posting-list build with bounded state: document frequency via "
+        "groupBy (partial aggs), capped postings via the salted two-level "
+        "top-k — a stopword's postings rank in n_salt parallel cells — and "
+        "collect_list never buffers more than the cap."
     ),
     "w_interval_sweep": (
         "Sweep-line concurrency counting: +1/-1 deltas pre-aggregated per "
