@@ -1378,3 +1378,167 @@ def simhash64_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tbl", "key")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
     )
+
+
+# ------------------------------------------------- incremental ingest dedup
+
+#: deterministic "today's crawl" slice: doc_id % MOD == REM plays the new
+#: batch; everything else is the already-ingested corpus
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+batchdocs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+),
+corpusdocs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+),
+corpus_ck AS (
+    SELECT md5(text) AS ck, MIN(doc_id) AS exact_match_id FROM corpusdocs GROUP BY 1
+),
+exact AS (
+    SELECT b.doc_id, c.exact_match_id
+    FROM batchdocs b JOIN corpus_ck c ON c.ck = md5(b.text)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+      AND b.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM cand p
+    JOIN toks a ON a.doc_id = p.doc_a
+    JOIN toks b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.n_shared, 0)) AS jaccard
+    FROM cand p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+),
+best AS (
+    SELECT doc_a, doc_b AS near_match_id, jaccard FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+                                     ORDER BY jaccard DESC, doc_b) AS rk
+        FROM verified WHERE jaccard >= {VERIFY_JACCARD}
+    ) WHERE rk = 1
+)
+SELECT b.doc_id,
+       CASE WHEN e.exact_match_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_match_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       CAST(COALESCE(e.exact_match_id, n.near_match_id) AS BIGINT) AS match_id,
+       CASE WHEN e.exact_match_id IS NULL THEN n.jaccard END AS jaccard
+FROM batchdocs b
+LEFT JOIN exact e ON e.doc_id = b.doc_id
+LEFT JOIN best n ON n.doc_a = b.doc_id
+""",
+    doc=(
+        "Incremental ingest dedup — the shape a 100 TB pipeline actually "
+        "runs daily: dedup the NEW batch against the existing corpus "
+        "without ever re-pairing the corpus with itself. Stage 1: exact "
+        "md5 lookup against the corpus's collapsed hash->min-doc frame "
+        "(hashes shuffle, never text). Stage 2: minhash band keys of the "
+        "batch equi-join the corpus's band keys — candidate volume scales "
+        "with |batch|, not |corpus|^2 — then the pair-driven exact-jaccard "
+        "verifier scores candidates and a scale-safe struct-max picks the "
+        "best match (highest jaccard, lowest doc_id tiebreak; a partial- "
+        "aggregable groupBy, not a window). Verdict precedence: exact_dup "
+        "> near_dup > unique; every batch doc is scored. Intra-batch "
+        "duplicates are dedup_exact's job, deliberately out of scope here "
+        "(in production the batch is deduped internally first, then "
+        "against the corpus index)."
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    batch = docs.where(in_batch)
+    corpus = docs.where(~in_batch)
+
+    # stage 1: exact content-hash lookup (corpus side pre-collapsed; at
+    # scale this frame IS the persisted dedup index of the corpus)
+    corpus_ck = (
+        corpus.select(F.md5("text").alias("ck"), "doc_id")
+        .groupBy("ck")
+        .agg(F.min("doc_id").alias("exact_match_id"))
+    )
+    exact = batch.select("doc_id", F.md5("text").alias("ck")).join(
+        corpus_ck, "ck", "left"
+    ).select("doc_id", "exact_match_id")
+
+    # stage 2: LSH candidates, batch side x corpus side only
+    sig = _minhash_signature(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                (F.col(h1) * F.lit(MINHASH_P) + F.col(h2)).alias("band_key"),
+            )
+            for bi, (_, h1, h2) in enumerate(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    bb = bands.where(in_batch).alias("a")
+    cb = bands.where(~in_batch).alias("b")
+    pairs = (
+        bb.join(
+            cb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()  # the verifier references the pair frame 3x
+    )
+    verified = exact_jaccard(pairs, distinct_tokens(docs)).where(
+        F.col("jaccard") >= VERIFY_JACCARD
+    )
+    # best match per batch doc: highest jaccard, lowest corpus doc_id on
+    # ties — a struct-max groupBy (partial-aggregable), never a window
+    best = (
+        verified.groupBy("doc_a")
+        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("doc_b")).alias("neg_b"))).alias("m"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            (-F.col("m.neg_b")).alias("near_match_id"),
+            F.col("m.jaccard").alias("near_jaccard"),
+        )
+    )
+    out = (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("exact_match_id").isNotNull(), "exact_dup")
+        .when(F.col("near_match_id").isNotNull(), "near_dup")
+        .otherwise("unique")
+    )
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.coalesce("exact_match_id", "near_match_id").alias("match_id"),
+        F.when(F.col("exact_match_id").isNull(), F.col("near_jaccard")).alias("jaccard"),
+    )
