@@ -846,28 +846,46 @@ GROUP BY node
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return min_label_components(pairs, docs.select("doc_id"))
+
+
+def min_label_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: component id = smallest reachable node id.
+    Rounds scale with cluster diameter; lineage truncates per round via
+    localCheckpoint so 100 TB runs don't accumulate a deep DAG. ``nodes``
+    supplies the full id universe — isolated nodes skip the loop and come
+    back as their own singleton component. Shared by the text pair graph
+    (dedup_components) and the embedding pair graph
+    (dedup_semantic_keep_list)."""
     # materialize the pair graph ONCE — every round joins against it, and
-    # without this the whole shingle->minhash->band pipeline would re-run
-    # per iteration (measured 3.5x slower at sf0.1)
+    # without this the upstream candidate pipeline would re-run per
+    # iteration (measured 3.5x slower at sf0.1)
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .localCheckpoint()
     )
     # only nodes with at least one edge can ever change label; isolated
-    # docs are their own component and skip the loop entirely
-    members = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = members.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    # nodes are their own component and skip the loop entirely
+    members = edges.select(F.col("src").alias(id_col)).distinct()
+    labels = members.select(id_col, F.col(id_col).alias("component")).localCheckpoint()
     for _ in range(MAX_CC_ITERATIONS):
         nbr = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
+            edges.join(labels, edges["dst"] == labels[id_col])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
         relabeled = (
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            labels.join(nbr, labels[id_col] == nbr["src"], "left")
             .select(
-                "doc_id",
+                id_col,
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
@@ -876,7 +894,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = (
             relabeled.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), id_col)
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
@@ -885,8 +903,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERATIONS} rounds")
-    isolated = docs.join(labels, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("component")
+    isolated = nodes.join(labels, id_col, "left_anti").select(
+        id_col, F.col(id_col).alias("component")
     )
     return labels.unionAll(isolated)
 

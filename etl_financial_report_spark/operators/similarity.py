@@ -788,3 +788,85 @@ def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"vec_a": ids[li], "vec_b": ids[ri], "cosine": cos[li, ri]})
 
     return qv.groupBy("bucket").applyInPandas(bucket_pairs, schema)
+
+
+# ------------------------------------------------- SemDeDup keep manifest
+
+#: cosine bar for "semantically the same" on THIS corpus. Real embedding
+#: models put near-dups at ~0.95+; the driver's synthetic random vectors
+#: top out near 0.5, so the bar is calibrated to the corpus (the operator
+#: shape — threshold graph -> components -> canonical manifest — is the
+#: production one; only the constant moves).
+SEMDEDUP_COSINE = 0.4
+
+
+@register(
+    "dedup_semantic_keep_list",
+    oracle=f"""
+WITH RECURSIVE {_Q_CTE},
+buckets AS (
+    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM ex a
+    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    JOIN buckets ba ON ba.vec_id = a.vec_id
+    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT vec_a, vec_b
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= {SEMDEDUP_COSINE}
+),
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM pairs
+),
+walk(node, reach) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+),
+comp AS (
+    SELECT node AS vec_id, CAST(MIN(reach) AS BIGINT) AS component
+    FROM walk GROUP BY node
+),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT c.vec_id, c.component, (c.vec_id = c.component) AS keep, s.cluster_size
+FROM comp c JOIN sizes s ON s.component = c.component
+""",
+    doc=(
+        "SemDeDup end-to-end (Abbas et al. '23 shape): sign-bucketed exact "
+        "cosine pairs above the semantic-dup bar -> connected components "
+        "via the shared min-label propagation (operators/dedup.py) -> a "
+        "per-vector keep manifest (canonical = smallest vec_id per "
+        "cluster) with cluster sizes from a two-phase groupBy+join. This "
+        "is the embedding twin of dedup_keep_list: the artifact a "
+        "training build consumes to drop semantic duplicates. Compute is "
+        "O(sum bucket^2), rounds = cluster diameter; the oracle is the "
+        "recursive-CTE closure of the same thresholded pair graph."
+    ),
+)
+def dedup_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import min_label_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim_bucketed_cosine_pairs(spark, sf_dir).where(
+        F.col("cosine") >= SEMDEDUP_COSINE
+    )
+    comp = min_label_components(
+        pairs, emb.select("vec_id"), id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("keep"),
+        "cluster_size",
+    )
