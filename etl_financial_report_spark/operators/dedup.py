@@ -1406,9 +1406,7 @@ INCR_BATCH_MOD = 10
 INCR_BATCH_REM = 7
 
 
-@register(
-    "dedup_incremental",
-    oracle=f"""
+_INCR_SQL = f"""
 WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
@@ -1469,7 +1467,12 @@ SELECT b.doc_id,
 FROM batchdocs b
 LEFT JOIN exact e ON e.doc_id = b.doc_id
 LEFT JOIN best n ON n.doc_a = b.doc_id
-""",
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_INCR_SQL,
     doc=(
         "Incremental ingest dedup — the shape a 100 TB pipeline actually "
         "runs daily: dedup the NEW batch against the existing corpus "
@@ -1559,4 +1562,61 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict.alias("verdict"),
         F.coalesce("exact_match_id", "near_match_id").alias("match_id"),
         F.when(F.col("exact_match_id").isNull(), F.col("near_jaccard")).alias("jaccard"),
+    )
+
+
+@register(
+    "pipeline_incremental_manifest",
+    oracle=f"""
+WITH incr AS ({_INCR_SQL}),
+q AS (
+    SELECT doc_id,
+           (len(string_split(text, ' ')) >= 20 AND
+            CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+                / len(string_split(text, ' ')) < 0.3) AS passes_quality
+    FROM documents WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+)
+SELECT i.doc_id,
+       i.verdict,
+       q.passes_quality,
+       (i.verdict = 'unique' AND q.passes_quality) AS keep,
+       CASE WHEN i.verdict <> 'unique' THEN i.verdict
+            WHEN NOT q.passes_quality THEN 'quality' END AS drop_reason
+FROM incr i JOIN q ON q.doc_id = i.doc_id
+""",
+    doc=(
+        "The daily-ingest manifest: per NEW-batch doc, the dedup verdict "
+        "against the existing corpus (dedup_incremental: exact_dup / "
+        "near_dup / unique), the Gopher-style quality gate, the final keep "
+        "bit and the first-failing drop_reason (duplicate verdicts win "
+        "over quality, matching pipeline_keep_manifest's precedence). This "
+        "is what an incremental training-corpus build consumes: append "
+        "keep=true rows, log the rest — the full-corpus keep manifest "
+        "never recomputes."
+    ),
+)
+def pipeline_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    quality = docs.where(in_batch).select(
+        "doc_id",
+        (
+            (n_tokens >= 20) & (n_stop.cast("double") / n_tokens < 0.3)
+        ).alias("passes_quality"),
+    )
+    incr = dedup_incremental(spark, sf_dir)
+    out = incr.join(quality, "doc_id")
+    keep = (F.col("verdict") == "unique") & F.col("passes_quality")
+    reason = F.when(F.col("verdict") != "unique", F.col("verdict")).when(
+        ~F.col("passes_quality"), "quality"
+    )
+    return out.select(
+        "doc_id",
+        "verdict",
+        "passes_quality",
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
     )
