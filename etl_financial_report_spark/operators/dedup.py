@@ -118,10 +118,11 @@ END
 """
 
 
-def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_signature_of(docs: DataFrame) -> DataFrame:
     """doc -> distinct word-3-gram shingles -> ONE md5 per shingle ->
-    k affine minhashes (universal-hash family; one shuffle total)."""
-    docs = load_table(spark, sf_dir, "documents")
+    k affine minhashes (universal-hash family; one shuffle total).
+    ``docs`` needs (doc_id, text) — any frame, not just the full table
+    (the incremental/streaming paths sign a batch slice)."""
     toks = (
         docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
         .select("doc_id", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
@@ -129,6 +130,10 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = [uminhash_agg(F.col("hw"), i).alias(f"h{i}") for i in range(N_HASHES)]
     return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signature_of(load_table(spark, sf_dir, "documents"))
 
 
 def _minhash_signature_sql() -> str:
@@ -1493,22 +1498,12 @@ LEFT JOIN best n ON n.doc_a = b.doc_id
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
-    batch = docs.where(in_batch)
-    corpus = docs.where(~in_batch)
+    index = build_corpus_dedup_index(docs.where(~in_batch))
+    return incremental_verdicts(docs.where(in_batch), index)
 
-    # stage 1: exact content-hash lookup (corpus side pre-collapsed; at
-    # scale this frame IS the persisted dedup index of the corpus)
-    corpus_ck = (
-        corpus.select(F.md5("text").alias("ck"), "doc_id")
-        .groupBy("ck")
-        .agg(F.min("doc_id").alias("exact_match_id"))
-    )
-    exact = batch.select("doc_id", F.md5("text").alias("ck")).join(
-        corpus_ck, "ck", "left"
-    ).select("doc_id", "exact_match_id")
 
-    # stage 2: LSH candidates, batch side x corpus side only
-    sig = _minhash_signature(spark, sf_dir)
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from a minhash signature frame."""
     band_structs = F.array(
         *[
             F.struct(
@@ -1518,11 +1513,43 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi, (_, h1, h2) in enumerate(_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
-    bb = bands.where(in_batch).alias("a")
-    cb = bands.where(~in_batch).alias("b")
+
+
+def build_corpus_dedup_index(corpus: DataFrame) -> dict[str, DataFrame]:
+    """The persisted dedup index of an already-ingested corpus: the three
+    frames incremental dedup probes — collapsed content-hash -> min doc
+    (``ck``), minhash band keys (``bands``), distinct tokens (``toks``).
+    In production these are tables maintained alongside the corpus
+    (appended per ingest); here they are lazy frames the caller may
+    localCheckpoint once and reuse across many batches (the streaming
+    twin does exactly that)."""
+    return {
+        "ck": (
+            corpus.select(F.md5("text").alias("ck"), "doc_id")
+            .groupBy("ck")
+            .agg(F.min("doc_id").alias("exact_match_id"))
+        ),
+        "bands": _band_keys(_minhash_signature_of(corpus)),
+        "toks": distinct_tokens(corpus),
+    }
+
+
+def incremental_verdicts(batch: DataFrame, index: dict[str, DataFrame]) -> DataFrame:
+    """Per-batch-doc dedup verdicts against a corpus index
+    (:func:`build_corpus_dedup_index`): exact_dup / near_dup / unique with
+    the matched corpus doc and verified jaccard. Candidate volume scales
+    with |batch|; the corpus never self-joins."""
+    # stage 1: exact content-hash lookup
+    exact = batch.select("doc_id", F.md5("text").alias("ck")).join(
+        index["ck"], "ck", "left"
+    ).select("doc_id", "exact_match_id")
+
+    # stage 2: LSH candidates, batch side x corpus index only
+    bb = _band_keys(_minhash_signature_of(batch)).alias("a")
+    cb = index["bands"].alias("b")
     pairs = (
         bb.join(
             cb,
@@ -1533,9 +1560,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # the verifier references the pair frame 3x
     )
-    verified = exact_jaccard(pairs, distinct_tokens(docs)).where(
-        F.col("jaccard") >= VERIFY_JACCARD
-    )
+    toks = distinct_tokens(batch).unionByName(index["toks"])
+    verified = exact_jaccard(pairs, toks).where(F.col("jaccard") >= VERIFY_JACCARD)
     # best match per batch doc: highest jaccard, lowest corpus doc_id on
     # ties — a struct-max groupBy (partial-aggregable), never a window
     best = (

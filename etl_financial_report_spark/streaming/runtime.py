@@ -414,6 +414,53 @@ def run_corpus_ingest_stream(
     return sink.read(spark)
 
 
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    corpus_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of ``dedup_incremental`` — the daily-ingest dedup as
+    a stream: new documents arrive in per-file microbatches and each batch
+    is verdicted (exact_dup / near_dup / unique + matched corpus doc)
+    against the PRE-BUILT corpus dedup index. The index frames
+    (hash->min-doc, minhash band keys, distinct tokens —
+    operators/dedup.build_corpus_dedup_index) are materialized ONCE before
+    the stream starts and reused by every batch: per-batch cost scales
+    with the batch, never the corpus. In production the index is a set of
+    tables maintained alongside the corpus; localCheckpoint stands in for
+    that here. Verdicts land through the idempotent sink keyed on doc_id,
+    so a replayed batch cannot double-report. Returns the verdict table."""
+    from ..operators.dedup import build_corpus_dedup_index, incremental_verdicts
+    from ..sources.sinks import ParquetSink
+
+    index = {
+        name: frame.localCheckpoint()
+        for name, frame in build_corpus_dedup_index(corpus_docs).items()
+    }
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(out_dir, partition_cols=("verdict",))
+
+    def verdict_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_verdicts(batch_df, index)
+        sink.append_idempotent(out, key_cols=["doc_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(verdict_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark)
+
+
 # ------------------------------------------ transformWithState (Spark 4)
 
 

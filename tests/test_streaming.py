@@ -246,3 +246,46 @@ def test_corpus_ingest_stream_dedupes_across_batches(spark, tmp_path):
     n_texts = docs.select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))).distinct().count()
     assert out.count() == n_texts
     assert out.groupBy("ck").count().where(F.col("count") > 1).count() == 0
+
+
+def test_incremental_dedup_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming twin of dedup_incremental: the batch slice
+    (doc_id % 10 == 7) streams in two file chunks against the prebuilt
+    corpus index; the landed verdicts must EXACTLY match the batch
+    operator's output on the same split, and a replayed append must not
+    double-report (idempotent sink keyed on doc_id)."""
+    from etl_financial_report_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        dedup_incremental,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    new_dir = str(tmp_path / "new_docs")
+    # two chunks -> two microbatches under maxFilesPerTrigger=1
+    batch = docs.where(in_batch)
+    batch.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(new_dir)
+    batch.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(new_dir)
+
+    got = runtime.run_incremental_dedup_stream(
+        spark,
+        new_dir,
+        docs.where(~in_batch),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+    )
+    want = dedup_incremental(spark, SMOKE_SF_DIR)
+    g = {(r.doc_id, r.verdict, r.match_id, r.jaccard) for r in got.collect()}
+    w = {(r.doc_id, r.verdict, r.match_id, r.jaccard) for r in want.collect()}
+    assert g == w and len(g) == batch.count()
+
+    # replay: landing the same verdicts again must be a no-op
+    got2 = runtime.run_incremental_dedup_stream(
+        spark,
+        new_dir,
+        docs.where(~in_batch),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert got2.count() == len(g)
