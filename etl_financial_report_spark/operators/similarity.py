@@ -870,3 +870,135 @@ def dedup_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") == F.col("component")).alias("keep"),
         "cluster_size",
     )
+
+
+# ------------------------------------------------- k-means (IVF training)
+
+
+def _assign_cells(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine cell assignment against a broadcast centroid set
+    (cos desc, cid asc tie-break). The per-vector window ranks K rows —
+    bounded by the centroid count, never the corpus."""
+    from pyspark.sql import Window
+
+    ccos = qv.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_q(dot_q(F.col("qe"), F.col("c_qe")), F.col("nsq"), F.col("c_nsq")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        ccos.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+@register(
+    "sim_ann_kmeans_train",
+    oracle=f"""
+WITH {_Q_CTE},
+cex0 AS (SELECT vec_id AS cid, i, v AS cv FROM ex WHERE vec_id < {N_CELLS}),
+cn0 AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cex0 GROUP BY cid),
+dots0 AS (
+    SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
+    FROM ex e JOIN cex0 x ON x.i = e.i GROUP BY 1, 2
+),
+cos0 AS (
+    SELECT d.vec_id, d.cid,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) AS cos
+    FROM dots0 d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cn0 c ON c.cid = d.cid
+    WHERE c.cnsq > 0
+),
+assign0 AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        FROM cos0
+    ) WHERE rk = 1
+),
+cex1 AS (
+    SELECT a.cell AS cid, e.i, CAST(SUM(e.v) AS BIGINT) AS cv
+    FROM ex e JOIN assign0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+),
+cn1 AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cex1 GROUP BY cid),
+dots1 AS (
+    SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
+    FROM ex e JOIN cex1 x ON x.i = e.i GROUP BY 1, 2
+),
+cos1 AS (
+    SELECT d.vec_id, d.cid,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) AS cos
+    FROM dots1 d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cn1 c ON c.cid = d.cid
+    WHERE c.cnsq > 0
+),
+assign1 AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        FROM cos1
+    ) WHERE rk = 1
+),
+counts AS (SELECT cell, COUNT(*) AS n_members FROM assign1 GROUP BY 1),
+carr AS (SELECT cid AS cell, array_agg(cv ORDER BY i) AS centroid_sum FROM cex1 GROUP BY cid)
+SELECT c.cell,
+       CAST(COALESCE(t.n_members, 0) AS BIGINT) AS n_members,
+       c.centroid_sum
+FROM carr c LEFT JOIN counts t ON t.cell = c.cell
+""",
+    doc=(
+        "Spherical k-means training for the IVF index — ONE full Lloyd "
+        "round, fully deterministic and oracle-exact: seed centroids are "
+        f"the first {N_CELLS} vectors (sim_ann_ivf's convention), vectors "
+        "assign by argmax quantized cosine (cos desc, cid asc tie-break), "
+        "and the centroid update is the EXACT int64 elementwise sum of "
+        "members — cosine is scale-invariant, so the sum vector IS the "
+        "mean direction and no float averaging ever happens (float means "
+        "are order-sensitive and would break cross-engine parity). "
+        "Output: surviving cells after the update with their reassignment "
+        "counts (cells can empty out) and integer centroid sums. Each "
+        "round is two shuffles (per-dim sums + counts); more rounds chain "
+        "the same stage. At 100 TB the centroid sums need periodic "
+        "rescaling to dodge int64 dot overflow past ~1e5-member cells at "
+        "this quantization — the standard renormalize step; the oracle "
+        "unrolls the identical round as CTEs."
+    ),
+)
+def sim_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    seeds = (
+        qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0))
+        .select(F.col("vec_id").alias("cid"), F.col("qe").alias("c_qe"), F.col("nsq").alias("c_nsq"))
+    )
+    assign0 = _assign_cells(qv, seeds)
+    # centroid update: exact per-dimension int64 sums via posexplode +
+    # groupBy — 64 rows of state per cell, order restored by array_sort
+    # on the (dim, sum) struct
+    ex = qv.join(assign0, "vec_id").select("cell", F.posexplode("qe").alias("i", "v"))
+    dims = ex.groupBy("cell", "i").agg(F.sum("v").alias("s"))
+    cents1 = (
+        dims.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ).alias("c_qe")
+        )
+        .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
+        .where(F.col("c_nsq") > 0)
+        .select(F.col("cell").alias("cid"), "c_qe", "c_nsq")
+    )
+    assign1 = _assign_cells(qv, cents1)
+    counts = assign1.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cents1.select(F.col("cid").alias("cell"), F.col("c_qe").alias("centroid_sum"))
+        .join(counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            "centroid_sum",
+        )
+    )
