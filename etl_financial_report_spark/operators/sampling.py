@@ -385,3 +385,88 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+#: token(char) budget for quality-ordered data selection
+_QUALITY_BUDGET_CHARS = 100_000
+
+#: quality-score bands for the distributed prefix sum: floor((1-ttr)*N)
+#: ascends as quality descends, so band order is consistent with the sort
+#: key and global cumsum = band offset + in-band running sum
+_QUALITY_BANDS = 64
+
+
+@register(
+    "sample_quality_budget",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, source, n_chars,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+    FROM documents
+),
+ranked AS (
+    SELECT *, SUM(n_chars) OVER (ORDER BY ttr DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_chars
+    FROM scored
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN cum_chars <= {_QUALITY_BUDGET_CHARS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN cum_chars <= {_QUALITY_BUDGET_CHARS} THEN n_chars END), 0) AS BIGINT)
+           AS chars_kept,
+       MIN(CASE WHEN cum_chars <= {_QUALITY_BUDGET_CHARS} THEN ttr END) AS min_kept_ttr
+FROM ranked
+GROUP BY source
+""",
+    doc=(
+        "Budget-capped data selection — 'take the best documents until the "
+        "token budget is spent', the data-selection step of a scoped "
+        "training run: docs order by quality (type-token ratio desc, "
+        "doc_id tiebreak) and survive while the running char budget "
+        "lasts. The corpus-sized running sum is DISTRIBUTED exactly like "
+        "w_ntile_percentile's rank: quality bands (floor((1-ttr)*64) — "
+        "band order consistent with the sort key) carry per-band running "
+        "sums in parallel windows, and only the tiny per-band totals see "
+        "a global prefix window before broadcasting back as offsets. "
+        "Reports per-source kept/total accounting plus the effective "
+        "quality cutoff; the oracle is the naive single-window form."
+    ),
+)
+def sample_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    banded = scored.withColumn(
+        "band", F.floor((F.lit(1.0) - F.col("ttr")) * _QUALITY_BANDS).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("ttr"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = banded.withColumn("cum_in", F.sum("n_chars").over(w_in))
+    totals = banded.groupBy("band").agg(F.sum("n_chars").alias("band_chars"))
+    w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "band", F.coalesce(F.sum("band_chars").over(w_b), F.lit(0)).alias("offset")
+    )
+    kept = F.col("cum_in") + F.col("offset") <= _QUALITY_BUDGET_CHARS
+    return (
+        within.join(F.broadcast(offsets), "band")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_kept"),
+            F.min(F.when(kept, F.col("ttr"))).alias("min_kept_ttr"),
+        )
+    )
