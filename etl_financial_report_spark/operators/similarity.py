@@ -894,6 +894,26 @@ def _assign_cells(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _update_centroids(qv: DataFrame, assign: DataFrame) -> DataFrame:
+    """Exact per-dimension int64 member sums via posexplode + groupBy —
+    64 rows of state per cell, array order restored by array_sort on the
+    (dim, sum) struct; zero-norm cells drop (cannot be assigned to)."""
+    ex = qv.join(assign, "vec_id").select("cell", F.posexplode("qe").alias("i", "v"))
+    dims = ex.groupBy("cell", "i").agg(F.sum("v").alias("s"))
+    return (
+        dims.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ).alias("c_qe")
+        )
+        .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
+        .where(F.col("c_nsq") > 0)
+        .select(F.col("cell").alias("cid"), "c_qe", "c_nsq")
+    )
+
+
+
 @register(
     "sim_ann_kmeans_train",
     oracle=f"""
@@ -968,33 +988,24 @@ FROM carr c LEFT JOIN counts t ON t.cell = c.cell
         "unrolls the identical round as CTEs."
     ),
 )
-def sim_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_kmeans_train(
+    spark: SparkSession, sf_dir: str, n_rounds: int = 1
+) -> DataFrame:
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    seeds = (
+    cents = (
         qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0))
         .select(F.col("vec_id").alias("cid"), F.col("qe").alias("c_qe"), F.col("nsq").alias("c_nsq"))
     )
-    assign0 = _assign_cells(qv, seeds)
-    # centroid update: exact per-dimension int64 sums via posexplode +
-    # groupBy — 64 rows of state per cell, order restored by array_sort
-    # on the (dim, sum) struct
-    ex = qv.join(assign0, "vec_id").select("cell", F.posexplode("qe").alias("i", "v"))
-    dims = ex.groupBy("cell", "i").agg(F.sum("v").alias("s"))
-    cents1 = (
-        dims.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
-            ).alias("c_qe")
-        )
-        .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
-        .where(F.col("c_nsq") > 0)
-        .select(F.col("cell").alias("cid"), "c_qe", "c_nsq")
+    for _ in range(n_rounds):
+        assign = _assign_cells(qv, cents)
+        # K rows per round: checkpoint truncates the per-round lineage so
+        # deep trainings don't accumulate a nested-broadcast DAG
+        cents = _update_centroids(qv, assign).localCheckpoint()
+    counts = _assign_cells(qv, cents).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
     )
-    assign1 = _assign_cells(qv, cents1)
-    counts = assign1.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        cents1.select(F.col("cid").alias("cell"), F.col("c_qe").alias("centroid_sum"))
+        cents.select(F.col("cid").alias("cell"), F.col("c_qe").alias("centroid_sum"))
         .join(counts, "cell", "left")
         .select(
             "cell",

@@ -188,7 +188,13 @@ def test_dup_span_frac_is_two_phase_not_windowed(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_decontaminate", "pipeline_keep_manifest", "dedup_simhash64_hamming"]
+    "name",
+    [
+        "dedup_decontaminate",
+        "pipeline_keep_manifest",
+        "dedup_simhash64_hamming",
+        "dedup_incremental",
+    ],
 )
 def test_corpus_sized_joins_are_equi(spark, name):
     """Corpus-sized paths (benchmark-overlap gram join, keep-manifest

@@ -36,3 +36,30 @@ def test_derived_blocks_cover_parallelism_and_memory(spark):
     n_huge = 10_000_000
     assert math.ceil(n_huge / COSINE_BLOCK_TARGET_ROWS) == 100
     assert similarity.COSINE_BLOCK_TARGET_ROWS * 2 * 64 * 8 < 512 * 1024 * 1024
+
+
+def test_kmeans_train_multi_round_invariants(spark):
+    """Every Lloyd round must keep the partition invariant — each vector
+    assigned to exactly one surviving cell — and training must actually
+    move: round-2 centroids differ from round-1's. (No fixed-point
+    assertion: on near-uniform random vectors Lloyd's can wander for many
+    rounds, and k-means admits 2-cycles in general — determinism per
+    round count is what the operator guarantees, and what the oracle
+    checks for n_rounds=1.)"""
+    from etl_financial_report_spark.operators.similarity import sim_ann_kmeans_train
+
+    sf = "/root/testdata/sf0.001"
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    by_round = {}
+    for r in (1, 2, 3):
+        rows = sim_ann_kmeans_train(spark, sf, n_rounds=r).collect()
+        assert sum(x.n_members for x in rows) == n_vecs
+        assert all(len(x.centroid_sum) == 64 for x in rows)
+        by_round[r] = {(x.cell, tuple(x.centroid_sum)) for x in rows}
+    assert by_round[1] != by_round[2]
+    # rerun determinism at a fixed round count
+    again = {
+        (x.cell, tuple(x.centroid_sum))
+        for x in sim_ann_kmeans_train(spark, sf, n_rounds=2).collect()
+    }
+    assert again == by_round[2]
