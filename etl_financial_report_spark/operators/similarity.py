@@ -278,6 +278,46 @@ N_CELLS = 8  # centroids = the first N_CELLS vectors (deterministic "training")
 N_PROBE = 2  # query probes its 2 nearest cells
 
 
+def _ivf_probe(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """FAISS-style IVF probe against any centroid set (cid, c_qe, c_nsq):
+    assign every vector to its argmax-cosine cell, probe the query's
+    N_PROBE nearest cells, exact cosine only inside them, top-10. The
+    centroid set is bounded (broadcast); the per-vector assignment window
+    ranks K rows; the probe ranking is K rows total."""
+    from pyspark.sql import Window
+
+    ccos = qv.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_q(dot_q(F.col("qe"), F.col("c_qe")), F.col("nsq"), F.col("c_nsq")).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assign = (
+        ccos.withColumn("rn", F.row_number().over(w_assign))
+        .where("rn = 1")
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    w_probe = Window.orderBy(F.desc("cos"), F.asc("cid"))
+    probe = (
+        ccos.where(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= N_PROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = assign.join(F.broadcast(probe), "cell").where(F.col("vec_id") != 0)
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    return (
+        qv.join(cand.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "sim_ann_ivf",
     oracle=f"""
@@ -341,43 +381,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = qv.where(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("qe").alias("c_qe"), F.col("nsq").alias("c_nsq")
     )
-    # centroid assignment: cross join against the tiny broadcast centroid set,
-    # exact quantized cosine, argmax with (cos desc, cid) tie-break
-    ccos = (
-        qv.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            cosine_q(dot_q(F.col("qe"), F.col("c_qe")), F.col("nsq"), F.col("c_nsq")).alias("cos"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-    assign = (
-        ccos.withColumn("rn", F.row_number().over(w_assign))
-        .where("rn = 1")
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
-    w_probe = Window.orderBy(F.desc("cos"), F.asc("cid"))
-    probe = (
-        ccos.where(F.col("vec_id") == 0)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= N_PROBE)
-        .select(F.col("cid").alias("cell"))
-    )
-    cand = assign.join(F.broadcast(probe), "cell").where(F.col("vec_id") != 0)
-    query = qv.where(F.col("vec_id") == 0).select(
-        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
-    )
-    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
-    return (
-        qv.join(cand.select("vec_id"), "vec_id")
-        .crossJoin(F.broadcast(query))
-        .select("vec_id", cos.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return _ivf_probe(qv, cents)
 
 
 # ------------------------------------------------------------ multi-probe
@@ -894,30 +898,7 @@ def _assign_cells(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _update_centroids(qv: DataFrame, assign: DataFrame) -> DataFrame:
-    """Exact per-dimension int64 member sums via posexplode + groupBy —
-    64 rows of state per cell, array order restored by array_sort on the
-    (dim, sum) struct; zero-norm cells drop (cannot be assigned to)."""
-    ex = qv.join(assign, "vec_id").select("cell", F.posexplode("qe").alias("i", "v"))
-    dims = ex.groupBy("cell", "i").agg(F.sum("v").alias("s"))
-    return (
-        dims.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
-            ).alias("c_qe")
-        )
-        .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
-        .where(F.col("c_nsq") > 0)
-        .select(F.col("cell").alias("cid"), "c_qe", "c_nsq")
-    )
-
-
-
-@register(
-    "sim_ann_kmeans_train",
-    oracle=f"""
-WITH {_Q_CTE},
+_KMEANS_R1_CTES = f"""
 cex0 AS (SELECT vec_id AS cid, i, v AS cv FROM ex WHERE vec_id < {N_CELLS}),
 cn0 AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cex0 GROUP BY cid),
 dots0 AS (
@@ -943,7 +924,35 @@ cex1 AS (
     SELECT a.cell AS cid, e.i, CAST(SUM(e.v) AS BIGINT) AS cv
     FROM ex e JOIN assign0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
 ),
-cn1 AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cex1 GROUP BY cid),
+cn1 AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cex1 GROUP BY cid)
+"""
+
+
+def _update_centroids(qv: DataFrame, assign: DataFrame) -> DataFrame:
+    """Exact per-dimension int64 member sums via posexplode + groupBy —
+    64 rows of state per cell, array order restored by array_sort on the
+    (dim, sum) struct; zero-norm cells drop (cannot be assigned to)."""
+    ex = qv.join(assign, "vec_id").select("cell", F.posexplode("qe").alias("i", "v"))
+    dims = ex.groupBy("cell", "i").agg(F.sum("v").alias("s"))
+    return (
+        dims.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ).alias("c_qe")
+        )
+        .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
+        .where(F.col("c_nsq") > 0)
+        .select(F.col("cell").alias("cid"), "c_qe", "c_nsq")
+    )
+
+
+
+@register(
+    "sim_ann_kmeans_train",
+    oracle=f"""
+WITH {_Q_CTE},
+{_KMEANS_R1_CTES},
 dots1 AS (
     SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
     FROM ex e JOIN cex1 x ON x.i = e.i GROUP BY 1, 2
@@ -1013,3 +1022,76 @@ def sim_ann_kmeans_train(
             "centroid_sum",
         )
     )
+
+
+@register(
+    "sim_ann_ivf_trained",
+    oracle=f"""
+WITH {_Q_CTE},
+{_KMEANS_R1_CTES},
+tdots AS (
+    SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
+    FROM ex e JOIN cex1 x ON x.i = e.i GROUP BY 1, 2
+),
+tcos AS (
+    SELECT d.vec_id, d.cid,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) AS cos
+    FROM tdots d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cn1 c ON c.cid = d.cid
+    WHERE c.cnsq > 0
+),
+assignt AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM tcos
+    ) WHERE rn = 1
+),
+probet AS (
+    SELECT cid AS cell FROM (
+        SELECT cid, ROW_NUMBER() OVER (ORDER BY cos DESC, cid) AS rn
+        FROM tcos WHERE vec_id = 0
+    ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+    SELECT a.vec_id FROM assignt a JOIN probet p ON a.cell = p.cell
+    WHERE a.vec_id <> 0
+),
+qdot AS (
+    SELECT c.vec_id, SUM(ex.v * qq.v) AS dot
+    FROM cand c
+    JOIN ex ON ex.vec_id = c.vec_id
+    JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON ex.i = qq.i
+    GROUP BY c.vec_id
+)
+SELECT d.vec_id,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cosine
+FROM qdot d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+ORDER BY cosine DESC, d.vec_id
+LIMIT 10
+""",
+    doc=(
+        "The closed ANN loop: train -> index -> probe. Coarse-quantizer "
+        "centroids come from one deterministic Lloyd round "
+        "(sim_ann_kmeans_train's exact int64 member sums) instead of raw "
+        "seed vectors; the probe stage is byte-identical to sim_ann_ivf "
+        "(shared _ivf_probe). Trained cells fit the data distribution, so "
+        "at production scale the same probe count recovers more true "
+        "neighbors — the recall/probe tradeoff sim_ann_recall_eval "
+        "measures. Oracle splices the shared k-means round CTEs into the "
+        "IVF probe SQL."
+    ),
+)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir)
+    seeds = (
+        qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0))
+        .select(F.col("vec_id").alias("cid"), F.col("qe").alias("c_qe"), F.col("nsq").alias("c_nsq"))
+    )
+    cents = _update_centroids(
+        qv.select("vec_id", "qe", "nsq"), _assign_cells(qv.select("vec_id", "qe", "nsq"), seeds)
+    )
+    return _ivf_probe(qv, cents)
