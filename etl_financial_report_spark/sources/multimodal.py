@@ -231,3 +231,91 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
     return extract_features(media)
+
+
+#: frame keys appearing in more than this many docs are dropped before
+#: pairing — a ubiquitous frame (black frame, silence, padding) is not
+#: evidence of duplication and its pair fan-out is quadratic
+FRAME_DF_CAP = 50
+
+#: shared-frame containment bar for the near-dup verdict
+FRAME_DUP_CONTAINMENT = 0.8
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle=f"""
+WITH fr AS (
+    SELECT DISTINCT doc_id,
+           substr(md5(substr(text, i * 200 + 1, 200)), 1, 12) AS frame_key
+    FROM documents,
+         unnest(generate_series(0, greatest(len(text) // 200, 1) - 1)) t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY doc_id),
+keep AS (
+    SELECT frame_key FROM fr GROUP BY frame_key
+    HAVING COUNT(*) BETWEEN 2 AND {FRAME_DF_CAP}
+),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fr a
+    JOIN keep k ON k.frame_key = a.frame_key
+    JOIN fr b ON b.frame_key = a.frame_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / least(sa.n_frames, sb.n_frames) AS containment,
+       (CAST(s.n_shared AS DOUBLE) / least(sa.n_frames, sb.n_frames)
+           >= {FRAME_DUP_CONTAINMENT}) AS is_dup
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+""",
+    doc=(
+        "Media near-dup via frame fingerprints — the video-dedup shape: "
+        "every 200-byte payload chunk hashes to a frame key "
+        "(multimodal_frame_sample's chunking), docs pair through shared "
+        "DISCRIMINATIVE keys (keys in 2..cap docs — ubiquitous frames "
+        "like black/silence/padding are dropped BEFORE pairing, the "
+        "two-phase df-cap that keeps a hot frame key from quadratic "
+        "fan-out), and containment over the smaller doc's frame set "
+        "yields the verdict. The binary payload never shuffles — only "
+        "12-byte frame keys do."
+    ),
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    fr = frame_sample(media).select("doc_id", "frame_key").distinct()
+    sizes = fr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    keep = (
+        fr.groupBy("frame_key")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, FRAME_DF_CAP))
+        .select("frame_key")
+    )
+    kept = fr.join(keep, "frame_key")
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.frame_key") == F.col("b.frame_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    containment = F.col("n_shared").cast("double") / F.least(
+        F.col("sa.n_frames"), F.col("sb.n_frames")
+    )
+    return (
+        shared.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            containment.alias("containment"),
+            (containment >= FRAME_DUP_CONTAINMENT).alias("is_dup"),
+        )
+    )
