@@ -177,19 +177,7 @@ FROM bands a JOIN bands b
     ),
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signature(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                (F.col(h1) * F.lit(MINHASH_P) + F.col(h2)).alias("band_key"),
-            )
-            for bi, (_, h1, h2) in enumerate(_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
-    )
+    bands = _band_keys(_minhash_signature(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -212,3 +212,32 @@ def test_q21_runs_at_scale(spark, sf1_dir, smoke_record):
         smoke_record,
     )
     assert n > 0
+
+
+def test_incremental_dedup_at_scale(spark, sf1_dir, smoke_record):
+    """The daily-ingest shape at the x10 corpus: the batch slice
+    (doc_id % 10 == 7 — replicas preserve the residue, so it is ~10% of
+    the scaled corpus) verdicts against the other ~90% without the corpus
+    ever self-joining. Every batch doc must come back exactly once, and
+    exact dups must be found: identical replicas of base docs whose
+    copies land in corpus residues make exact_dup verdicts plentiful."""
+    from etl_financial_report_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+    )
+
+    df, n = _run(
+        spark,
+        "dedup_incremental",
+        lambda: registry.all_queries()["dedup_incremental"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    n_batch = (
+        load_table(spark, sf1_dir, "documents")
+        .where((F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM)
+        .count()
+    )
+    assert n == n_batch
+    verdicts = {r.verdict for r in df.select("verdict").distinct().collect()}
+    assert verdicts <= {"exact_dup", "near_dup", "unique"}
+    assert df.where(F.col("verdict") == "exact_dup").count() > 0
