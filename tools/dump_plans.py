@@ -98,9 +98,10 @@ HEADLINERS = {
         "anywhere."
     ),
     "pipeline_keep_manifest": (
-        "Per-doc keep manifest: canonical-hash window, quality gate "
-        "expressions fused into the scan stage, benchmark-gram equi-join, "
-        "one doc_id stitch join — four gates, one plan, no cartesian."
+        "Per-doc keep manifest: two-phase canonical-hash min (r4), quality "
+        "gate expressions fused into the scan stage, benchmark-gram "
+        "equi-join, one doc_id stitch join — four gates, one plan, no "
+        "cartesian."
     ),
     "j_salted_skew_join": (
         "Manual skew-join split: fact side salted, dim side exploded per "
@@ -131,6 +132,29 @@ HEADLINERS = {
         "are the 1-row data-derived cutoff broadcast onto each branch — a "
         "scalar cross join whose build side is literally one row (same "
         "shape as text_token_rarity's corpus-size scalar)."
+    ),
+    "dedup_incremental": (
+        "Incremental ingest dedup (r4): batch md5 probes the collapsed "
+        "corpus hash index; batch band keys equi-join the corpus band "
+        "index (candidates scale with |batch|); pair-driven jaccard "
+        "verify; struct-max best match. Corpus never self-joins."
+    ),
+    "dedup_semantic_keep_list": (
+        "SemDeDup keep manifest (r4): bucketed exact cosine pairs above "
+        "the bar -> min-label components -> two-phase cluster stats."
+    ),
+    "sim_ann_kmeans_train": (
+        "Deterministic Lloyd round (r4): broadcast centroid assignment, "
+        "exact int64 per-dim member sums via posexplode+groupBy — no "
+        "float averaging, no corpus-sized window."
+    ),
+    "sample_quality_budget": (
+        "Budget-capped selection (r4): banded two-level running sum — "
+        "parallel in-band windows + broadcast prefix of <= 65 band totals."
+    ),
+    "multimodal_frame_dedup": (
+        "Frame-fingerprint media near-dup (r4): discriminative-key df-cap "
+        "before pairing; binary payload never shuffles, only 12-byte keys."
     ),
     "dedup_simhash64_hamming": (
         "Manku candidate tables (r4): one explode into 20 packed 3-of-6-"
