@@ -51,3 +51,52 @@ def test_containment_matches_set_math(spark, corpus):
         assert row.smaller_is_a is (len(sets[i]) < len(sets[j]))
         # containment dominates jaccard by construction
         assert row.containment >= inter / len(sets[i] | sets[j])
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus, _corpus)
+def test_incremental_verdicts_invariants(spark, batch_texts, corpus_texts):
+    """dedup_incremental's verdict stage on random tiny corpora:
+    * every batch doc verdicts exactly once;
+    * exact_dup verdicts are COMPLETE and match the smallest identical
+      corpus doc (the exact stage is deterministic, no LSH involved);
+    * near_dup verdicts are SOUND — the matched pair's true token-set
+      jaccard clears the bar (recall is probabilistic under banding, so
+      only soundness is asserted);
+    * match ids always point into the corpus, never the batch."""
+    from etl_financial_report_spark.operators.dedup import (
+        VERIFY_JACCARD,
+        build_corpus_dedup_index,
+        incremental_verdicts,
+    )
+
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_verdicts(batch, build_corpus_dedup_index(corpus)).collect()
+    }
+    assert sorted(out) == [100 + i for i in range(len(batch_texts))]
+
+    corpus_ids = set(range(len(corpus_texts)))
+    sets = {i: set(t.split(" ")) for i, t in enumerate(corpus_texts)}
+    for i, t in enumerate(batch_texts):
+        row = out[100 + i]
+        exact_matches = [j for j, ct in enumerate(corpus_texts) if ct == t]
+        if exact_matches:
+            assert row.verdict == "exact_dup"
+            assert row.match_id == min(exact_matches)
+            assert row.jaccard is None
+        else:
+            assert row.verdict in ("near_dup", "unique")
+        if row.verdict == "near_dup":
+            assert row.match_id in corpus_ids
+            bset = set(t.split(" "))
+            mset = sets[row.match_id]
+            true_j = len(bset & mset) / len(bset | mset)
+            assert abs(row.jaccard - true_j) < 1e-12
+            assert row.jaccard >= VERIFY_JACCARD
