@@ -392,8 +392,21 @@ _QUALITY_BUDGET_CHARS = 100_000
 
 #: quality-score bands for the distributed prefix sum: floor((1-ttr)*N)
 #: ascends as quality descends, so band order is consistent with the sort
-#: key and global cumsum = band offset + in-band running sum
-_QUALITY_BANDS = 64
+#: key and global cumsum = band offset + in-band running sum. The FLOOR
+#: is the parallelism unit; the derived count caps the AVERAGE in-band
+#: window at _QUALITY_BAND_TARGET_ROWS so tasks stay executor-sized as
+#: the corpus grows (a fixed 64 would mean n/64-row tasks at any n).
+_QUALITY_BANDS_FLOOR = 64
+_QUALITY_BAND_TARGET_ROWS = 1_000_000
+
+
+def _quality_bands(sf_dir: str) -> int:
+    import math
+
+    from ..io import table_row_count
+
+    n = table_row_count(sf_dir, "documents")
+    return max(_QUALITY_BANDS_FLOOR, math.ceil(n / _QUALITY_BAND_TARGET_ROWS))
 
 
 @register(
@@ -426,7 +439,8 @@ GROUP BY source
         "training run: docs order by quality (type-token ratio desc, "
         "doc_id tiebreak) and survive while the running char budget "
         "lasts. The corpus-sized running sum is DISTRIBUTED exactly like "
-        "w_ntile_percentile's rank: quality bands (floor((1-ttr)*64) — "
+        "w_ntile_percentile's rank: quality bands (floor((1-ttr)*B), B "
+        "derived so the average band stays ~1M rows as the corpus grows; "
         "band order consistent with the sort key) carry per-band running "
         "sums in parallel windows, and only the tiny per-band totals see "
         "a global prefix window before broadcasting back as offsets. "
@@ -444,7 +458,8 @@ def sample_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
     )
     banded = scored.withColumn(
-        "band", F.floor((F.lit(1.0) - F.col("ttr")) * _QUALITY_BANDS).cast("long")
+        "band",
+        F.floor((F.lit(1.0) - F.col("ttr")) * _quality_bands(sf_dir)).cast("long"),
     )
     w_in = (
         Window.partitionBy("band")

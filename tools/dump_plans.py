@@ -150,7 +150,7 @@ HEADLINERS = {
     ),
     "sample_quality_budget": (
         "Budget-capped selection (r4): banded two-level running sum — "
-        "parallel in-band windows + broadcast prefix of <= 65 band totals."
+        "parallel in-band windows (derived band count keeps tasks ~1M rows) + broadcast prefix of the tiny band totals."
     ),
     "multimodal_frame_dedup": (
         "Frame-fingerprint media near-dup (r4): discriminative-key df-cap "
