@@ -485,3 +485,50 @@ def sample_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(kept, F.col("ttr"))).alias("min_kept_ttr"),
         )
     )
+
+
+#: length-bucket width in chars for padded-batch assembly
+_LEN_BUCKET_WIDTH = 200
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, n_chars, n_chars // {_LEN_BUCKET_WIDTH} AS bucket
+    FROM documents
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS payload_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS bucket_max,
+       CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS BIGINT) AS padding_chars,
+       CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS DOUBLE)
+           / (MAX(n_chars) * COUNT(*)) AS padding_frac
+FROM b
+GROUP BY bucket
+""",
+    doc=(
+        "Length-bucketed batch assembly accounting — the "
+        "sequence-batching efficiency step of a training pipeline: "
+        "documents bin by length band and each bucket reports its padded "
+        "cost (every sequence pads to the bucket max), so the "
+        "padding_frac column IS the wasted-compute fraction a bucketing "
+        "config buys relative to naive global-max padding. One partial- "
+        "aggregable groupBy over (len DIV width); no sort, no window — "
+        "the cheapest query in the assembly family at any corpus size."
+    ),
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "n_chars", F.expr(f"n_chars DIV {_LEN_BUCKET_WIDTH}").alias("bucket")
+    )
+    pad = F.max("n_chars") * F.count(F.lit(1)) - F.sum("n_chars")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("payload_chars"),
+        F.max("n_chars").alias("bucket_max"),
+        pad.alias("padding_chars"),
+        (pad.cast("double") / (F.max("n_chars") * F.count(F.lit(1)))).alias("padding_frac"),
+    )
