@@ -532,3 +532,63 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         pad.alias("padding_chars"),
         (pad.cast("double") / (F.max("n_chars") * F.count(F.lit(1)))).alias("padding_frac"),
     )
+
+
+#: epochs and shard fan-out for the deterministic per-epoch reshuffle
+_EPOCHS = 3
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+WITH assigned AS (
+    SELECT e.epoch, d.doc_id, d.n_chars,
+           {hash32_sql("'ep' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}
+               % {_EPOCH_SHARDS} AS shard
+    FROM documents d
+    CROSS JOIN (SELECT unnest(generate_series(0, {_EPOCHS - 1})) AS epoch) e
+)
+SELECT epoch, shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+FROM assigned
+GROUP BY epoch, shard
+""",
+    doc=(
+        "Deterministic per-epoch reshuffle — training runs need a "
+        "DIFFERENT data order every epoch that is still reproducible "
+        "across reruns and cluster sizes: shard = hash('ep<e>:'||doc_id) "
+        "mod S, so each epoch permutes shard membership (the id_sum "
+        "fingerprint differs per epoch for the same shard) while any "
+        "rerun reproduces it exactly. No RNG, no sort; the explode is "
+        f"x{_EPOCHS} and the rollup is one partial-aggregable groupBy — "
+        "the same salted-hash stream discipline as the split/mixture "
+        "samplers (different salt prefix, decorrelated decisions)."
+    ),
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    epoch = F.explode(F.sequence(F.lit(0), F.lit(_EPOCHS - 1))).alias("epoch")
+    assigned = docs.select("doc_id", "n_chars", epoch).select(
+        "epoch",
+        "doc_id",
+        "n_chars",
+        (
+            hash32(
+                F.concat(
+                    F.lit("ep"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % F.lit(_EPOCH_SHARDS)
+        ).alias("shard"),
+    )
+    return assigned.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("shard_chars"),
+    )
