@@ -416,9 +416,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_keep_manifest",
-    oracle="""
+_KEEP_MANIFEST_SQL = """
 WITH canon AS (
     SELECT doc_id, source, text,
            md5(trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))) AS ck,
@@ -464,7 +462,12 @@ SELECT v.doc_id, v.source, v.is_canonical, v.passes_quality, c.is_contaminated,
             WHEN COALESCE(c.is_contaminated, FALSE) THEN 'contaminated'
             ELSE NULL END AS drop_reason
 FROM verdict v LEFT JOIN contam c ON c.doc_id = v.doc_id
-""",
+"""
+
+
+@register(
+    "pipeline_keep_manifest",
+    oracle=_KEEP_MANIFEST_SQL,
     doc=(
         "The per-document keep manifest — the row-level operational output a "
         "training-data build actually consumes (pipeline_corpus_clean is its "
@@ -600,3 +603,65 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return joined.select("doc_id", status.alias("status"))
+
+
+from ..functions.hashing import hash32_sql  # noqa: E402
+from .sampling import (  # noqa: E402
+    _SHARD_BUDGET,
+    _mix_bucket_col,
+    _mix_rate_col,
+    _mix_rate_sql,
+    shard_pack,
+)
+
+_CORPUS_BUILD_SQL = f"""
+WITH manifest AS ({_KEEP_MANIFEST_SQL}),
+kept AS (
+    SELECT m.doc_id, d.n_chars
+    FROM manifest m
+    JOIN documents d ON d.doc_id = m.doc_id
+    WHERE m.keep
+      AND {hash32_sql("'mix:' || CAST(m.doc_id AS VARCHAR)")} % 10000
+          < {_mix_rate_sql("CAST(substr(d.source, 4) AS BIGINT)")}
+),
+ordered AS (
+    SELECT doc_id, n_chars,
+           SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_chars
+    FROM kept
+)
+SELECT CAST((cum_chars - 1) // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM ordered
+GROUP BY 1
+"""
+
+
+@register(
+    "pipeline_corpus_build",
+    oracle=_CORPUS_BUILD_SQL,
+    doc=(
+        "The full corpus build in ONE plan — raw documents to training "
+        "shards: the keep manifest gates (canonical dedup, quality, "
+        "decontamination, holdout) drop first, the deterministic mixture "
+        "gate applies each source's keep rate to the survivors (same "
+        "salted hash stream as sample_mixture_weights), and the remainder "
+        "packs into ~fixed-size shards via the two-level distributed "
+        "prefix sum (shard_pack). This is the artifact a training run "
+        "reads: per-shard doc counts, char payloads and id ranges. Every "
+        "stage is the already-verified operator — the composition proves "
+        "they fuse into one lazy plan with no driver round-trips between "
+        "stages."
+    ),
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = pipeline_keep_manifest(spark, sf_dir)
+    kept = (
+        docs.join(manifest.where(F.col("keep")).select("doc_id"), "doc_id")
+        .where(_mix_bucket_col() < _mix_rate_col())
+        .select("doc_id", "n_chars")
+    )
+    return shard_pack(kept)

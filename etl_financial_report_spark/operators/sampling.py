@@ -97,7 +97,14 @@ GROUP BY 1
 )
 def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grouped = docs.select(
+    return shard_pack(docs.select("doc_id", "n_chars"))
+
+
+def shard_pack(frame: DataFrame, budget: int = _SHARD_BUDGET) -> DataFrame:
+    """Two-level-prefix-sum shard packing over any (doc_id, n_chars)
+    frame — pack_shards binds it to the full table; the corpus-build
+    composition packs the post-dedup/post-mixture survivor set."""
+    grouped = frame.select(
         "doc_id", "n_chars", F.expr(f"doc_id DIV {_PACK_GROUP}").alias("pack_group")
     )
     w_in = (
@@ -121,7 +128,7 @@ def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         # exact integer floor-division (double `/` + cast can round across
         # a shard boundary)
-        F.expr(f"(cum_chars - 1) DIV {_SHARD_BUDGET}").alias("shard_id"),
+        F.expr(f"(cum_chars - 1) DIV {budget}").alias("shard_id"),
     )
     return sharded.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -143,6 +150,22 @@ def _mix_rate_sql(src_num: str) -> str:
         f"WHEN ({src_num}) % 4 = {k} THEN {v}" for k, v in _MIX_BANDS.items()
     )
     return f"CASE {arms} ELSE {_MIX_DEFAULT} END"
+
+
+def _mix_rate_col() -> F.Column:
+    """Per-source keep rate (permyriad) from the source id — shared by the
+    mixture sampler and the corpus-build composition."""
+    src_num = F.substring("source", 4, 10).cast("long")
+    rate = F.lit(_MIX_DEFAULT)
+    for k, v in reversed(_MIX_BANDS.items()):
+        rate = F.when(src_num % 4 == k, v).otherwise(rate)
+    return rate
+
+
+def _mix_bucket_col() -> F.Column:
+    """Deterministic permyriad bucket for the mixture decision."""
+    return hash32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % F.lit(10_000)
+
 
 
 @register(
@@ -175,11 +198,8 @@ ORDER BY source
 )
 def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("long")
-    rate = F.lit(_MIX_DEFAULT)
-    for k, v in reversed(_MIX_BANDS.items()):
-        rate = F.when(src_num % 4 == k, v).otherwise(rate)
-    bucket = hash32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % F.lit(10_000)
+    rate = _mix_rate_col()
+    bucket = _mix_bucket_col()
     kept = F.col("bucket") < F.col("rate")
     return (
         docs.select("doc_id", "source", "n_chars", rate.alias("rate"), bucket.alias("bucket"))
