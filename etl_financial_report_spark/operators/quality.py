@@ -419,6 +419,194 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_scrub",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sp AS (
+    SELECT doc_id, i AS start, md5({_SPAN_CONCAT_SQL}) AS sh
+    FROM t, unnest(generate_series(1, len(toks) - {SPAN_N - 1})) u(i)
+    WHERE len(toks) >= {SPAN_N}
+),
+dup AS (
+    SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS c FROM sp GROUP BY sh)
+    WHERE c >= 2
+),
+ss AS (
+    SELECT doc_id, list_sort(list(start)) AS starts
+    FROM sp JOIN dup USING (sh) GROUP BY doc_id
+),
+k AS (
+    SELECT t.doc_id, len(toks) AS n_tokens,
+           list_filter(toks, (x, i) -> len(list_filter(
+               coalesce(starts, CAST([] AS BIGINT[])),
+               s -> s <= i AND i <= s + {SPAN_N - 1})) = 0) AS kept
+    FROM t LEFT JOIN ss ON t.doc_id = ss.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_dropped,
+       coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS scrubbed_text
+FROM k
+""",
+    doc=(
+        f"Cross-document exact-substring scrub (Lee et al. 2021 'Deduplicating "
+        f"Training Data' at {SPAN_N}-token span granularity): every positional "
+        f"{SPAN_N}-token span seen in 2+ DISTINCT documents is removed from all "
+        "of them, and the surviving tokens are re-joined into the scrubbed "
+        "text — the REWRITE counterpart of text_dup_span_frac's score. "
+        "Span occurrence counting is two-phase (groupBy(sh) with map-side "
+        "partial COUNT(DISTINCT doc_id), never a window over the span key); "
+        "the per-doc duplicated-start lists ride a doc_id-keyed aggregate "
+        "whose size is bounded by the doc's own span count, and the final "
+        "token filter is array-native in one projection. Shuffles carry "
+        "16-byte md5 keys and integer starts — never text. Docs shorter "
+        f"than {SPAN_N} tokens have no spans and pass through untouched."
+    ),
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    span_structs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
+        lambda i: F.struct(
+            i.alias("start"),
+            F.md5(
+                F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(SPAN_N)])
+            ).alias("sh"),
+        ),
+    )
+    sp = (
+        docs.where(F.size(toks) >= SPAN_N)
+        .select("doc_id", F.explode(span_structs).alias("g"))
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.sh").alias("sh"))
+    )
+    # phase 1: collapse to one row per cross-doc duplicated span; the
+    # (sh, doc_id) distinct expands partially map-side, so a boilerplate
+    # span shared by millions of docs never concentrates in one task
+    dup_sh = (
+        sp.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("sh")
+    )
+    # phase 2: per-doc sorted start list of duplicated spans (bounded by
+    # the doc's own span count); the join is AQE-skew-splittable
+    starts = (
+        sp.join(dup_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+    )
+    joined = docs.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
+    )
+    # Spark filter-lambda index is 0-based (DuckDB's is 1-based): token
+    # position p = i + 1; covered iff some dup span starts in (p-N, p]
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("starts"),
+            lambda s: (s <= i + 1) & (i + 1 <= s + (SPAN_N - 1)),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_dropped"),
+        F.concat_ws(" ", kept).alias("scrubbed_text"),
+    )
+
+
+#: Gopher-rule constants (Rae et al. 2021 table A1 shape, thresholds
+#: calibrated so every rule BINDS on the synthetic corpus: token count
+#: p5/p95 are ~16/94, mean word length spans 3.7-5.3, and 'the'/'a'
+#: coverage is ~63% — a gate where one rule can never fire is untested)
+GOPHER_MIN_TOKENS = 16
+GOPHER_MAX_TOKENS = 90
+GOPHER_MIN_MEAN_WORD_LEN = 4.0
+GOPHER_MAX_MEAN_WORD_LEN = 5.0
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "text_gopher_gate",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum') AS DOUBLE)
+               / len(toks) AS mean_word_len,
+           len(list_intersect(list_distinct(toks), {_GOPHER_STOP_SQL})) AS n_stopwords
+    FROM t
+)
+SELECT doc_id, n_tokens, mean_word_len, CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}) AS passes_word_count,
+       (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+           AS passes_word_length,
+       (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS passes_stopwords,
+       (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+""",
+    doc=(
+        "Gopher-style composite document gate (word-count bounds, mean "
+        "word length bounds, minimum distinct-stopword presence) with "
+        "per-rule verdicts plus the AND. Everything is array-native inside "
+        "ONE projection — zero shuffles, zero joins: at 100 TB this gate "
+        "is a pure map over the scan, the cheapest possible plan shape, "
+        "in contrast to the corpus-statistic gates (text_dup_span_frac, "
+        "text_quality_percentile_gate) that inherently need an aggregate. "
+        "Integer token-length sums are exact in both engines; the single "
+        "double division makes mean_word_len bit-identical."
+    ),
+)
+def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n
+    )
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    )
+    scored = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    p_count = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    p_len = F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+    p_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "n_stopwords",
+        p_count.alias("passes_word_count"),
+        p_len.alias("passes_word_length"),
+        p_stop.alias("passes_stopwords"),
+        (p_count & p_len & p_stop).alias("keep"),
+    )
+
+
 #: percentile of the corpus TTR distribution below which a doc fails the
 #: dynamic gate
 DYNAMIC_GATE_PCT = 0.10

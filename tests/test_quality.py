@@ -8,9 +8,17 @@ from pyspark.sql import functions as F
 from etl_financial_report_spark.operators.quality import (
     BOILERPLATE_MIN_DOCS,
     BOILERPLATE_TOP_K,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_TOKENS,
     MAX_DUP_BIGRAM_FRAC,
     MAX_TOP_TOKEN_FRAC,
+    SPAN_N,
+    dedup_span_scrub,
     text_boilerplate_ngrams,
+    text_gopher_gate,
     text_redact_numbers,
     text_repetition_stats,
     text_token_rarity,
@@ -59,6 +67,85 @@ def test_token_rarity_bounds(spark, sf_dir):
         | (F.col("rarest_token_freq") < 1)
     )
     assert bad.count() == 0
+
+
+def test_gopher_gate_verdict_is_the_and_of_its_rules(spark, sf_dir):
+    rows = text_gopher_gate(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rows.count() == docs.count()  # a gate scores EVERY doc
+    bad = rows.where(
+        (F.col("keep") != (
+            F.col("passes_word_count") & F.col("passes_word_length") & F.col("passes_stopwords")
+        ))
+        | (F.col("passes_word_count") != F.col("n_tokens").between(
+            GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS))
+        | (F.col("passes_word_length") != F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN))
+        | (F.col("passes_stopwords") != (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS))
+    )
+    assert bad.count() == 0
+
+
+def test_gopher_gate_every_rule_binds(spark, sf_dir):
+    # a rule that passes or fails everything is untested calibration
+    rows = text_gopher_gate(spark, sf_dir)
+    n = rows.count()
+    for rule in ("passes_word_count", "passes_word_length", "passes_stopwords"):
+        k = rows.where(F.col(rule)).count()
+        assert 0 < k < n, f"{rule} never binds ({k}/{n})"
+
+
+def test_gopher_gate_plan_has_no_shuffle(spark, sf_dir):
+    # the gate is one projection over the scan — an Exchange would mean a
+    # rule leaked into an aggregate
+    plan = text_gopher_gate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_span_scrub_conservation_and_short_doc_passthrough(spark, sf_dir):
+    rows = dedup_span_scrub(spark, sf_dir)
+    recount = F.when(F.col("scrubbed_text") == "", F.lit(0)).otherwise(
+        F.size(F.split("scrubbed_text", " "))
+    )
+    bad = rows.where(
+        (F.col("n_dropped") < 0)
+        | (F.col("n_dropped") > F.col("n_tokens"))
+        | (recount != F.col("n_tokens") - F.col("n_dropped"))
+    )
+    assert bad.count() == 0
+    # docs shorter than a span have no spans and are untouched
+    assert rows.where((F.col("n_tokens") < SPAN_N) & (F.col("n_dropped") > 0)).count() == 0
+
+
+def test_span_scrub_removes_only_cross_doc_spans(spark, sf_dir):
+    # every scrubbed doc must share at least one positional span with some
+    # OTHER doc (the cross-document criterion, not within-doc repetition)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    spans = docs.where(F.size("toks") >= SPAN_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(F.col("toks"), i + k) for k in range(SPAN_N)]
+                    )
+                ),
+            )
+        ).alias("sh"),
+    )
+    cross = (
+        spans.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .where(F.col("c") >= 2)
+        .join(spans, "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    scrubbed = dedup_span_scrub(spark, sf_dir).where(F.col("n_dropped") > 0).select("doc_id")
+    assert scrubbed.join(cross, "doc_id", "left_anti").count() == 0
 
 
 def test_redaction_removes_every_digit(spark, sf_dir):
