@@ -1095,3 +1095,163 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv.select("vec_id", "qe", "nsq"), _assign_cells(qv.select("vec_id", "qe", "nsq"), seeds)
     )
     return _ivf_probe(qv, cents)
+
+
+# ------------------------------------------- scalar-quantized (SQ8) ANN
+
+#: the SQ8 CTE block appended to _Q_CTE: per-dimension min/max codebook,
+#: 8-bit codes, and the x255-scaled reconstruction R (all exact integers)
+_SQ8_CTE = """
+dims AS (
+    SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY i
+),
+enc AS (
+    SELECT ex.vec_id, ex.i,
+           d.mn * 255
+           + CAST(floor(CAST((ex.v - d.mn) * 255 AS DOUBLE)
+                        / greatest(d.mx - d.mn, 1)) AS BIGINT)
+             * greatest(d.mx - d.mn, 1) AS r
+    FROM ex JOIN dims d ON ex.i = d.i
+),
+rn AS (SELECT vec_id, SUM(r * r) AS rnsq FROM enc GROUP BY vec_id),
+sq8_topk AS (
+    SELECT e.vec_id,
+           CAST(SUM(e.r * qq.v) AS DOUBLE)
+               / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(MIN(rn.rnsq) AS DOUBLE)))
+               AS cosine_sq8
+    FROM enc e
+    JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON e.i = qq.i
+    JOIN rn ON rn.vec_id = e.vec_id
+    CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+    WHERE e.vec_id <> 0
+    GROUP BY e.vec_id, qn.nsq
+    ORDER BY cosine_sq8 DESC, e.vec_id
+    LIMIT 10
+)
+"""
+
+
+def _sq8_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scored by asymmetric SQ8 distance: every vector int8-encoded
+    against a per-dimension min/max codebook derived IN-PLAN from the
+    corpus (64-row aggregate -> one broadcast row, no driver job), the raw
+    query scored against the x255-scaled integer reconstruction."""
+    qv = _quantized(spark, sf_dir)
+    dims = (
+        qv.select(F.posexplode("qe").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    stats = dims.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "mn", "mx"))).alias("st")
+    ).select(
+        F.transform("st", lambda s: s["mn"]).alias("mins"),
+        F.transform("st", lambda s: s["mx"]).alias("maxs"),
+    )
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    mins, maxs = F.col("mins"), F.col("maxs")
+
+    def recon(v, i):
+        mn, mx = F.get(mins, i), F.get(maxs, i)
+        rng = F.greatest(mx - mn, F.lit(1))
+        code = F.floor(((v - mn) * 255).cast("double") / rng).cast("long")
+        return mn * 255 + code * rng
+
+    return (
+        qv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(query))
+        .withColumn("r_vec", F.transform("qe", recon))
+        .select(
+            "vec_id",
+            cosine_q(
+                dot_q(F.col("r_vec"), F.col("q_qe")),
+                F.col("q_nsq"),
+                norm_sq_q(F.col("r_vec")),
+            ).alias("cosine_sq8"),
+        )
+    )
+
+
+@register(
+    "sim_ann_sq8_topk",
+    oracle=f"""
+WITH {_Q_CTE},
+{_SQ8_CTE}
+SELECT vec_id, cosine_sq8 FROM sq8_topk
+""",
+    doc=(
+        "Scalar-quantized (SQ8) ANN top-k: each dimension affine-encoded to "
+        "an 8-bit code against a per-dimension min/max codebook derived from "
+        "the corpus itself — the memory-side scale play (a 100 TB float32 "
+        "embedding store scans as 25 TB of int8 codes; recall loss is "
+        "measured by sim_ann_sq8_recall_eval, the SQ twin of the IVF/LSH "
+        "pruning evals). The codebook is a 64-row in-plan aggregate carried "
+        "as ONE broadcast row — no driver-side job (plan-laziness pinned "
+        "with the rest of the cosine family). Scoring is asymmetric "
+        "(raw query x reconstructed corpus, the ADC convention): all "
+        "integer math on the x255-scaled reconstruction, one IEEE "
+        "double division at the end, so ranking is bit-identical across "
+        "engines; the only float step shared with encoding is an exact-"
+        "numerator double division + floor, identical in both."
+    ),
+)
+def sim_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _sq8_scored(spark, sf_dir)
+        .orderBy(F.desc("cosine_sq8"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_ann_sq8_recall_eval",
+    oracle=f"""
+WITH {_Q_CTE},
+{_SQ8_CTE},
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+),
+true_topk AS (
+    SELECT d.vec_id
+    FROM qdot d JOIN norms n ON n.vec_id = d.vec_id
+    CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) DESC,
+             d.vec_id
+    LIMIT 10
+)
+SELECT CAST((SELECT COUNT(*) FROM true_topk) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM sq8_topk) AS BIGINT) AS n_retrieved,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN sq8_topk s ON t.vec_id = s.vec_id) AS BIGINT)
+           AS n_overlap,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN sq8_topk s ON t.vec_id = s.vec_id) AS DOUBLE)
+           / (SELECT COUNT(*) FROM true_topk) AS recall_at_10
+""",
+    doc=(
+        "Recall@10 of the SQ8-compressed scan against the exact brute-force "
+        "ground truth — the number that decides whether 4x vector "
+        "compression ships. Same two-list overlap methodology as "
+        "sim_ann_recall_eval (exact quantized cosine, total-order "
+        "tiebreaks, integer overlap count)."
+    ),
+)
+def sim_ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    true_topk = sim_ann_topk(spark, sf_dir).select("vec_id")
+    sq8_topk = sim_ann_sq8_topk(spark, sf_dir).select("vec_id")
+    overlap = true_topk.join(sq8_topk, "vec_id")
+    return (
+        true_topk.agg(F.count(F.lit(1)).alias("n_true"))
+        .join(F.broadcast(sq8_topk.agg(F.count(F.lit(1)).alias("n_retrieved"))))
+        .join(F.broadcast(overlap.agg(F.count(F.lit(1)).alias("n_overlap"))))
+        .select(
+            "n_true",
+            "n_retrieved",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_true")).alias("recall_at_10"),
+        )
+    )

@@ -108,7 +108,7 @@ def test_tpch_q18_aggregates_before_join(spark):
     )
 
 
-@pytest.mark.parametrize("name", ["sim_pairwise_cosine", "sim_topk_arrow"])
+@pytest.mark.parametrize("name", ["sim_pairwise_cosine", "sim_topk_arrow", "sim_ann_sq8_topk"])
 def test_cosine_family_constructs_without_driver_jobs(spark, name):
     """The exact-cosine family must stay fully distributed: building these
     plans may not run ANY Spark job (round 1 collected the whole embeddings
@@ -132,6 +132,11 @@ def test_cosine_family_constructs_without_driver_jobs(spark, name):
         # the compute stage is the grouped Arrow matmul, fed by a hash shuffle
         # on the block-pair id — no broadcast of the corpus, no cartesian
         assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    elif name == "sim_ann_sq8_topk":
+        # the 64-row codebook and the query row ride broadcasts; the corpus
+        # side is a streamed scan (TakeOrderedAndProject caps the top-k)
+        assert "BroadcastExchange" in plan
+        assert "TakeOrderedAndProject" in plan
     else:
         # the query row rides a broadcast into the Arrow kernel
         assert "MapInArrow" in plan or "PythonMapInArrow" in plan

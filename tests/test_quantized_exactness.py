@@ -33,3 +33,30 @@ def test_extreme_corner_is_still_exact():
     exact = DIM * BOUND * BOUND
     assert float(a @ a) == float(exact)
     assert exact < 2**53
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=-BOUND, max_value=BOUND),
+    st.integers(min_value=-BOUND, max_value=BOUND),
+    st.integers(min_value=-BOUND, max_value=BOUND),
+)
+def test_sq8_double_floor_division_is_exact_integer_floor(v, lo, hi):
+    """The SQ8 encoder (operators/similarity.py _sq8_scored) computes
+    code = floor(double((v - mn) * 255) / rng). Both engines do the same
+    IEEE steps, so PARITY is trivially safe; this pins the stronger claim
+    that the double path equals true integer floor division at these
+    magnitudes (numerator <= ~1.5e7 is double-exact, and a quotient can
+    only round across an integer if the remainder were < rng * 5.7e-14 < 1,
+    i.e. exactly zero) — so code is the mathematically-defined SQ8 code,
+    and the reconstruction bound below is the textbook one."""
+    mn, mx = min(lo, hi), max(lo, hi)
+    v = mn + (v - mn) % (mx - mn + 1) if mx > mn else mn  # clamp v into [mn, mx]
+    rng = max(mx - mn, 1)
+    num = (v - mn) * 255
+    code = int(np.floor(np.float64(num) / np.float64(rng)))
+    assert code == num // rng  # double path == exact integer floor
+    assert 0 <= code <= 255
+    r = mn * 255 + code * rng
+    # reconstruction bracket: R <= 255*v < R + rng  (error < one code step)
+    assert r <= 255 * v < r + rng
