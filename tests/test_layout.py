@@ -7,7 +7,12 @@ skipping consults — not an indirect timing assertion."""
 from pyspark.sql import functions as F
 
 from etl_financial_report_spark.io import load_table
-from etl_financial_report_spark.sources.layout import file_stats, write_clustered
+from etl_financial_report_spark.sources.layout import (
+    file_stats,
+    write_clustered,
+    write_zordered,
+    zorder_key,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -48,6 +53,57 @@ def test_clustered_spans_are_disjoint(spark, tmp_path):
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         # ranges may touch at a shared boundary key but never interleave
         assert lo_next >= hi_prev
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-ordered files must be prunable on EITHER of the two cluster keys,
+    where a single-column sort leaves the other key full-range in every
+    file. Footer-metadata evidence, same method as the clustered tests."""
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "xsort")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=8)
+    write_clustered(li, xpath, ("l_partkey",), n_files=8)
+
+    x_probe = li.agg((F.max("l_partkey") / 2).cast("long")).collect()[0][0]
+    y_probe = li.agg((F.max("l_suppkey") / 2).cast("long")).collect()[0][0]
+
+    z_x = _overlapping(file_stats(zpath, "l_partkey"), x_probe)
+    z_y = _overlapping(file_stats(zpath, "l_suppkey"), y_probe)
+    n_z = len(file_stats(zpath, "l_partkey"))
+    # both dims prune: a mid-range probe cannot touch every z file
+    assert len(z_x) < n_z
+    assert len(z_y) < n_z
+
+    # the single-column sort layout cannot prune the OTHER dim at all
+    x_spans_y = _overlapping(file_stats(xpath, "l_suppkey"), y_probe)
+    assert len(x_spans_y) == len(file_stats(xpath, "l_suppkey"))
+
+    # layout-only: rows round-trip identically
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = zorder_key(li, "l_partkey", "l_suppkey")
+    row = z.agg(
+        F.min("zval").alias("lo"), F.max("zval").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert 0 <= row.lo <= row.hi < 2**32
+    assert row.n == li.count()
+    # corner coordinates map to the z-space corners
+    both_min = z.where(
+        (F.col("l_partkey") == li.agg(F.min("l_partkey")).collect()[0][0])
+        & (F.col("l_suppkey") == li.agg(F.min("l_suppkey")).collect()[0][0])
+    )
+    for r in both_min.select("zval").collect():
+        assert r.zval == 0
 
 
 def test_sorted_write_produces_skippable_row_groups(spark, tmp_path):
