@@ -460,3 +460,219 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pair").cast("double") / F.col("n_ctx")).alias("cond_p"),
         )
     )
+
+
+@register(
+    "text_lang_id_eval",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {", ".join(f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(repr(m) for m in ms)}))) AS score_{lang}" for lang, ms in sorted(LANG_MARKERS.items()))}
+    FROM documents
+),
+pred AS (
+    SELECT lang,
+           CASE {" ".join(f"WHEN score_{lang} >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END AS pred_lang
+    FROM scored
+),
+cells AS (
+    SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY lang, pred_lang
+),
+row_tot AS (
+    SELECT lang, SUM(n_docs) AS n_actual FROM cells GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       CAST(r.n_actual AS BIGINT) AS n_actual,
+       CAST(c.n_docs AS DOUBLE) / r.n_actual AS frac_of_actual
+FROM cells c JOIN row_tot r ON c.lang = r.lang
+""",
+    doc=(
+        "Classifier-eval confusion matrix for the language-ID heuristic "
+        "against the labeled ground truth: per (actual, predicted) cell "
+        "counts and the per-actual recall fraction — the eval table every "
+        "corpus-pipeline classifier needs before its verdicts gate data. "
+        "Prediction is the same argmax as text_lang_id; the matrix is one "
+        "partial-aggregated groupBy and the per-row totals are a second "
+        "two-phase aggregate joined back on the (25-cell-bounded) matrix "
+        "frame — no window, no collect."
+    ),
+)
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "lang",
+        *[_lang_score(toks, lang).alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.when(F.col(f"score_{sorted(LANG_MARKERS)[0]}") >= best, sorted(LANG_MARKERS)[0])
+    for lang in sorted(LANG_MARKERS)[1:]:
+        pred = pred.when(F.col(f"score_{lang}") >= best, lang)
+    cells = (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    row_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_actual"))
+    return cells.join(row_tot, "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.col("n_actual").cast("long").alias("n_actual"),
+        (F.col("n_docs").cast("double") / F.col("n_actual")).alias("frac_of_actual"),
+    )
+
+
+#: drift report: ppm-rate scaling and the top-K movers kept
+DRIFT_PPM = 1_000_000
+DRIFT_TOP_K = 20
+
+
+@register(
+    "corpus_token_drift",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+cnt AS (
+    SELECT tok,
+           SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_old,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_new
+    FROM tok GROUP BY tok
+),
+tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM cnt),
+rated AS (
+    SELECT tok, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           CAST(floor(CAST(n_old * {DRIFT_PPM} AS DOUBLE) / t_old) AS BIGINT) AS ppm_old,
+           CAST(floor(CAST(n_new * {DRIFT_PPM} AS DOUBLE) / t_new) AS BIGINT) AS ppm_new
+    FROM cnt CROSS JOIN tot
+)
+SELECT tok, n_old, n_new, ppm_old, ppm_new, ppm_new - ppm_old AS drift_ppm
+FROM rated
+ORDER BY abs(ppm_new - ppm_old) DESC, tok
+LIMIT {DRIFT_TOP_K}
+""",
+    doc=(
+        "Corpus distribution-drift report between two snapshot slices "
+        "(deterministic doc_id%2 halves stand in for yesterday/today "
+        "crawls): per-token ppm rates in each slice and the signed ppm "
+        "drift, top-K movers by |drift| with a total-order tiebreak. One "
+        "token-stream pass with conditional partial-aggregated sums, two "
+        "scalar totals as a 1-row broadcast, integer ppm rates via the "
+        "exact-numerator floor-division grammar — no doubles summed, so "
+        "cross-engine parity is exact, and rates (not raw counts) make the "
+        "report invariant to slice-size imbalance. The monitoring query a "
+        "training-data pipeline runs before accepting a new crawl."
+    ),
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"), F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    tot = cnt.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
+    ppm_old = F.floor((F.col("n_old") * DRIFT_PPM).cast("double") / F.col("t_old")).cast("long")
+    ppm_new = F.floor((F.col("n_new") * DRIFT_PPM).cast("double") / F.col("t_new")).cast("long")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            ppm_old.alias("ppm_old"),
+            ppm_new.alias("ppm_new"),
+            (ppm_new - ppm_old).alias("drift_ppm"),
+        )
+        .orderBy(F.abs(F.col("drift_ppm")).desc(), F.asc("tok"))
+        .limit(DRIFT_TOP_K)
+    )
+
+
+#: tokenizer-encoding constants: vocabulary head size, the UNK id, and the
+#: training sequence length the id arrays are truncated to
+TOKENIZE_VOCAB_K = 1024
+UNK_ID = 0
+MAX_SEQ_LEN = 64
+
+
+@register(
+    "text_tokenize_ids",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+freq AS (
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+),
+vocab AS (
+    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id
+    FROM (SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok LIMIT {TOKENIZE_VOCAB_K})
+),
+tokpos AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM t, unnest(generate_series(1, len(toks))) u(i)
+),
+ids AS (
+    SELECT p.doc_id, p.pos, COALESCE(v.id, {UNK_ID}) AS id
+    FROM tokpos p LEFT JOIN vocab v ON p.tok = v.tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN id = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       (list(id ORDER BY pos))[1:{MAX_SEQ_LEN}] AS ids
+FROM ids
+GROUP BY doc_id
+""",
+    doc=(
+        "Tokenizer encoding — the step that turns cleaned text into the "
+        "integer id arrays a trainer consumes: a corpus-derived vocabulary "
+        f"(top-{TOKENIZE_VOCAB_K} by frequency, deterministic count-then-"
+        "token order, ids dense from 1; everything else maps to UNK=0) "
+        f"applied per token, sequences truncated to {MAX_SEQ_LEN}. The "
+        "vocabulary head is bounded EXACTLY like text_token_rarity's "
+        "broadcast (orderBy+limit is a distributed TakeOrdered, never a "
+        "global window); id assignment happens by position on the <=K-row "
+        "head via a bounded sort_array, and the token stream joins the "
+        "broadcast vocab — the big side never shuffles on token. Per-doc "
+        "id order is recovered with a doc_id-partitioned collect over "
+        "(pos, id) structs — an entity-bounded group."
+    ),
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokpos = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    freq = tokpos.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    head = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(TOKENIZE_VOCAB_K)
+    # dense ids on the bounded head: pack the <=K rows into ONE sorted array
+    # ((-cnt, tok) ascending == (cnt desc, tok asc)), then position = id-1
+    vocab = (
+        head.agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("cnt")).alias("negc"), F.col("tok")))
+            ).alias("va")
+        )
+        .select(F.posexplode("va").alias("p", "s"))
+        .select(F.col("s.tok").alias("tok"), (F.col("p") + 1).cast("long").alias("id"))
+    )
+    ids = tokpos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(UNK_ID)).alias("id")
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("id") == UNK_ID).cast("long")).alias("n_unk"),
+        F.slice(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            ),
+            1,
+            MAX_SEQ_LEN,
+        ).alias("ids"),
+    )
