@@ -676,3 +676,122 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             MAX_SEQ_LEN,
         ).alias("ids"),
     )
+
+
+#: BPE trainer rounds (fixed so the oracle can unroll one CTE stage per
+#: merge; real tokenizers run tens of thousands — the per-round plan is
+#: identical, only the loop bound grows)
+BPE_ROUNDS = 3
+
+
+def _bpe_pairs_sql(seq_cte: str) -> str:
+    """Adjacent-symbol pair stream of one BPE round, weighted by word count."""
+    return f"""
+    SELECT s.l AS l, s.r AS r, SUM(n) AS cnt
+    FROM (
+        SELECT n, unnest(list_transform(
+                   generate_series(1, len(sy) - 1),
+                   i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS s
+        FROM (SELECT n, string_split(trim(seq), ' ') AS sy FROM {seq_cte})
+    )
+    GROUP BY s.l, s.r
+    """
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        r"""seq0 AS (
+    SELECT tok, COUNT(*) AS n,
+           ' ' || regexp_replace(tok, '(.)', '\1 ', 'g') || '</w> ' AS seq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"best{r} AS (SELECT l, r, cnt FROM ({_bpe_pairs_sql(f'seq{r - 1}')}) ORDER BY cnt DESC, l, r LIMIT 1)")
+        ctes.append(
+            f"seq{r} AS (SELECT tok, n, replace(seq, ' ' || b.l || ' ' || b.r || ' ', "
+            f"' ' || b.l || b.r || ' ') AS seq FROM seq{r - 1} CROSS JOIN best{r} b)"
+        )
+    selects = [
+        f"SELECT {r} AS round, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count, l || r AS merged_sym FROM best{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(),
+    doc=(
+        f"Byte-pair-encoding tokenizer training, {BPE_ROUNDS} merge rounds "
+        "(Sennrich et al. 2016): words become space-delimited character "
+        "sequences with an end-of-word symbol; each round counts adjacent "
+        "symbol pairs weighted by word frequency (partial-aggregated "
+        "groupBy over the DISTINCT-word table, whose size is vocabulary- "
+        "not corpus-bounded), takes the argmax with a total-order "
+        "tiebreak (a distributed TakeOrdered-1, broadcast back), and "
+        "applies the merge as a literal left-to-right non-overlapping "
+        "string replace — semantics verified identical in Spark and "
+        "DuckDB, so the oracle unrolls the same rounds as CTE stages. "
+        "Returns the merge table (round, pair, weighted count, merged "
+        "symbol) — the artifact a tokenizer ships. At 100 TB the word-"
+        "frequency table is the ONLY corpus-sized pass; every round after "
+        "runs on the vocabulary."
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seq = words.select(
+        "tok",
+        "n",
+        F.concat(
+            F.lit(" "), F.regexp_replace("tok", "(.)", "$1 "), F.lit("</w> ")
+        ).alias("seq"),
+    )
+    def _pair_structs():
+        # NOTE: transform's lambda must stay single-parameter (a second
+        # python arg would be read as the index variable by Spark)
+        sy = F.split(F.trim(F.col("seq")), " ")
+        return F.transform(
+            F.sequence(F.lit(1), F.size(sy) - 1),
+            lambda i: F.struct(
+                F.element_at(sy, i).alias("l"), F.element_at(sy, i + 1).alias("r")
+            ),
+        )
+
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pair_structs = _pair_structs()
+        best = (
+            seq.select("n", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").cast("long").alias("pair_count"),
+                F.concat("l", "r").alias("merged_sym"),
+            )
+        )
+        seq = seq.crossJoin(F.broadcast(best)).select(
+            "tok",
+            "n",
+            F.expr(
+                "replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')"
+            ).alias("seq"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
