@@ -151,3 +151,77 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS ({_bands_sql()}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL
+        SELECT doc_b AS node FROM pairs
+    ) GROUP BY node
+),
+wedge AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       CASE WHEN w.n_wedges > 0
+            THEN CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges
+       END AS transitivity
+FROM tri t CROSS JOIN wedge w
+""",
+    doc=(
+        "Triangle count + global transitivity of the near-dup pair graph: "
+        "triangles via the canonical-orientation two-hop join (every edge "
+        "stored once as doc_a < doc_b, so e1(a,b) ⋈ e2(b,c) ⋈ closing "
+        "e3(a,c) counts each triangle exactly once — the standard "
+        "shuffle-join triangle algorithm, no per-node adjacency "
+        "materialization), wedges as sum d(d-1)/2 over undirected "
+        "degrees. High transitivity on a dedup graph means LSH candidate "
+        "pairs are mutually consistent (real clusters); low means "
+        "banding noise. Integer counts, one guarded double division."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return tri.join(F.broadcast(wedge)).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"),
+        ).alias("transitivity"),
+    )
