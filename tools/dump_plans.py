@@ -173,6 +173,35 @@ HEADLINERS = {
         "day (map-side combine collapses the fact table), one cumulative "
         "window over the tiny per-day frame — no interval-overlap join."
     ),
+    "dedup_span_scrub": (
+        "Exact-substring scrub (r4): two-phase cross-doc span counts "
+        "(partial COUNT DISTINCT absorbs hot boilerplate), per-doc start "
+        "lists bounded by the doc's own spans, token removal array-native "
+        "in one projection — shuffles carry md5 keys + integer starts."
+    ),
+    "sim_ann_sq8_topk": (
+        "SQ8 compressed ANN scan (r4): 64-row min/max codebook and the "
+        "query row are the ONLY broadcasts; the corpus streams through one "
+        "projection (encode + integer ADC dot) into TakeOrderedAndProject "
+        "— no shuffle of the big side at all."
+    ),
+    "layout_zorder_key": (
+        "Morton key minting (r4): 1-row min/max broadcast, 32 bit-"
+        "interleave terms fused into whole-stage codegen — zero shuffles; "
+        "write_zordered adds one range exchange on the key."
+    ),
+    "text_bpe_merges": (
+        "BPE training rounds (r4): corpus touched once (word-frequency "
+        "groupBy); every merge round runs on the vocabulary-bounded word "
+        "table — pair counts partial-aggregate, argmax is TakeOrdered-1 "
+        "broadcast back as the next round's literal replace."
+    ),
+    "text_tokenize_ids": (
+        "Tokenizer encoding (r4): vocab head via TakeOrdered-K, dense ids "
+        "assigned on the <=K-row head, broadcast joined onto the token "
+        "stream (the corpus never shuffles on token); per-doc id arrays "
+        "rebuilt in an entity-bounded doc_id aggregate."
+    ),
 }
 
 
