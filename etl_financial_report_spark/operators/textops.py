@@ -795,3 +795,85 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+#: a bigram is "surprising" when its conditional probability under the
+#: corpus LM is below this per-mille threshold (25 = 2.5%; the synthetic
+#: 31-word vocabulary puts typical cond_p near 1/31 ~ 3.2%, so the gate
+#: BINDS: ~90% of docs carry at least one rare bigram at sf0.01)
+RARE_BIGRAM_PER_MILLE = 25
+
+
+@register(
+    "text_lm_novelty",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bigrams AS (
+    SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+    FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+),
+pair_counts AS (
+    SELECT w1, w2, COUNT(*) AS n_pair FROM bigrams GROUP BY w1, w2
+),
+ctx_counts AS (
+    SELECT w1, SUM(n_pair) AS n_ctx FROM pair_counts GROUP BY w1
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN p.n_pair * 1000 < c.n_ctx * {RARE_BIGRAM_PER_MILLE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN p.n_pair * 1000 < c.n_ctx * {RARE_BIGRAM_PER_MILLE}
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty_frac
+FROM bigrams b
+JOIN pair_counts p ON b.w1 = p.w1 AND b.w2 = p.w2
+JOIN ctx_counts c ON b.w1 = c.w1
+GROUP BY b.doc_id
+""",
+    doc=(
+        "Perplexity-proxy document scoring under the corpus's own bigram "
+        "LM (the CCNet filter shape, log-free): per doc, the fraction of "
+        "its bigrams whose conditional probability is below "
+        f"{RARE_BIGRAM_PER_MILLE}/1000. The rarity test is the exact "
+        "integer cross-multiplication n_pair*1000 < n_ctx*K — no log(), "
+        "whose last-ulp behavior differs across engines, and no float "
+        "sums. The doc's bigram stream re-joins the (vocabulary^2-"
+        "bounded) LM table on the bigram key — a groupBy-built dimension "
+        "joined back, never a window over content keys; high-novelty "
+        "docs are the incoherent/ungrammatical tail a perplexity gate "
+        "drops, low-novelty the boilerplate head."
+    ),
+)
+def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.col("ws")
+    bigrams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    rare = (F.col("n_pair") * 1000 < F.col("n_ctx") * RARE_BIGRAM_PER_MILLE).cast("long")
+    return (
+        bigrams.join(pair_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(rare).alias("n_rare"),
+            (F.sum(rare).cast("double") / F.count(F.lit(1))).alias("novelty_frac"),
+        )
+    )

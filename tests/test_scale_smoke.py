@@ -241,3 +241,58 @@ def test_incremental_dedup_at_scale(spark, sf1_dir, smoke_record):
     verdicts = {r.verdict for r in df.select("verdict").distinct().collect()}
     assert verdicts <= {"exact_dup", "near_dup", "unique"}
     assert df.where(F.col("verdict") == "exact_dup").count() > 0
+
+
+def test_span_scrub_at_scale(spark, sf1_dir, smoke_record):
+    """r4 scrub op at the x10 corpus: identical replicas make EVERY span a
+    cross-document duplicate, so every doc long enough to have spans must
+    be scrubbed to nothing — the adversarial worst case for the two-phase
+    span counter (hottest possible span keys) AND a structural oracle."""
+    from etl_financial_report_spark.operators.quality import SPAN_N
+
+    df, n = _run(
+        spark,
+        "dedup_span_scrub",
+        lambda: registry.all_queries()["dedup_span_scrub"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    n_docs = load_table(spark, sf1_dir, "documents").count()
+    assert n == n_docs
+    long_not_emptied = df.where(
+        (F.col("n_tokens") >= SPAN_N) & (F.col("n_dropped") != F.col("n_tokens"))
+    ).count()
+    assert long_not_emptied == 0
+    short_touched = df.where(
+        (F.col("n_tokens") < SPAN_N) & (F.col("n_dropped") > 0)
+    ).count()
+    assert short_touched == 0
+
+
+def test_tokenize_ids_at_scale(spark, sf1_dir, smoke_record):
+    from etl_financial_report_spark.operators.textops import MAX_SEQ_LEN
+
+    df, n = _run(
+        spark,
+        "text_tokenize_ids",
+        lambda: registry.all_queries()["text_tokenize_ids"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    n_docs = load_table(spark, sf1_dir, "documents").count()
+    assert n == n_docs
+    assert df.where(F.size("ids") > MAX_SEQ_LEN).count() == 0
+    # the 31-word synthetic vocabulary fits the head with room to spare:
+    # nothing should map to UNK at any replication factor
+    assert df.where(F.col("n_unk") > 0).count() == 0
+
+
+def test_sq8_topk_at_scale(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "sim_ann_sq8_topk",
+        lambda: registry.all_queries()["sim_ann_sq8_topk"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n == 10
+    # vec 0 has 9 identical replicas; SQ8 reconstruction error is far
+    # below the 1-vs-replica cosine gap, so the top hit is essentially 1.0
+    assert df.agg(F.max("cosine_sq8")).collect()[0][0] >= 0.99
