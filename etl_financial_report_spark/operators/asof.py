@@ -38,11 +38,17 @@ def asof_join(
     on: str,
     ts: str = "ts",
     right_cols: tuple[str, ...] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
-    ``right.ts <= left.ts`` (per ``on`` key). Right side must be unique
-    per (key, ts). Returns left rows + ``asof_<col>`` for each requested
-    right column + ``asof_ts``."""
+    ``right.ts <= left.ts`` (per ``on`` key; ``direction="backward"``),
+    or the earliest right row with ``right.ts >= left.ts``
+    (``direction="forward"``). Right side must be unique per (key, ts).
+    Returns left rows + ``asof_<col>`` for each requested right column +
+    ``asof_ts``. The forward variant is the same one-shuffle union +
+    window carry — only the sort direction flips."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     l_tag = left.withColumn("_is_left", F.lit(1)).withColumn("_asof_ts", F.lit(None).cast("timestamp"))
     r_tag = (
         right.select(
@@ -54,10 +60,11 @@ def asof_join(
         .withColumn("_asof_ts", F.col(ts))
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # at equal ts the right row sorts first, so `<=` is inclusive
+    # at equal ts the right row sorts first, so the bound is inclusive
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
@@ -114,6 +121,57 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _FMT).alias("purchase_ts"),
         F.date_format("asof_ts", _FMT).alias("last_click_ts"),
         F.col("asof_click_id").alias("last_click_id"),
+    )
+
+
+@register(
+    "asof_join_forward_events",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           date_trunc('microseconds', ts) AS ts
+    FROM events
+), purchases AS (
+    SELECT user_id, ts, max(event_id) AS purchase_id
+    FROM ev WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+), clicks AS (
+    SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+)
+SELECT c.event_id AS click_id,
+       c.user_id,
+       strftime(c.ts, '{_SEC}') AS click_ts,
+       strftime(p.ts, '{_SEC}') AS next_purchase_ts,
+       p.purchase_id AS next_purchase_id
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+    doc=(
+        "Forward as-of join: each click gets the user's NEXT purchase "
+        "at-or-after it (time-to-conversion attribution — the lookahead "
+        "twin of asof_join_events). Same union + keyed window carry with "
+        "the sort direction flipped; still one shuffle on user_id, no "
+        "range explosion. Oracle uses DuckDB's forward ASOF (c.ts <= "
+        "p.ts)."
+    ),
+)
+def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        clicks, purchases, on="user_id", right_cols=("purchase_id",), direction="forward"
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", _FMT).alias("click_ts"),
+        F.date_format("asof_ts", _FMT).alias("next_purchase_ts"),
+        F.col("asof_purchase_id").alias("next_purchase_id"),
     )
 
 

@@ -16,6 +16,26 @@ def plan_of(spark, name: str) -> str:
     return formatted_plan(registry.all_queries()[name].fn(spark, SF))
 
 
+def test_no_query_plans_a_cartesian_product(spark):
+    """Package-wide plan audit: NO registered query may plan an unbounded
+    CartesianProduct — the one join strategy with no scale story at all.
+    (BroadcastNestedLoopJoin with a 1-row scalar build side is the
+    accepted data-derived-cutoff pattern and stays allowed; a cartesian
+    of two corpus-sized sides is always a bug.) Streaming twins and every
+    batch operator go through here, so a new operator that quietly falls
+    back to a cartesian fails CI, not the cluster."""
+    offenders = {}
+    for name, q in sorted(registry.all_queries().items()):
+        try:
+            plan = formatted_plan(q.fn(spark, SF))
+        except Exception as e:  # plan construction itself must not break
+            offenders[name] = f"plan construction raised {e!r}"
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct in physical plan"
+    assert not offenders, offenders
+
+
 def test_flagship_pushdown_and_broadcast(spark):
     plan = plan_of(spark, "flagship_statement_report")
     # date range reaches the orders parquet scan
