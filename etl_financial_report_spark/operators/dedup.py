@@ -1634,3 +1634,149 @@ def pipeline_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+# ------------------------------------------------- banding parameter sweep
+
+#: candidate (n_bands, rows_per_band) configs carved from the SAME 8
+#: minhashes — the sweep a pipeline runs BEFORE committing to a banding
+BANDING_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def _banding_truth_sql() -> str:
+    """Ground-truth CTE block shared with dedup_lsh_recall_eval: exact
+    shingle-jaccard >= TRUTH_JACCARD over the bounded all-pairs slice."""
+    return f"""
+sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS w
+    FROM documents WHERE doc_id < {EVAL_SLICE}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+allp AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM allp p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY p.doc_a, p.doc_b
+),
+truth AS (
+    SELECT p.doc_a, p.doc_b
+    FROM allp p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    WHERE CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+          / (sa.n + sb.n - COALESCE(i.n_shared, 0)) >= {TRUTH_JACCARD}
+)"""
+
+
+def _banding_hit_sql(n_bands: int, rows: int) -> str:
+    bands = []
+    for bi in range(n_bands):
+        eqs = " AND ".join(f"ah{bi * rows + j} = bh{bi * rows + j}" for j in range(rows))
+        bands.append(f"({eqs})")
+    return " OR ".join(bands)
+
+
+@register(
+    "dedup_banding_sweep",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+{_banding_truth_sql()},
+ps AS (
+    SELECT t.doc_a, t.doc_b,
+           {", ".join(f"a.h{i} AS ah{i}, b.h{i} AS bh{i}" for i in range(N_HASHES))}
+    FROM truth t
+    JOIN sig a ON a.doc_id = t.doc_a
+    JOIN sig b ON b.doc_id = t.doc_b
+),
+agg AS (
+    SELECT COUNT(*) AS n_truth,
+           {", ".join(f"SUM(CASE WHEN {_banding_hit_sql(b, r)} THEN 1 ELSE 0 END) AS hit_{b}_{r}" for b, r in BANDING_CONFIGS)}
+    FROM ps
+)
+{" UNION ALL ".join(
+    f"SELECT {b} AS n_bands, {r} AS rows_per_band, CAST(n_truth AS BIGINT) AS n_truth, "
+    f"CAST(hit_{b}_{r} AS BIGINT) AS n_hit, "
+    f"CAST(hit_{b}_{r} AS DOUBLE) / NULLIF(n_truth, 0) AS recall FROM agg"
+    for b, r in BANDING_CONFIGS)}
+""",
+    doc=(
+        "LSH banding parameter sweep: MEASURED recall of every (n_bands, "
+        "rows_per_band) config carvable from the same 8 minhashes, against "
+        "the exact-jaccard ground truth on the bounded eval slice — the "
+        "empirical S-curve a pipeline consults before committing a banding "
+        "to a 100 TB run (more bands/fewer rows = recall up, candidate "
+        "volume up; the sweep quantifies the tradeoff on THIS corpus "
+        "instead of trusting 1-(1-j^r)^b on an assumed j distribution). "
+        "Signatures are computed once; each config is a pure boolean "
+        "expression over the truth-pair frame (no extra self-joins), so "
+        "the whole sweep costs one bounded-slice pass + one aggregate."
+    ),
+)
+def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < EVAL_SLICE)
+    sh = (
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+    )
+    ids = sh.select("doc_id").distinct()
+    allp = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    truth = (
+        exact_jaccard(allp, sh)
+        .where(F.col("jaccard") >= TRUTH_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    sig = _minhash_signature(spark, sf_dir).where(F.col("doc_id") < EVAL_SLICE)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ah{i}") for i in range(N_HASHES)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"bh{i}") for i in range(N_HASHES)]
+    )
+    ps = truth.join(sa, "doc_a").join(sb, "doc_b")
+
+    def hit(b: int, r: int) -> F.Column:
+        out = F.lit(False)
+        for bi in range(b):
+            eq = F.lit(True)
+            for j in range(r):
+                eq = eq & (F.col(f"ah{bi * r + j}") == F.col(f"bh{bi * r + j}"))
+            out = out | eq
+        return out
+
+    agg = ps.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        *[
+            F.sum(F.when(hit(b, r), 1).otherwise(0)).alias(f"hit_{b}_{r}")
+            for b, r in BANDING_CONFIGS
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.col(f"hit_{b}_{r}").cast("long").alias("n_hit"),
+            )
+            for b, r in BANDING_CONFIGS
+        ]
+    )
+    return (
+        agg.select(F.col("n_truth").cast("long").alias("n_truth"), F.explode(rows).alias("c"))
+        .select(
+            F.col("c.n_bands").alias("n_bands"),
+            F.col("c.rows_per_band").alias("rows_per_band"),
+            "n_truth",
+            F.col("c.n_hit").alias("n_hit"),
+            F.try_divide(F.col("c.n_hit").cast("double"), F.col("n_truth")).alias("recall"),
+        )
+    )
