@@ -575,6 +575,14 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_old"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_new"),
     )
+    return token_drift_report(cnt)
+
+
+def token_drift_report(cnt: DataFrame) -> DataFrame:
+    """The drift report over a (tok, n_old, n_new) counts frame — shared by
+    the batch query above and the streaming monitor
+    (streaming/runtime.run_token_drift_stream), so the two paths are
+    rate-for-rate identical by construction."""
     tot = cnt.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
     ppm_old = F.floor((F.col("n_old") * DRIFT_PPM).cast("double") / F.col("t_old")).cast("long")
     ppm_new = F.floor((F.col("n_new") * DRIFT_PPM).cast("double") / F.col("t_new")).cast("long")

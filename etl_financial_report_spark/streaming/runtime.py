@@ -461,6 +461,69 @@ def run_incremental_dedup_stream(
     return sink.read(spark)
 
 
+def run_token_drift_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    baseline_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of ``corpus_token_drift`` — the accept-a-new-crawl
+    monitor as a stream: new documents arrive in per-file microbatches,
+    each batch's token counts land through the idempotent sink keyed on
+    (tok, batch_id) — a replayed batch cannot double-count — and the
+    final report rates the ACCUMULATED new-slice counts against the
+    baseline corpus counts (materialized once, reused per batch zero
+    times: the baseline only enters at report time). The rate/top-K math
+    is textops.token_drift_report, the same code path as the batch query,
+    so streaming and batch agree token-for-token (pinned by
+    tests/test_streaming.py). Cross-batch state is the sink itself: a
+    year of ingest holds no streaming state."""
+    from ..operators.textops import token_drift_report
+    from ..sources.sinks import ParquetSink
+
+    base_cnt = (
+        baseline_docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+        .localCheckpoint()
+    )
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(out_dir, partition_cols=())
+
+    def count_batch(batch_df: DataFrame, batch_id: int) -> None:
+        c = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        sink.append_idempotent(c, key_cols=["tok", "batch_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    new_cnt = sink.read(spark).groupBy("tok").agg(F.sum("n").alias("n_new"))
+    cnt = (
+        base_cnt.join(new_cnt, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    return token_drift_report(cnt)
+
+
 # ------------------------------------------ transformWithState (Spark 4)
 
 

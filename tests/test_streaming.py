@@ -289,3 +289,45 @@ def test_incremental_dedup_stream_matches_batch_operator(spark, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert got2.count() == len(g)
+
+
+def test_token_drift_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming drift monitor must agree token-for-token with the
+    batch corpus_token_drift on the same old/new split (the rate logic is
+    literally shared — this pins that the accumulation path feeding it is
+    too), and a replayed stream must not double-count (idempotent sink
+    keyed on (tok, batch_id))."""
+    from etl_financial_report_spark.operators.textops import corpus_token_drift
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    new_half = (F.col("doc_id") % 2) == 1
+    new_dir = str(tmp_path / "new_docs")
+    # two chunks -> two microbatches under maxFilesPerTrigger=1
+    docs.where(new_half & (F.col("doc_id") < 250)).coalesce(1).write.mode(
+        "append"
+    ).parquet(new_dir)
+    docs.where(new_half & (F.col("doc_id") >= 250)).coalesce(1).write.mode(
+        "append"
+    ).parquet(new_dir)
+
+    got = runtime.run_token_drift_stream(
+        spark,
+        new_dir,
+        docs.where(~new_half),
+        str(tmp_path / "counts"),
+        str(tmp_path / "ckpt"),
+    )
+    want = corpus_token_drift(spark, SMOKE_SF_DIR)
+    g = [tuple(r) for r in got.collect()]
+    w = [tuple(r) for r in want.collect()]
+    assert g == w  # ordered: same top-K movers, same rates, same ties
+
+    # replay with a fresh checkpoint: the (tok, batch_id) key dedupes
+    got2 = runtime.run_token_drift_stream(
+        spark,
+        new_dir,
+        docs.where(~new_half),
+        str(tmp_path / "counts"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert [tuple(r) for r in got2.collect()] == w
