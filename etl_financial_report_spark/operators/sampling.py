@@ -612,3 +612,71 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum("n_chars").alias("shard_chars"),
     )
+
+def _dedup_aware_split_oracle() -> str:
+    from ..functions.hashing import MINHASH_P
+    from .dedup import _BANDS, _minhash_signature_sql
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig"
+        for bi, (_, h1, h2) in enumerate(_BANDS)
+    )
+    return f"""
+WITH RECURSIVE sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {bands}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(node, reach) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+),
+comp AS (
+    SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+    FROM walk GROUP BY node
+)
+SELECT doc_id, component,
+       CASE WHEN {hash32_sql("CAST(component AS VARCHAR)")} % 1000 < {_TRAIN_MAX} THEN 'train'
+            WHEN {hash32_sql("CAST(component AS VARCHAR)")} % 1000 < {_VAL_MAX} THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
+@register(
+    "sample_dedup_aware_split",
+    oracle=_dedup_aware_split_oracle(),
+    doc=(
+        "Dedup-aware train/val/test split — the FIX for what "
+        "sample_split_leakage measures: the permille hash is keyed on the "
+        "near-dup CLUSTER id (dedup_components' min-label), not the doc "
+        "id, so an entire near-dup cluster lands in one split and "
+        "candidate-pair leakage across splits is zero BY CONSTRUCTION "
+        "(every LSH pair is intra-component by definition of the "
+        "component graph; tests/test_dedup_properties.py pins it). Same "
+        "no-RNG reproducibility contract as sample_deterministic_split; "
+        "cost over the naive split is the components pass the corpus "
+        "build already runs."
+    ),
+)
+def sample_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    bucket = hash32(F.col("component").cast("string")) % F.lit(1000)
+    split = (
+        F.when(bucket < _TRAIN_MAX, "train")
+        .when(bucket < _VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return comp.select("doc_id", "component", split.alias("split"))

@@ -100,3 +100,34 @@ def test_incremental_verdicts_invariants(spark, batch_texts, corpus_texts):
             true_j = len(bset & mset) / len(bset | mset)
             assert abs(row.jaccard - true_j) < 1e-12
             assert row.jaccard >= VERIFY_JACCARD
+
+
+def test_dedup_aware_split_has_zero_pair_leakage(spark, sf_dir):
+    """The whole point of sample_dedup_aware_split: joining every LSH
+    candidate pair onto its members' split assignments must yield ZERO
+    off-diagonal (cross-split) pairs — the audit sample_split_leakage
+    runs, passed by construction because the split key is the component
+    id. Also pins that both pair endpoints share a component."""
+    from pyspark.sql import functions as F
+
+    from etl_financial_report_spark.operators.dedup import dedup_minhash_lsh_pairs
+    from etl_financial_report_spark.operators.sampling import sample_dedup_aware_split
+
+    assign = sample_dedup_aware_split(spark, sf_dir)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.col("component").alias("comp_a"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.col("component").alias("comp_b"),
+    )
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    assert joined.where(F.col("split_a") != F.col("split_b")).count() == 0
+    assert joined.where(F.col("comp_a") != F.col("comp_b")).count() == 0
+    # and the split still covers every document exactly once
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert assign.count() == n_docs
