@@ -1,0 +1,91 @@
+"""Snapshot-table contract (sources/snapshots.py): versioned reads, time
+travel, optimistic concurrency, copy-on-write MERGE, vacuum. This is the
+S14 semantics upgrade — the guarantees Delta/Iceberg give, proven on the
+manifest protocol directly (mainTesting.py:130-143 is the reference's
+row-wise UPDATE these semantics replace)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark.sources.snapshots import (
+    ConcurrentCommitError,
+    SnapshotTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_append_versions_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    v0 = t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = t.commit_append(_df(spark, [(3, "c")]))
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 3
+    # time travel: v0 still reads exactly its snapshot
+    assert sorted(r.k for r in t.read(spark, v0).collect()) == [1, 2]
+    # a reader that resolved v0 is unaffected by later commits
+    pinned = t.read(spark, v0)
+    t.commit_append(_df(spark, [(4, "d")]))
+    assert pinned.count() == 2
+    assert t.read(spark).count() == 4
+
+
+def test_replace_starts_a_fresh_file_set(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    v = t.commit_replace(_df(spark, [(9, "z")]))
+    assert sorted(r.k for r in t.read(spark).collect()) == [9]
+    assert sorted(r.k for r in t.read(spark, v - 1).collect()) == [1, 2]
+
+
+def test_merge_is_upsert_and_copy_on_write(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    base = t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.commit_merge(_df(spark, [(2, "B"), (4, "d")]), key_cols=["k"])
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # copy-on-write: the pre-merge snapshot is untouched
+    old = {(r.k, r.v) for r in t.read(spark, base).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    # a racing writer publishes version 1 first
+    racer = SnapshotTable(str(tmp_path / "t"))
+    racer.commit_append(_df(spark, [(2, "b")]))
+    # the loser (which based off version 0) must fail loudly, not clobber
+    files_v1 = racer._read_manifest(1)["files"]
+    with pytest.raises(ConcurrentCommitError):
+        t._publish(1, ["data/bogus.parquet"], "append")
+    assert racer._read_manifest(1)["files"] == files_v1  # winner intact
+    # and the loser retries cleanly on the new base
+    t.commit_append(_df(spark, [(3, "c")]))
+    assert t.read(spark).count() == 3
+
+
+def test_abandoned_write_publishes_nothing(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    before = t.read(spark).count()
+    # files landed but the manifest was never published (crashed commit)
+    t._write_files(_df(spark, [(99, "x")]), version=1)
+    assert t.current_version() == 0
+    assert t.read(spark).count() == before  # orphans are invisible
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.commit_replace(_df(spark, [(2, "b")]))
+    t.commit_merge(_df(spark, [(2, "B")]), key_cols=["k"])
+    stats = t.vacuum(keep_versions=1)
+    assert stats["removed_manifests"] == 2
+    assert stats["removed_files"] >= 1
+    assert t.versions() == [2]
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(2, "B")}
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, 0)
