@@ -82,11 +82,15 @@ class SnapshotTable:
             if f.endswith(".parquet")
         ]
 
-    def _publish(self, version: int, files: list[str], op: str) -> int:
+    def _publish(
+        self, version: int, files: list[str], op: str, tag: str | None = None
+    ) -> int:
         os.makedirs(self._manifests, exist_ok=True)
         tmp = os.path.join(self._manifests, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "op": op, "files": files}, f, indent=1)
+            json.dump(
+                {"version": version, "op": op, "files": files, "tag": tag}, f, indent=1
+            )
         try:
             # atomic claim: link fails with EEXIST if another writer won
             os.link(tmp, self._manifest_path(version))
@@ -98,12 +102,26 @@ class SnapshotTable:
             os.unlink(tmp)
         return version
 
-    def commit_append(self, df: DataFrame) -> int:
+    def commit_append(self, df: DataFrame, tag: str | None = None) -> int | None:
+        """Append a new version. ``tag`` makes the commit idempotent per
+        tag (e.g. a streaming micro-batch id): if any manifest already
+        carries it, the call is a no-op returning None — the
+        exactly-once contract a replayed foreachBatch needs, enforced at
+        the SINK, not by the caller remembering."""
+        if tag is not None and tag in self.committed_tags():
+            return None
         base = self.current_version()
         prev_files = self._read_manifest(base)["files"] if base is not None else []
         version = (base if base is not None else -1) + 1
         new_files = self._write_files(df, version)
-        return self._publish(version, prev_files + new_files, "append")
+        return self._publish(version, prev_files + new_files, "append", tag=tag)
+
+    def committed_tags(self) -> set[str]:
+        return {
+            t
+            for v in self.versions()
+            if (t := self._read_manifest(v).get("tag")) is not None
+        }
 
     def commit_replace(self, df: DataFrame) -> int:
         base = self.current_version()

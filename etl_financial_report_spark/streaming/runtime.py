@@ -524,6 +524,40 @@ def run_token_drift_stream(
     return token_drift_report(cnt)
 
 
+def run_snapshot_ingest_stream(
+    spark: SparkSession, docs_dir: str, table_dir: str, checkpoint_dir: str
+) -> "SnapshotTable":
+    """Streaming ingest into the versioned snapshot table
+    (sources/snapshots.py): each micro-batch commits as ONE new table
+    version tagged with its batch id — the tag makes replayed batches a
+    sink-level no-op, so exactly-once holds even if the stream checkpoint
+    is lost (the classic foreachBatch + transactional-sink pattern;
+    ParquetSink.append_idempotent dedupes by ROW key, this dedupes by
+    BATCH and keeps every version time-travelable). Returns the table;
+    read(None) is the live view, read(v) any historical ingest state."""
+    from ..sources.snapshots import SnapshotTable
+
+    schema = spark.read.parquet(docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+    table = SnapshotTable(table_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, tag=f"batch-{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
 # ------------------------------------------ transformWithState (Spark 4)
 
 

@@ -89,3 +89,45 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(2, "B")}
     with pytest.raises(FileNotFoundError):
         t.read(spark, 0)
+
+
+def test_tagged_append_is_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.commit_append(_df(spark, [(1, "a")]), tag="b0") == 0
+    assert t.commit_append(_df(spark, [(1, "a")]), tag="b0") is None  # replay
+    assert t.commit_append(_df(spark, [(2, "b")]), tag="b1") == 1
+    assert t.read(spark).count() == 2
+    assert t.committed_tags() == {"b0", "b1"}
+
+
+def test_snapshot_ingest_stream_is_exactly_once(spark, tmp_path):
+    """Streaming ingest through the snapshot table: every micro-batch is
+    one tagged version; a full replay with a FRESH checkpoint (the
+    lost-checkpoint disaster case) must add zero rows and zero versions."""
+    from etl_financial_report_spark.io import SMOKE_SF_DIR, load_table
+    from etl_financial_report_spark.streaming import runtime
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id").between(100, 199)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    table = runtime.run_snapshot_ingest_stream(
+        spark, src, str(tmp_path / "table"), str(tmp_path / "ckpt")
+    )
+    n = table.read(spark).count()
+    assert n == docs.where(F.col("doc_id") < 200).count()
+    versions_before = table.versions()
+    assert len(versions_before) == 2  # one per micro-batch
+
+    # replay everything with a lost (fresh) checkpoint
+    table2 = runtime.run_snapshot_ingest_stream(
+        spark, src, str(tmp_path / "table"), str(tmp_path / "ckpt2")
+    )
+    assert table2.read(spark).count() == n
+    assert table2.versions() == versions_before
+
+    # every intermediate ingest state stays time-travelable
+    assert table2.read(spark, versions_before[0]).count() == 100
