@@ -1255,3 +1255,252 @@ def sim_ann_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap").cast("double") / F.col("n_true")).alias("recall_at_10"),
         )
     )
+
+
+# --------------------------------------------- product quantization (PQ)
+
+#: PQ geometry: M subspaces x SUBDIM dims, K codebook entries each. 8-bit
+#: analog: a 64-dim float32 vector (256 B) compresses to M codes (4 B
+#: here; 2^3 codes per subspace on the test corpus — production uses
+#: K=256 for 1 byte/subspace, same plan)
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 8
+
+
+def _pq_sub_sql(m: int) -> str:
+    """Per-subspace CTE block: slice, norms, seed codebook, one spherical
+    Lloyd round (assign by quantized cosine, update = exact int sums),
+    encode against the trained codebook, and the query-side ADC dots."""
+    lo, hi = m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM
+    argmax = (
+        "SELECT vec_id, cid AS cell FROM ("
+        "SELECT d.vec_id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY "
+        "CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) DESC, d.cid) AS rk "
+        "FROM {dots} d JOIN n{m} n ON n.vec_id = d.vec_id JOIN {cn} c ON c.cid = d.cid "
+        "WHERE c.cnsq > 0) WHERE rk = 1"
+    )
+    return f"""
+ex{m} AS (SELECT vec_id, i - {lo} AS i, v FROM ex WHERE i > {lo} AND i <= {hi}),
+n{m} AS (SELECT vec_id, SUM(v * v) AS nsq FROM ex{m} GROUP BY vec_id),
+cx{m}0 AS (SELECT vec_id AS cid, i, v AS cv FROM ex{m} WHERE vec_id < {PQ_K}),
+cn{m}0 AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cx{m}0 GROUP BY cid),
+d{m}0 AS (
+    SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
+    FROM ex{m} e JOIN cx{m}0 x ON x.i = e.i GROUP BY 1, 2
+),
+a{m}0 AS ({argmax.format(dots=f"d{m}0", cn=f"cn{m}0", m=m)}),
+cx{m}1 AS (
+    SELECT a.cell AS cid, e.i, CAST(SUM(e.v) AS BIGINT) AS cv
+    FROM ex{m} e JOIN a{m}0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+),
+cn{m}1 AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cx{m}1 GROUP BY cid),
+cc{m} AS (SELECT cell AS cid, COUNT(*) AS cnt FROM a{m}0 GROUP BY cell),
+d{m}1 AS (
+    SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
+    FROM ex{m} e JOIN cx{m}1 x ON x.i = e.i GROUP BY 1, 2
+),
+code{m} AS ({argmax.format(dots=f"d{m}1", cn=f"cn{m}1", m=m)}),
+qd{m} AS (
+    SELECT x.cid, SUM(qq.v * x.cv) AS qdot
+    FROM (SELECT i, v FROM ex{m} WHERE vec_id = 0) qq
+    JOIN cx{m}1 x ON x.i = qq.i GROUP BY x.cid
+)"""
+
+
+_PQ_SCORED_SQL = f"""
+{", ".join(_pq_sub_sql(m) for m in range(PQ_M))},
+pq_scored AS (
+    SELECT code0.vec_id,
+           ({" + ".join(f"CAST(qd{m}.qdot AS DOUBLE) / cc{m}.cnt" for m in range(PQ_M))}) AS adot,
+           ({" + ".join(f"CAST(cn{m}1.cnsq AS DOUBLE) / (cc{m}.cnt * cc{m}.cnt)" for m in range(PQ_M))}) AS rnsq
+    FROM code0
+    {" ".join(f"JOIN code{m} ON code{m}.vec_id = code0.vec_id" for m in range(1, PQ_M))}
+    {" ".join(f"JOIN qd{m} ON qd{m}.cid = code{m}.cell JOIN cc{m} ON cc{m}.cid = code{m}.cell JOIN cn{m}1 ON cn{m}1.cid = code{m}.cell" for m in range(PQ_M))}
+    WHERE code0.vec_id <> 0
+),
+pq_topk AS (
+    SELECT s.vec_id,
+           s.adot / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(s.rnsq)) AS cosine_pq
+    FROM pq_scored s
+    CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+    ORDER BY cosine_pq DESC, s.vec_id
+    LIMIT 10
+)"""
+
+
+def _pq_spherical_assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-quantized-cosine assignment of (vec_id, s, nsq) subvectors
+    against a broadcast codebook (cid, c_qe, c_nsq) — K-bounded window
+    per vec_id, the _assign_cells shape on subspace columns."""
+    from pyspark.sql import Window
+
+    cos = cosine_q(dot_q(F.col("s"), F.col("c_qe")), F.col("nsq"), F.col("c_nsq"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        frame.crossJoin(F.broadcast(cents))
+        .where(F.col("c_nsq") > 0)
+        .select("vec_id", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scored by spherical-PQ asymmetric distance: per subspace,
+    one deterministic Lloyd round trains an integer-sum codebook (the
+    sim_ann_kmeans_train convention — cosine is scale-invariant, so sums
+    ARE mean directions and nothing is ever float-averaged), vectors
+    encode to their argmax-cosine code, and the query scores against the
+    mean reconstruction sum/count — M exact integer dots, one fixed-order
+    double combination, bit-identical to the unrolled oracle."""
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    per_m = []
+    for m in range(PQ_M):
+        sub = qv.select(
+            "vec_id", F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("s")
+        ).withColumn("nsq", norm_sq_q(F.col("s")))
+        seeds = sub.where(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("s").alias("c_qe"), F.col("nsq").alias("c_nsq")
+        )
+        assign0 = _pq_spherical_assign(sub, seeds)
+        sums = (
+            sub.join(assign0, "vec_id")
+            .select("cell", F.posexplode("s").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.sum("v").alias("cv"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda x: x["cv"]
+                ).alias("c_qe")
+            )
+            .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
+        )
+        counts = assign0.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+        book = (
+            sums.join(counts, "cell")
+            .select(F.col("cell").alias("cid"), "c_qe", "c_nsq", "cnt")
+            .localCheckpoint()
+        )
+        codes = _pq_spherical_assign(sub, book.select("cid", "c_qe", "c_nsq"))
+        q_sub = sub.where(F.col("vec_id") == 0).select(F.col("s").alias("q_s"))
+        qd = book.crossJoin(F.broadcast(q_sub)).select(
+            "cid",
+            dot_q(F.col("c_qe"), F.col("q_s")).alias("qdot"),
+            "cnt",
+            "c_nsq",
+        )
+        per_m.append((codes, qd))
+    out = None
+    for m, (codes, qd) in enumerate(per_m):
+        piece = codes.join(
+            qd.select(
+                F.col("cid").alias("cell"),
+                F.col("qdot").alias(f"qdot{m}"),
+                F.col("cnt").alias(f"cnt{m}"),
+                F.col("c_nsq").alias(f"cnsq{m}"),
+            ),
+            "cell",
+        ).select("vec_id", f"qdot{m}", f"cnt{m}", f"cnsq{m}")
+        out = piece if out is None else out.join(piece, "vec_id")
+    adot = F.col("qdot0").cast("double") / F.col("cnt0")
+    rnsq = F.col("cnsq0").cast("double") / (F.col("cnt0") * F.col("cnt0"))
+    for m in range(1, PQ_M):
+        adot = adot + F.col(f"qdot{m}").cast("double") / F.col(f"cnt{m}")
+        rnsq = rnsq + F.col(f"cnsq{m}").cast("double") / (F.col(f"cnt{m}") * F.col(f"cnt{m}"))
+    q_nsq = qv.where(F.col("vec_id") == 0).select(F.col("nsq").alias("q_nsq"))
+    return (
+        out.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q_nsq))
+        .select(
+            "vec_id",
+            (adot / (F.sqrt(F.col("q_nsq").cast("double")) * F.sqrt(rnsq))).alias(
+                "cosine_pq"
+            ),
+        )
+    )
+
+
+@register(
+    "sim_ann_pq_topk",
+    oracle=f"""
+WITH {_Q_CTE},
+{_PQ_SCORED_SQL}
+SELECT vec_id, cosine_pq FROM pq_topk
+""",
+    doc=(
+        f"Product-quantization ANN top-k ({PQ_M}x{PQ_SUBDIM}-dim subspaces, "
+        f"{PQ_K}-entry codebooks): the memory endgame past SQ8 — a 64-dim "
+        "float32 vector collapses to M sub-codes (32x+ compression at "
+        "production K=256), scored asymmetrically (raw query x per-"
+        "subspace mean reconstruction, Jegou et al. 2011). Codebooks train "
+        "with the engine's deterministic spherical Lloyd round (integer "
+        "sum-vector centroids, argmax quantized cosine with cid "
+        "tie-break), so training, encoding, and scoring are ALL "
+        "oracle-exact — the oracle unrolls the full per-subspace train/"
+        "encode/score as CTEs. Per-subspace ADC terms are exact integer "
+        "dots divided by member counts, combined in one fixed-order "
+        "double expression. sim_ann_pq_recall_eval measures what the "
+        "compression costs."
+    ),
+)
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pq_scored(spark, sf_dir)
+        .orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_ann_pq_recall_eval",
+    oracle=f"""
+WITH {_Q_CTE},
+{_PQ_SCORED_SQL},
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+),
+true_topk AS (
+    SELECT d.vec_id
+    FROM qdot d JOIN norms n ON n.vec_id = d.vec_id
+    CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) DESC,
+             d.vec_id
+    LIMIT 10
+)
+SELECT CAST((SELECT COUNT(*) FROM true_topk) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM pq_topk) AS BIGINT) AS n_retrieved,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN pq_topk p ON t.vec_id = p.vec_id) AS BIGINT)
+           AS n_overlap,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN pq_topk p ON t.vec_id = p.vec_id) AS DOUBLE)
+           / (SELECT COUNT(*) FROM true_topk) AS recall_at_10
+""",
+    doc=(
+        "Recall@10 of the PQ-compressed scan against exact brute-force "
+        "ground truth — the compression/recall tradeoff number, same "
+        "two-list methodology as the SQ8 and LSH evals. PQ at this tiny "
+        "K recalls less than SQ8 by design (8 centroids per subspace is "
+        "a 32x coarser code than 256 scalar levels) — the eval is what "
+        "makes that an informed trade, not a surprise."
+    ),
+)
+def sim_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    true_topk = sim_ann_topk(spark, sf_dir).select("vec_id")
+    pq_topk = sim_ann_pq_topk(spark, sf_dir).select("vec_id")
+    overlap = true_topk.join(pq_topk, "vec_id")
+    return (
+        true_topk.agg(F.count(F.lit(1)).alias("n_true"))
+        .join(F.broadcast(pq_topk.agg(F.count(F.lit(1)).alias("n_retrieved"))))
+        .join(F.broadcast(overlap.agg(F.count(F.lit(1)).alias("n_overlap"))))
+        .select(
+            "n_true",
+            "n_retrieved",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_true")).alias("recall_at_10"),
+        )
+    )
