@@ -473,3 +473,81 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("stage_purchase"))))
         .select("stage_view", "stage_click", "stage_purchase")
     )
+
+
+@register(
+    "attribution_linear",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS journey
+    FROM events
+),
+j AS (
+    SELECT user_id, journey,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+           MAX(CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase_event_id
+    FROM seq GROUP BY user_id, journey
+)
+SELECT user_id,
+       CAST(journey AS BIGINT) AS journey,
+       CAST(n_clicks AS BIGINT) AS n_clicks,
+       purchase_event_id,
+       CASE WHEN n_clicks > 0 THEN CAST(1000000 // n_clicks AS BIGINT) END
+           AS credit_ppm_per_click
+FROM j
+WHERE purchase_event_id IS NOT NULL
+""",
+    doc=(
+        "Linear (multi-touch) attribution: each purchase closes a "
+        "journey — the clicks since the user's previous purchase — and "
+        "splits credit equally across them as an integer ppm share "
+        "(exact, no float fractions). The journey id is a running "
+        "prior-purchase count with a 1-PRECEDING frame, so journeys are "
+        "minted in ONE user-partitioned window pass (no per-purchase "
+        "scan-back, no self-join — the multi-touch generalization of "
+        "attribution_last_touch's carry); the rollup is a co-partitioned "
+        "groupBy on (user_id, journey). At most one purchase per journey "
+        "by construction; trailing unconverted clicks drop."
+    ),
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros("ts") * F.lit(1000)).cast("long").alias("ns"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(w).alias("journey"),
+    )
+    j = seq.groupBy("user_id", "journey").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("event_id"))).alias(
+            "purchase_event_id"
+        ),
+    )
+    return (
+        j.where(F.col("purchase_event_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("journey").cast("long").alias("journey"),
+            "n_clicks",
+            "purchase_event_id",
+            F.when(
+                F.col("n_clicks") > 0, F.expr("1000000 div n_clicks").cast("long")
+            ).alias("credit_ppm_per_click"),
+        )
+    )
