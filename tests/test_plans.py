@@ -16,14 +16,34 @@ def plan_of(spark, name: str) -> str:
     return formatted_plan(registry.all_queries()[name].fn(spark, SF))
 
 
+#: queries REVIEWED to carry BroadcastNestedLoopJoin only for bounded
+#: scalar broadcasts: a 1-row aggregate (corpus total, percentile cutoff,
+#: query-vector norm), a K-row codebook/centroid set, or a TPC-H scalar
+#: subquery. Every build side here is O(1)/O(K), never corpus-sized. A
+#: NEW query acquiring a BNLJ must be reviewed and added — or re-planned.
+BNLJ_SCALAR_BROADCAST_OK = {
+    "corpus_token_drift", "dedup_banding_sweep", "dedup_lsh_recall_eval",
+    "events_hybrid_rollup", "funnel_windowed", "graph_triangle_count",
+    "layout_zorder_key", "rfm_segmentation", "sample_temporal_split",
+    "sim_ann_ivf", "sim_ann_ivf_trained", "sim_ann_kmeans_train",
+    "sim_ann_multiprobe", "sim_ann_pq_recall_eval", "sim_ann_pq_topk",
+    "sim_ann_recall_eval", "sim_ann_sq8_recall_eval", "sim_ann_sq8_topk",
+    "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
+    "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
+    "text_token_rarity", "tpch_q11_important_stock",
+    "tpch_q22_global_sales_opportunity", "ts_rollup_merge",
+    "w_ntile_percentile",
+}
+
+
 def test_no_query_plans_a_cartesian_product(spark):
     """Package-wide plan audit: NO registered query may plan an unbounded
-    CartesianProduct — the one join strategy with no scale story at all.
-    (BroadcastNestedLoopJoin with a 1-row scalar build side is the
-    accepted data-derived-cutoff pattern and stays allowed; a cartesian
-    of two corpus-sized sides is always a bug.) Streaming twins and every
-    batch operator go through here, so a new operator that quietly falls
-    back to a cartesian fails CI, not the cluster."""
+    CartesianProduct — the one join strategy with no scale story at all —
+    and a BroadcastNestedLoopJoin is allowed only in the reviewed
+    scalar/bounded-broadcast queries above (1-row cutoffs, K-row
+    codebooks). Streaming twins and every batch operator go through
+    here, so a new operator that quietly falls back to a cartesian or an
+    unreviewed nested loop fails CI, not the cluster."""
     offenders = {}
     for name, q in sorted(registry.all_queries().items()):
         try:
@@ -33,6 +53,11 @@ def test_no_query_plans_a_cartesian_product(spark):
             continue
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct in physical plan"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SCALAR_BROADCAST_OK:
+            offenders[name] = (
+                "unreviewed BroadcastNestedLoopJoin — if the build side is a "
+                "bounded scalar/codebook broadcast, review and allowlist it"
+            )
     assert not offenders, offenders
 
 
