@@ -439,3 +439,58 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (den == 0).alias("degenerate"),
         )
     )
+
+
+@register(
+    "ts_hourly_seasonality",
+    oracle="""
+WITH h AS (
+    SELECT event_type,
+           (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+           CAST(value AS DECIMAL(18,6)) AS dv
+    FROM events
+),
+agg AS (
+    SELECT event_type, hour_of_day,
+           COUNT(*) AS n_events,
+           SUM(dv) AS sum_dv
+    FROM h GROUP BY event_type, hour_of_day
+),
+tot AS (SELECT event_type, SUM(n_events) AS n_type FROM agg GROUP BY event_type)
+SELECT a.event_type,
+       CAST(a.hour_of_day AS BIGINT) AS hour_of_day,
+       CAST(a.n_events AS BIGINT) AS n_events,
+       CAST(CAST(a.sum_dv AS DOUBLE) / a.n_events AS DOUBLE) AS avg_value,
+       CAST(a.n_events * 1000000 // t.n_type AS BIGINT) AS share_ppm
+FROM agg a JOIN tot t ON t.event_type = a.event_type
+""",
+    doc=(
+        "Hour-of-day seasonality profile per event type — the diurnal "
+        "shape a capacity planner or anomaly detector baselines against: "
+        "per (type, hour) event counts, exact-decimal value means (one "
+        "double division at the end; float SUMs would be order-sensitive "
+        "and break parity), and each hour's integer-ppm share of its "
+        "type's traffic. Hour extraction is pure epoch integer division — "
+        "no timezone dependence, identical in both engines. One partial-"
+        "aggregated groupBy over the fact table; the per-type totals are "
+        "a second aggregate OVER the 24xK-bounded profile frame joined "
+        "back — the fact table is read once."
+    ),
+)
+def ts_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour_of_day"),
+        F.col("value").cast("decimal(18,6)").alias("dv"),
+    )
+    agg = ev.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("dv").alias("sum_dv")
+    )
+    tot = agg.groupBy("event_type").agg(F.sum("n_events").alias("n_type"))
+    return agg.join(tot, "event_type").select(
+        "event_type",
+        F.col("hour_of_day").cast("long").alias("hour_of_day"),
+        "n_events",
+        (F.col("sum_dv").cast("double") / F.col("n_events")).cast("double").alias("avg_value"),
+        F.expr("CAST(n_events * 1000000 div n_type AS BIGINT)").alias("share_ppm"),
+    )
