@@ -1308,7 +1308,10 @@ qd{m} AS (
 )"""
 
 
-_PQ_SCORED_SQL = f"""
+def _pq_scored_sql_block(cand_join: str = "") -> str:
+    """The shared PQ train/encode/score CTE block; ``cand_join`` injects
+    an extra candidate-pruning join into the scoring stage (IVF-PQ)."""
+    return f"""
 {", ".join(_pq_sub_sql(m) for m in range(PQ_M))},
 pq_scored AS (
     SELECT code0.vec_id,
@@ -1317,6 +1320,7 @@ pq_scored AS (
     FROM code0
     {" ".join(f"JOIN code{m} ON code{m}.vec_id = code0.vec_id" for m in range(1, PQ_M))}
     {" ".join(f"JOIN qd{m} ON qd{m}.cid = code{m}.cell JOIN cc{m} ON cc{m}.cid = code{m}.cell JOIN cn{m}1 ON cn{m}1.cid = code{m}.cell" for m in range(PQ_M))}
+    {cand_join}
     WHERE code0.vec_id <> 0
 ),
 pq_topk AS (
@@ -1327,6 +1331,9 @@ pq_topk AS (
     ORDER BY cosine_pq DESC, s.vec_id
     LIMIT 10
 )"""
+
+
+_PQ_SCORED_SQL = _pq_scored_sql_block()
 
 
 def _pq_spherical_assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1347,14 +1354,21 @@ def _pq_spherical_assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_scored(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
     """Corpus scored by spherical-PQ asymmetric distance: per subspace,
     one deterministic Lloyd round trains an integer-sum codebook (the
     sim_ann_kmeans_train convention — cosine is scale-invariant, so sums
     ARE mean directions and nothing is ever float-averaged), vectors
     encode to their argmax-cosine code, and the query scores against the
     mean reconstruction sum/count — M exact integer dots, one fixed-order
-    double combination, bit-identical to the unrolled oracle."""
+    double combination, bit-identical to the unrolled oracle.
+
+    ``candidates`` (a vec_id frame) restricts SCORING to a pruned set —
+    the IVF-PQ composition: codes exist corpus-wide (in production they
+    are precomputed at ingest), but the ADC arithmetic and the top-k
+    ranking touch only the probed cell's vectors."""
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
     per_m = []
     for m in range(PQ_M):
@@ -1411,9 +1425,11 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         adot = adot + F.col(f"qdot{m}").cast("double") / F.col(f"cnt{m}")
         rnsq = rnsq + F.col(f"cnsq{m}").cast("double") / (F.col(f"cnt{m}") * F.col(f"cnt{m}"))
     q_nsq = qv.where(F.col("vec_id") == 0).select(F.col("nsq").alias("q_nsq"))
+    scored = out.where(F.col("vec_id") != 0)
+    if candidates is not None:
+        scored = scored.join(candidates.select("vec_id"), "vec_id")
     return (
-        out.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q_nsq))
+        scored.crossJoin(F.broadcast(q_nsq))
         .select(
             "vec_id",
             (adot / (F.sqrt(F.col("q_nsq").cast("double")) * F.sqrt(rnsq))).alias(
@@ -1503,4 +1519,72 @@ def sim_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_overlap",
             (F.col("n_overlap").cast("double") / F.col("n_true")).alias("recall_at_10"),
         )
+    )
+
+
+_IVF_ASSIGN_CTES = """
+ivfd1 AS (
+    SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
+    FROM ex e JOIN cex1 x ON x.i = e.i GROUP BY 1, 2
+),
+ivfa1 AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT d.vec_id, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                   CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) DESC, d.cid) AS rk
+        FROM ivfd1 d
+        JOIN norms n ON n.vec_id = d.vec_id
+        JOIN cn1 c ON c.cid = d.cid
+        WHERE c.cnsq > 0
+    ) WHERE rk = 1
+),
+qcell AS (SELECT cell AS cid FROM ivfa1 WHERE vec_id = 0),
+cand AS (
+    SELECT a.vec_id FROM ivfa1 a JOIN qcell q ON a.cell = q.cid
+    WHERE a.vec_id <> 0
+)"""
+
+
+@register(
+    "sim_ann_ivfpq_topk",
+    oracle=f"""
+WITH {_Q_CTE},
+{_KMEANS_R1_CTES},
+{_IVF_ASSIGN_CTES},
+{_pq_scored_sql_block("JOIN cand ON cand.vec_id = code0.vec_id")}
+SELECT vec_id, cosine_pq FROM pq_topk
+""",
+    doc=(
+        "IVF-PQ — the production ANN architecture (FAISS's default at "
+        "billion scale), composed from this engine's own verified parts: "
+        "the trained IVF coarse quantizer (one deterministic spherical "
+        "Lloyd round, sim_ann_kmeans_train's exact machinery) prunes the "
+        "corpus to the query's cell, and spherical PQ codes "
+        "(sim_ann_pq_topk's codebooks) score ONLY the survivors with "
+        "asymmetric integer-dot ADC. Candidate volume ~n/K before any "
+        "distance math; scanned bytes are the PQ codes, not vectors — "
+        "the two multiplicative compressions a 100 TB vector store needs "
+        "at once. Every stage is oracle-exact; the oracle composes the "
+        "same CTE blocks the component queries use."
+    ),
+)
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("c_qe"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    cents = _update_centroids(qv, _assign_cells(qv, seeds)).localCheckpoint()
+    assign = _assign_cells(qv, cents)
+    qcell = assign.where(F.col("vec_id") == 0).select("cell")
+    cand = (
+        assign.join(F.broadcast(qcell), "cell")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    return (
+        _pq_scored(spark, sf_dir, candidates=cand)
+        .orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+        .limit(10)
     )

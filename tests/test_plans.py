@@ -26,7 +26,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "events_hybrid_rollup", "funnel_windowed", "graph_triangle_count",
     "layout_zorder_key", "rfm_segmentation", "sample_temporal_split",
     "sim_ann_ivf", "sim_ann_ivf_trained", "sim_ann_kmeans_train",
-    "sim_ann_multiprobe", "sim_ann_pq_recall_eval", "sim_ann_pq_topk",
+    "sim_ann_ivfpq_topk", "sim_ann_multiprobe", "sim_ann_pq_recall_eval", "sim_ann_pq_topk",
     "sim_ann_recall_eval", "sim_ann_sq8_recall_eval", "sim_ann_sq8_topk",
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
     "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
