@@ -202,6 +202,19 @@ HEADLINERS = {
         "stream (the corpus never shuffles on token); per-doc id arrays "
         "rebuilt in an entity-bounded doc_id aggregate."
     ),
+    "sim_ann_ivfpq_topk": (
+        "IVF-PQ (r4): every broadcast in this plan is K-bounded (seed "
+        "centroids, trained cells, PQ codebooks, the query row); the "
+        "corpus streams through cell assignment + code assignment, the "
+        "candidate prune lands BEFORE the ADC arithmetic, and the top-k "
+        "is a TakeOrderedAndProject."
+    ),
+    "dedup_banding_sweep": (
+        "Banding sweep (r4): ground truth is one bounded-slice all-pairs "
+        "pass; all four (b,r) configs evaluate as boolean expressions in "
+        "ONE aggregate over the truth-pair frame — no per-config "
+        "self-joins."
+    ),
 }
 
 
