@@ -680,3 +680,87 @@ def sample_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return comp.select("doc_id", "component", split.alias("split"))
+
+
+#: soft token budget per packed training sequence (a doc may overflow the
+#: boundary by < MAX_SEQ_LEN tokens — the shard_pack end-of-doc
+#: convention; production pads/truncates to budget + max doc length,
+#: pack_length_buckets accounts for that waste)
+SEQ_PACK_TOKENS = 256
+
+
+def _pack_token_sequences_oracle() -> str:
+    from .textops import TOKENIZE_IDS_CTES
+
+    return f"""
+WITH {TOKENIZE_IDS_CTES},
+base AS (SELECT doc_id, len(ids) AS n_ids, ids FROM tok_docs),
+cum AS (
+    SELECT doc_id, n_ids, ids,
+           SUM(n_ids) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+    FROM base
+),
+seq AS (
+    SELECT doc_id, n_ids, ids, (c - 1) // {SEQ_PACK_TOKENS} AS seq_id FROM cum
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(n_ids) AS BIGINT) AS n_tokens,
+       flatten(list(ids ORDER BY doc_id)) AS packed_ids,
+       list(CAST(n_ids AS BIGINT) ORDER BY doc_id) AS seg_lens
+FROM seq GROUP BY seq_id
+"""
+
+
+@register(
+    "pack_token_sequences",
+    oracle=_pack_token_sequences_oracle(),
+    doc=(
+        "Sequence packing — the final trainer-ready artifact: tokenized "
+        "documents (text_tokenize_ids' arrays, shared SQL) concatenate "
+        f"into ~{SEQ_PACK_TOKENS}-token training sequences with per-"
+        "segment lengths (the cu_seqlens a block-diagonal attention mask "
+        "is built from — segments never attend across document "
+        "boundaries). Assignment is the same two-level distributed prefix "
+        "sum as pack_shards (per-group running windows + a broadcast "
+        "offset of the tiny group-total frame — no single-reducer sort of "
+        "the corpus), and each sequence's id arrays reassemble in a "
+        "budget-bounded groupBy collect. Deterministic: same corpus, "
+        "same sequences, on any cluster size."
+    ),
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import text_tokenize_ids
+
+    base = text_tokenize_ids(spark, sf_dir).select(
+        "doc_id", F.size("ids").cast("long").alias("n_ids"), "ids"
+    )
+    grouped = base.withColumn("pack_group", F.expr(f"doc_id DIV {_PACK_GROUP}"))
+    w_in = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = grouped.withColumn("cum_in", F.sum("n_ids").over(w_in))
+    totals = grouped.groupBy("pack_group").agg(F.sum("n_ids").alias("group_total"))
+    w_g = Window.orderBy("pack_group").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pack_group",
+        F.coalesce(F.sum("group_total").over(w_g), F.lit(0)).alias("offset"),
+    )
+    seq = (
+        within.join(F.broadcast(offsets), "pack_group")
+        .select(
+            "doc_id",
+            "n_ids",
+            "ids",
+            F.expr(f"(cum_in + offset - 1) DIV {SEQ_PACK_TOKENS}").alias("seq_id"),
+        )
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("doc_id", "n_ids", "ids")))
+    return seq.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n_ids").alias("n_tokens"),
+        F.flatten(F.transform(ordered, lambda s: s["ids"])).alias("packed_ids"),
+        F.transform(ordered, lambda s: s["n_ids"]).alias("seg_lens"),
+    )

@@ -608,10 +608,10 @@ UNK_ID = 0
 MAX_SEQ_LEN = 64
 
 
-@register(
-    "text_tokenize_ids",
-    oracle=f"""
-WITH t AS (
+#: tokenize-encoding CTE block, reused verbatim by the sequence-packing
+#: oracle (operators/sampling.pack_token_sequences) — the two queries are
+#: token-for-token consistent because they share this SQL
+TOKENIZE_IDS_CTES = f"""t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 freq AS (
@@ -626,16 +626,25 @@ tokpos AS (
     SELECT doc_id, i AS pos, toks[i] AS tok
     FROM t, unnest(generate_series(1, len(toks))) u(i)
 ),
-ids AS (
+idtab AS (
     SELECT p.doc_id, p.pos, COALESCE(v.id, {UNK_ID}) AS id
     FROM tokpos p LEFT JOIN vocab v ON p.tok = v.tok
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(CASE WHEN id = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
-       (list(id ORDER BY pos))[1:{MAX_SEQ_LEN}] AS ids
-FROM ids
-GROUP BY doc_id
+),
+tok_docs AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN id = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           (list(id ORDER BY pos))[1:{MAX_SEQ_LEN}] AS ids
+    FROM idtab
+    GROUP BY doc_id
+)"""
+
+
+@register(
+    "text_tokenize_ids",
+    oracle=f"""
+WITH {TOKENIZE_IDS_CTES}
+SELECT doc_id, n_tokens, n_unk, ids FROM tok_docs
 """,
     doc=(
         "Tokenizer encoding — the step that turns cleaned text into the "

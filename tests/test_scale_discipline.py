@@ -24,8 +24,9 @@ ALLOWED_COLLECT = {
 #: files allowed unpartitioned Window.orderBy, with the count of BOUNDED
 #: frames each was reviewed to have
 ALLOWED_GLOBAL_WINDOW = {
-    "operators/sampling.py": 2,  # pack_shards: n/G group-total prefix;
-    # sample_quality_budget: per-band totals prefix (<= 64 + 1 rows)
+    "operators/sampling.py": 3,  # pack_shards: n/G group-total prefix;
+    # sample_quality_budget: per-band totals prefix (<= 64 + 1 rows);
+    # pack_token_sequences: the same n/G group-total prefix frame
     "operators/windows.py": 1,  # interval sweep: per-day frame
     "operators/relational.py": 2,  # ntile band offsets + year/quarter frame
     "operators/similarity.py": 1,  # IVF probe ranking: 8 centroid rows
