@@ -1370,11 +1370,29 @@ def _pq_scored(
     are precomputed at ingest), but the ADC arithmetic and the top-k
     ranking touch only the probed cell's vectors."""
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    # one corpus pass materializes every subspace slice + norm; all 4
+    # train/encode branches read the checkpoint instead of re-scanning
+    # the source 8x (at 100 TB this is the cache-the-projection step any
+    # multi-pass index build does)
+    subs_all = qv.select(
+        "vec_id",
+        "nsq",
+        *[
+            F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"s{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    subs_all = subs_all.select(
+        "vec_id",
+        "nsq",
+        *[F.col(f"s{m}") for m in range(PQ_M)],
+        *[norm_sq_q(F.col(f"s{m}")).alias(f"snsq{m}") for m in range(PQ_M)],
+    ).localCheckpoint()
     per_m = []
     for m in range(PQ_M):
-        sub = qv.select(
-            "vec_id", F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("s")
-        ).withColumn("nsq", norm_sq_q(F.col("s")))
+        sub = subs_all.select(
+            "vec_id", F.col(f"s{m}").alias("s"), F.col(f"snsq{m}").alias("nsq")
+        )
         seeds = sub.where(F.col("vec_id") < PQ_K).select(
             F.col("vec_id").alias("cid"), F.col("s").alias("c_qe"), F.col("nsq").alias("c_nsq")
         )
@@ -1424,7 +1442,7 @@ def _pq_scored(
     for m in range(1, PQ_M):
         adot = adot + F.col(f"qdot{m}").cast("double") / F.col(f"cnt{m}")
         rnsq = rnsq + F.col(f"cnsq{m}").cast("double") / (F.col(f"cnt{m}") * F.col(f"cnt{m}"))
-    q_nsq = qv.where(F.col("vec_id") == 0).select(F.col("nsq").alias("q_nsq"))
+    q_nsq = subs_all.where(F.col("vec_id") == 0).select(F.col("nsq").alias("q_nsq"))
     scored = out.where(F.col("vec_id") != 0)
     if candidates is not None:
         scored = scored.join(candidates.select("vec_id"), "vec_id")
