@@ -285,6 +285,45 @@ def test_tokenize_ids_at_scale(spark, sf1_dir, smoke_record):
     assert df.where(F.col("n_unk") > 0).count() == 0
 
 
+def test_pack_token_sequences_at_scale(spark, sf1_dir, smoke_record):
+    """Sequence packing at the x10 corpus: conservation (every doc's ids
+    land in exactly one sequence; token totals add up) and the soft
+    budget bound (a sequence never exceeds budget + one max-length doc)."""
+    from etl_financial_report_spark.operators.sampling import SEQ_PACK_TOKENS
+    from etl_financial_report_spark.operators.textops import MAX_SEQ_LEN
+
+    df, n = _run(
+        spark,
+        "pack_token_sequences",
+        lambda: registry.all_queries()["pack_token_sequences"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    totals = df.agg(
+        F.sum("n_segments").alias("segs"),
+        F.sum("n_tokens").alias("toks"),
+        F.max("n_tokens").alias("max_seq"),
+        F.sum(F.size("packed_ids")).alias("packed"),
+    ).collect()[0]
+    n_docs = load_table(spark, sf1_dir, "documents").count()
+    assert totals.segs == n_docs
+    assert totals.packed == totals.toks
+    assert totals.max_seq <= SEQ_PACK_TOKENS + MAX_SEQ_LEN
+
+
+def test_ivfpq_topk_at_scale(spark, sf1_dir, smoke_record):
+    df, n = _run(
+        spark,
+        "sim_ann_ivfpq_topk",
+        lambda: registry.all_queries()["sim_ann_ivfpq_topk"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n == 10
+    # replicas of vec 0 share its cell AND its PQ codes exactly: the top
+    # hit scores the full reconstruction similarity of vec 0 itself
+    top = df.orderBy(F.desc("cosine_pq"), F.asc("vec_id")).limit(1).collect()[0]
+    assert top.cosine_pq > 0.5
+
+
 def test_sq8_topk_at_scale(spark, sf1_dir, smoke_record):
     df, n = _run(
         spark,
