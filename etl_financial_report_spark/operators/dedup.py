@@ -1780,3 +1780,54 @@ def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("c.n_hit").cast("double"), F.col("n_truth")).alias("recall"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(node, reach) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+),
+comp AS (
+    SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS component
+    FROM walk GROUP BY node
+),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""",
+    doc=(
+        "Cluster-size histogram of the near-dup component graph — the "
+        "one-glance dedup health check: how much of the corpus sits in "
+        "singletons vs template mega-clusters (the tail that decides "
+        "whether a keep-one-per-cluster policy saves 1% or 40% of "
+        "storage). Two nested integer aggregates over the components "
+        "frame; exchanges shrink docs -> clusters -> O(distinct sizes) "
+        "rows, the graph_degree_distribution profile."
+    ),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
