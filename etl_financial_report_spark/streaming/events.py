@@ -282,3 +282,62 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_session_duration_hist",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM ordered
+), sess AS (
+    SELECT user_id, session_no,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_s,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+)
+SELECT CAST(dur_s // 600 AS BIGINT) AS dur_bucket_10m,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MIN(dur_s) AS BIGINT) AS min_dur_s,
+       CAST(MAX(dur_s) AS BIGINT) AS max_dur_s
+FROM sess GROUP BY dur_s // 600
+""",
+    doc=(
+        "Session-duration histogram over the 30-min-gap sessionization: "
+        "fixed 10-minute duration buckets with per-bucket session/event "
+        "counts and exact duration bounds — the engagement-shape "
+        "diagnostic downstream of events_sessionize (same session kernel; "
+        "integer epoch seconds, so bucketing is exact in both engines). "
+        "Exchanges shrink events -> sessions -> O(buckets) rows."
+    ),
+)
+def events_session_duration_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = (
+        sessionize(load_table(spark, sf_dir, "events"))
+        .select(
+            "user_id",
+            "session_no",
+            "n_events",
+            (
+                F.unix_timestamp(F.to_timestamp("session_end"))
+                - F.unix_timestamp(F.to_timestamp("session_start"))
+            ).alias("dur_s"),
+        )
+    )
+    return sess.groupBy(F.expr("dur_s DIV 600").cast("long").alias("dur_bucket_10m")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min("dur_s").cast("long").alias("min_dur_s"),
+        F.max("dur_s").cast("long").alias("max_dur_s"),
+    )
