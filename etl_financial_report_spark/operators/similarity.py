@@ -1337,20 +1337,22 @@ _PQ_SCORED_SQL = _pq_scored_sql_block()
 
 
 def _pq_spherical_assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
-    """Argmax-quantized-cosine assignment of (vec_id, s, nsq) subvectors
-    against a broadcast codebook (cid, c_qe, c_nsq) — K-bounded window
-    per vec_id, the _assign_cells shape on subspace columns."""
+    """Argmax-quantized-cosine assignment of long-form (vec_id, m, s,
+    snsq) subvectors against a broadcast per-subspace codebook
+    (m, cid, c_qe, c_nsq), all M subspaces in one pass — the window per
+    (vec_id, m) ranks exactly K rows (m is a constructed 4-value key, the
+    codebook is K-bounded), the _assign_cells shape on subspace rows."""
     from pyspark.sql import Window
 
-    cos = cosine_q(dot_q(F.col("s"), F.col("c_qe")), F.col("nsq"), F.col("c_nsq"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    cos = cosine_q(dot_q(F.col("s"), F.col("c_qe")), F.col("snsq"), F.col("c_nsq"))
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("cos"), F.asc("cid"))
     return (
-        frame.crossJoin(F.broadcast(cents))
+        frame.join(F.broadcast(cents), "m")
         .where(F.col("c_nsq") > 0)
-        .select("vec_id", "cid", cos.alias("cos"))
+        .select("vec_id", "m", "cid", cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
-        .select("vec_id", F.col("cid").alias("cell"))
+        .select("vec_id", "m", F.col("cid").alias("cell"))
     )
 
 
@@ -1370,79 +1372,86 @@ def _pq_scored(
     are precomputed at ingest), but the ADC arithmetic and the top-k
     ranking touch only the probed cell's vectors."""
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    # one corpus pass materializes every subspace slice + norm; all 4
-    # train/encode branches read the checkpoint instead of re-scanning
-    # the source 8x (at 100 TB this is the cache-the-projection step any
-    # multi-pass index build does)
-    subs_all = qv.select(
-        "vec_id",
-        "nsq",
+    # LONG FORM: one row per (vector, subspace) — every training/encoding
+    # stage then runs ONCE over all M subspaces together (one assign
+    # window keyed (vec_id, m), one per-dim sums aggregate keyed
+    # (m, cell, i)) instead of M duplicated plan branches re-reading the
+    # corpus. One checkpoint materializes the sliced projection.
+    sub_structs = F.array(
         *[
-            F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"s{m}")
-            for m in range(PQ_M)
-        ],
-    )
-    subs_all = subs_all.select(
-        "vec_id",
-        "nsq",
-        *[F.col(f"s{m}") for m in range(PQ_M)],
-        *[norm_sq_q(F.col(f"s{m}")).alias(f"snsq{m}") for m in range(PQ_M)],
-    ).localCheckpoint()
-    per_m = []
-    for m in range(PQ_M):
-        sub = subs_all.select(
-            "vec_id", F.col(f"s{m}").alias("s"), F.col(f"snsq{m}").alias("nsq")
-        )
-        seeds = sub.where(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("cid"), F.col("s").alias("c_qe"), F.col("nsq").alias("c_nsq")
-        )
-        assign0 = _pq_spherical_assign(sub, seeds)
-        sums = (
-            sub.join(assign0, "vec_id")
-            .select("cell", F.posexplode("s").alias("i", "v"))
-            .groupBy("cell", "i")
-            .agg(F.sum("v").alias("cv"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda x: x["cv"]
-                ).alias("c_qe")
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("s"),
             )
-            .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
+            for m in range(PQ_M)
+        ]
+    )
+    subs = (
+        qv.select("vec_id", "nsq", F.explode(sub_structs).alias("g"))
+        .select(
+            "vec_id",
+            F.col("nsq").alias("full_nsq"),
+            F.col("g.m").alias("m"),
+            F.col("g.s").alias("s"),
         )
-        counts = assign0.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
-        book = (
-            sums.join(counts, "cell")
-            .select(F.col("cell").alias("cid"), "c_qe", "c_nsq", "cnt")
-            .localCheckpoint()
+        .withColumn("snsq", norm_sq_q(F.col("s")))
+        .localCheckpoint()
+    )
+    seeds = subs.where(F.col("vec_id") < PQ_K).select(
+        "m",
+        F.col("vec_id").alias("cid"),
+        F.col("s").alias("c_qe"),
+        F.col("snsq").alias("c_nsq"),
+    )
+    assign0 = _pq_spherical_assign(subs, seeds)
+    sums = (
+        subs.join(assign0, ["vec_id", "m"])
+        .select("m", "cell", F.posexplode("s").alias("i", "v"))
+        .groupBy("m", "cell", "i")
+        .agg(F.sum("v").alias("cv"))
+        .groupBy("m", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda x: x["cv"]
+            ).alias("c_qe")
         )
-        codes = _pq_spherical_assign(sub, book.select("cid", "c_qe", "c_nsq"))
-        q_sub = sub.where(F.col("vec_id") == 0).select(F.col("s").alias("q_s"))
-        qd = book.crossJoin(F.broadcast(q_sub)).select(
-            "cid",
-            dot_q(F.col("c_qe"), F.col("q_s")).alias("qdot"),
-            "cnt",
-            "c_nsq",
-        )
-        per_m.append((codes, qd))
-    out = None
-    for m, (codes, qd) in enumerate(per_m):
-        piece = codes.join(
-            qd.select(
-                F.col("cid").alias("cell"),
-                F.col("qdot").alias(f"qdot{m}"),
-                F.col("cnt").alias(f"cnt{m}"),
-                F.col("c_nsq").alias(f"cnsq{m}"),
-            ),
-            "cell",
-        ).select("vec_id", f"qdot{m}", f"cnt{m}", f"cnsq{m}")
-        out = piece if out is None else out.join(piece, "vec_id")
+        .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
+    )
+    counts = assign0.groupBy("m", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    book = (
+        sums.join(counts, ["m", "cell"])
+        .select("m", F.col("cell").alias("cid"), "c_qe", "c_nsq", "cnt")
+        .localCheckpoint()
+    )
+    codes = _pq_spherical_assign(subs, book.select("m", "cid", "c_qe", "c_nsq"))
+    q_sub = subs.where(F.col("vec_id") == 0).select("m", F.col("s").alias("q_s"))
+    qd = book.join(F.broadcast(q_sub), "m").select(
+        "m",
+        F.col("cid").alias("cell"),
+        dot_q(F.col("c_qe"), F.col("q_s")).alias("qdot"),
+        "cnt",
+        F.col("c_nsq").alias("cnsq"),
+    )
+    # per-(vec, m) ADC components pivot to fixed columns so the final
+    # double combination keeps the oracle's exact left-to-right m order
+    # (float addition commutes but does NOT associate — a SUM aggregate
+    # would be partitioning-dependent)
+    contrib = codes.join(qd, ["m", "cell"])
+    out = contrib.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col(c))).alias(f"{c}{m}")
+            for m in range(PQ_M)
+            for c in ("qdot", "cnt", "cnsq")
+        ]
+    )
     adot = F.col("qdot0").cast("double") / F.col("cnt0")
     rnsq = F.col("cnsq0").cast("double") / (F.col("cnt0") * F.col("cnt0"))
     for m in range(1, PQ_M):
         adot = adot + F.col(f"qdot{m}").cast("double") / F.col(f"cnt{m}")
         rnsq = rnsq + F.col(f"cnsq{m}").cast("double") / (F.col(f"cnt{m}") * F.col(f"cnt{m}"))
-    q_nsq = subs_all.where(F.col("vec_id") == 0).select(F.col("nsq").alias("q_nsq"))
+    q_nsq = subs.where((F.col("vec_id") == 0) & (F.col("m") == 0)).select(
+        F.col("full_nsq").alias("q_nsq")
+    )
     scored = out.where(F.col("vec_id") != 0)
     if candidates is not None:
         scored = scored.join(candidates.select("vec_id"), "vec_id")

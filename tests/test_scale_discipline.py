@@ -55,6 +55,8 @@ ALLOWED_WINDOW_PARTITION_KEYS = {
     "c_nationkey", "p_partkey",
     # constructed bounded groups
     "pack_group", "band",
+    # PQ subspace index: 4 literal values, always combined with vec_id
+    "m",
 }
 
 #: files allowed Window.partitionBy calls with NON-LITERAL key args, with
