@@ -1356,27 +1356,15 @@ def _pq_spherical_assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _pq_scored(
-    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
-) -> DataFrame:
-    """Corpus scored by spherical-PQ asymmetric distance: per subspace,
-    one deterministic Lloyd round trains an integer-sum codebook (the
-    sim_ann_kmeans_train convention — cosine is scale-invariant, so sums
-    ARE mean directions and nothing is ever float-averaged), vectors
-    encode to their argmax-cosine code, and the query scores against the
-    mean reconstruction sum/count — M exact integer dots, one fixed-order
-    double combination, bit-identical to the unrolled oracle.
-
-    ``candidates`` (a vec_id frame) restricts SCORING to a pruned set —
-    the IVF-PQ composition: codes exist corpus-wide (in production they
-    are precomputed at ingest), but the ADC arithmetic and the top-k
-    ranking touch only the probed cell's vectors."""
+def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train the per-subspace PQ codebooks in LONG FORM: one row per
+    (vector, subspace), so every training stage runs ONCE over all M
+    subspaces together (one assign window keyed (vec_id, m), one per-dim
+    sums aggregate keyed (m, cell, i)) instead of M duplicated plan
+    branches re-reading the corpus. Returns (subs, book): the
+    checkpointed sliced projection and the trained codebook
+    (m, cid, c_qe, c_nsq, cnt)."""
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    # LONG FORM: one row per (vector, subspace) — every training/encoding
-    # stage then runs ONCE over all M subspaces together (one assign
-    # window keyed (vec_id, m), one per-dim sums aggregate keyed
-    # (m, cell, i)) instead of M duplicated plan branches re-reading the
-    # corpus. One checkpoint materializes the sliced projection.
     sub_structs = F.array(
         *[
             F.struct(
@@ -1423,6 +1411,55 @@ def _pq_scored(
         .select("m", F.col("cell").alias("cid"), "c_qe", "c_nsq", "cnt")
         .localCheckpoint()
     )
+    return subs, book
+
+
+@register(
+    "sim_ann_pq_train",
+    oracle=f"""
+WITH {_Q_CTE},
+{", ".join(_pq_sub_sql(m) for m in range(PQ_M))}
+{" UNION ALL ".join(
+    f"SELECT {m} AS m, s.cid AS cell, CAST(c.cnt AS BIGINT) AS n_members, s.centroid_sum "
+    f"FROM (SELECT cid, array_agg(cv ORDER BY i) AS centroid_sum FROM cx{m}1 GROUP BY cid) s "
+    f"JOIN cc{m} c ON c.cid = s.cid"
+    for m in range(PQ_M))}
+""",
+    doc=(
+        "The PQ index-training artifact — what a production build PERSISTS "
+        "(the scan queries then only encode + score): per-subspace trained "
+        "codebooks as exact integer centroid sums with member counts, the "
+        "PQ twin of sim_ann_kmeans_train's output. Same deterministic "
+        "spherical Lloyd round; the oracle unrolls the identical training "
+        "per subspace and unions the books."
+    ),
+)
+def sim_ann_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _subs, book = _pq_train(spark, sf_dir)
+    return book.select(
+        "m",
+        F.col("cid").alias("cell"),
+        F.col("cnt").cast("long").alias("n_members"),
+        F.col("c_qe").alias("centroid_sum"),
+    )
+
+
+def _pq_scored(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Corpus scored by spherical-PQ asymmetric distance: per subspace,
+    one deterministic Lloyd round trains an integer-sum codebook (the
+    sim_ann_kmeans_train convention — cosine is scale-invariant, so sums
+    ARE mean directions and nothing is ever float-averaged), vectors
+    encode to their argmax-cosine code, and the query scores against the
+    mean reconstruction sum/count — M exact integer dots, one fixed-order
+    double combination, bit-identical to the unrolled oracle.
+
+    ``candidates`` (a vec_id frame) restricts SCORING to a pruned set —
+    the IVF-PQ composition: codes exist corpus-wide (in production they
+    are precomputed at ingest), but the ADC arithmetic and the top-k
+    ranking touch only the probed cell's vectors."""
+    subs, book = _pq_train(spark, sf_dir)
     codes = _pq_spherical_assign(subs, book.select("m", "cid", "c_qe", "c_nsq"))
     q_sub = subs.where(F.col("vec_id") == 0).select("m", F.col("s").alias("q_s"))
     qd = book.join(F.broadcast(q_sub), "m").select(
