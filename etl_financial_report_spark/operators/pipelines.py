@@ -665,3 +665,125 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return shard_pack(kept)
+
+
+def _data_card_oracle() -> str:
+    from .quality import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        _GOPHER_STOP_SQL,
+    )
+
+    return f"""
+WITH base AS (
+    SELECT doc_id, text, source, lang,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+vol AS (
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs,
+           SUM(len(toks)) AS total_tokens,
+           SUM(length(text)) AS total_chars
+    FROM base
+),
+dup AS (
+    SELECT COALESCE(SUM(c), 0) AS exact_dup_docs
+    FROM (SELECT COUNT(*) AS c FROM base GROUP BY text) WHERE c >= 2
+),
+gopher AS (
+    SELECT SUM(CASE WHEN len(toks) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+                     AND CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum') AS DOUBLE)
+                         / len(toks) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+                     AND len(list_intersect(list_distinct(toks), {_GOPHER_STOP_SQL}))
+                         >= {GOPHER_MIN_STOPWORDS}
+               THEN 1 ELSE 0 END) AS n_keep
+    FROM base
+)
+SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
+       CAST(v.n_sources AS BIGINT) AS n_sources,
+       CAST(v.n_langs AS BIGINT) AS n_langs,
+       CAST(v.total_tokens AS BIGINT) AS total_tokens,
+       CAST(v.total_chars AS BIGINT) AS total_chars,
+       CAST(d.exact_dup_docs AS BIGINT) AS exact_dup_docs,
+       CAST(g.n_keep * 1000000 // v.n_docs AS BIGINT) AS gopher_keep_ppm
+FROM vol v CROSS JOIN dup d CROSS JOIN gopher g
+"""
+
+
+@register(
+    "pipeline_data_card",
+    oracle=_data_card_oracle(),
+    doc=(
+        "The one-row dataset card a corpus release ships: volume (docs, "
+        "sources, languages, tokens, chars), exact-duplicate exposure "
+        "(rows living in 2+-copy content groups), and the Gopher-gate "
+        "keep rate in integer ppm — headline numbers drawn with the SAME "
+        "rule expressions as the row-level operators (text_gopher_gate, "
+        "dedup_exact), so the card can never drift from the gates it "
+        "summarizes. Three corpus aggregates stitched by 1-row cross "
+        "joins; everything integer until the final ppm division."
+    ),
+)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_STOPWORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    vol = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    dup = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("exact_dup_docs"))
+    )
+    n = F.size(toks)
+    mean_wl = (
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).cast(
+            "double"
+        )
+        / n
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    keep = (
+        n.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    gopher = docs.agg(F.sum(keep.cast("long")).alias("n_keep"))
+    return (
+        vol.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(gopher))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            "total_chars",
+            "exact_dup_docs",
+            F.expr("CAST(n_keep * 1000000 DIV n_docs AS BIGINT)").alias(
+                "gopher_keep_ppm"
+            ),
+        )
+    )

@@ -894,3 +894,86 @@ def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rare).cast("double") / F.count(F.lit(1))).alias("novelty_frac"),
         )
     )
+
+
+#: head sizes the coverage curve reports — the vocab-size sizing question
+COVERAGE_KS = (16, 64, 256, 1024)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH freq AS (
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_vocab FROM freq),
+head AS (
+    SELECT list(cnt ORDER BY cnt DESC, tok) AS arr
+    FROM (SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok LIMIT {max(COVERAGE_KS)})
+)
+{" UNION ALL ".join(
+    f"SELECT {k} AS vocab_k, "
+    f"CAST(list_aggregate(arr[1:{k}], 'sum') AS BIGINT) AS covered_tokens, "
+    f"CAST(t.total AS BIGINT) AS total_tokens, "
+    f"CAST(t.n_vocab AS BIGINT) AS n_vocab, "
+    f"CAST(list_aggregate(arr[1:{k}], 'sum') * 1000000 // t.total AS BIGINT) AS coverage_ppm "
+    f"FROM head CROSS JOIN tot t"
+    for k in COVERAGE_KS)}
+""",
+    doc=(
+        "Vocabulary coverage curve: what fraction (integer ppm) of the "
+        "corpus token stream the top-{16,64,256,1024} frequency head "
+        "covers — the sizing question behind text_tokenize_ids' vocab cap "
+        "and every UNK-rate budget. One token-stream aggregate; the "
+        "ranked head is a bounded TakeOrdered collected to ONE row whose "
+        "prefix sums answer all K at once — the corpus is read once and "
+        "nothing unbounded is sorted or broadcast."
+    ),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = freq.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_vocab"))
+    head = (
+        freq.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(max(COVERAGE_KS))
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("cnt")).alias("negc"), "tok"))
+                ),
+                lambda s: -s["negc"],
+            ).alias("arr")
+        )
+    )
+    covered = {
+        k: F.aggregate(
+            F.slice(F.col("arr"), 1, k), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        for k in COVERAGE_KS
+    }
+    rows = F.array(
+        *[
+            F.struct(F.lit(k).alias("vocab_k"), covered[k].alias("covered_tokens"))
+            for k in COVERAGE_KS
+        ]
+    )
+    return (
+        head.crossJoin(F.broadcast(tot))
+        .select(F.explode(rows).alias("c"), "total", "n_vocab")
+        .select(
+            F.col("c.vocab_k").alias("vocab_k"),
+            F.col("c.covered_tokens").alias("covered_tokens"),
+            F.col("total").cast("long").alias("total_tokens"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.expr("CAST(c.covered_tokens * 1000000 DIV total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
