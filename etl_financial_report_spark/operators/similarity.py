@@ -1652,3 +1652,106 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=f"""
+WITH {_Q_CTE},
+buckets AS (
+    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+batch AS (SELECT vec_id, bucket FROM buckets WHERE vec_id % 10 = 7),
+corpus AS (SELECT vec_id, bucket FROM buckets WHERE vec_id % 10 <> 7),
+cand AS (
+    SELECT b.vec_id AS b_id, c.vec_id AS c_id
+    FROM batch b JOIN corpus c ON c.bucket = b.bucket
+),
+dots AS (
+    SELECT p.b_id, p.c_id, SUM(eb.v * ec.v) AS dot
+    FROM cand p
+    JOIN ex eb ON eb.vec_id = p.b_id
+    JOIN ex ec ON ec.vec_id = p.c_id AND ec.i = eb.i
+    GROUP BY p.b_id, p.c_id
+),
+scored AS (
+    SELECT d.b_id, d.c_id,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(nb.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms nb ON nb.vec_id = d.b_id
+    JOIN norms nc ON nc.vec_id = d.c_id
+),
+best AS (
+    SELECT b_id, c_id, cosine FROM (
+        SELECT b_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cosine DESC, c_id) AS rk
+        FROM scored
+    ) WHERE rk = 1
+)
+SELECT b.vec_id,
+       CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN 'semantic_dup'
+            ELSE 'unique' END AS verdict,
+       CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN best.c_id END AS match_id,
+       CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN best.cosine END AS cosine
+FROM batch b LEFT JOIN best ON best.b_id = b.vec_id
+""",
+    doc=(
+        "Semantic incremental ingest dedup — the embedding twin of "
+        "dedup_incremental: today's vector batch (vec_id%10==7, the same "
+        "deterministic slice convention) probes the corpus ONLY through "
+        "the sign-bucket LSH index, exact quantized cosine runs on the "
+        "bucket-pruned candidates, and each batch vector gets a verdict "
+        "(semantic_dup with its best corpus match above the SemDeDup bar, "
+        "else unique). Candidate volume scales with |batch| x bucket "
+        "density — the corpus never self-joins; the best-match window "
+        "partitions by the batch vec_id (entity key), ranking only that "
+        "vector's bucket candidates. Vectors whose bucket holds no corpus "
+        "member come back 'unique' via the left join, so every batch row "
+        "is verdicted exactly once."
+    ),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    bucketed = emb.select("vec_id", sign_bucket(F.col("embedding")).alias("bucket")).join(
+        qv, "vec_id"
+    )
+    is_batch = (F.col("vec_id") % 10) == 7
+    batch = bucketed.where(is_batch).select(
+        F.col("vec_id").alias("b_id"),
+        "bucket",
+        F.col("qe").alias("b_qe"),
+        F.col("nsq").alias("b_nsq"),
+    )
+    corpus = bucketed.where(~is_batch).select(
+        F.col("vec_id").alias("c_id"),
+        "bucket",
+        F.col("qe").alias("c_qe"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    scored = batch.join(corpus, "bucket").select(
+        "b_id",
+        "c_id",
+        cosine_q(
+            dot_q(F.col("b_qe"), F.col("c_qe")), F.col("b_nsq"), F.col("c_nsq")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("b_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select("b_id", "c_id", "cosine")
+    )
+    hit = F.col("cosine") >= SEMDEDUP_COSINE
+    return (
+        batch.select(F.col("b_id").alias("vec_id"))
+        .join(best.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(hit, F.lit("semantic_dup")).otherwise(F.lit("unique")).alias("verdict"),
+            F.when(hit, F.col("c_id")).alias("match_id"),
+            F.when(hit, F.col("cosine")).alias("cosine"),
+        )
+    )

@@ -51,6 +51,7 @@ ALLOWED_WINDOW_PARTITION_KEYS = {
     # entity keys
     "user_id", "l_orderkey", "o_custkey", "c_custkey", "doc_id",
     "file_id", "grup", "path", "vec_id", "q_id",
+    "b_id",  # batch-vector id (vec_id alias in incremental semantic dedup)
     # dimension keys
     "c_nationkey", "p_partkey",
     # constructed bounded groups
