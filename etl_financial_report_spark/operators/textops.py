@@ -709,17 +709,23 @@ def _bpe_pairs_sql(seq_cte: str) -> str:
         SELECT n, unnest(list_transform(
                    generate_series(1, len(sy) - 1),
                    i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS s
-        FROM (SELECT n, string_split(trim(seq), ' ') AS sy FROM {seq_cte})
+        FROM (SELECT n, string_split(trim(seq), '  ') AS sy FROM {seq_cte})
     )
     GROUP BY s.l, s.r
     """
 
 
 def _bpe_oracle() -> str:
+    # TWO-space separators: the merge pattern ' l  r ' consumes only ONE
+    # of r's two trailing spaces, so the next adjacent pair keeps its
+    # leading-space anchor and a single replace() pass merges runs
+    # left-to-right greedily — textbook BPE (a single-space scheme eats
+    # the shared boundary and skips every other pair in a run; caught by
+    # tests/test_bpe_property.py against the pure-Python reference).
     ctes = [
         r"""seq0 AS (
     SELECT tok, COUNT(*) AS n,
-           ' ' || regexp_replace(tok, '(.)', '\1 ', 'g') || '</w> ' AS seq
+           ' ' || regexp_replace(tok, '(.)', '\1  ', 'g') || '</w>  ' AS seq
     FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
     GROUP BY tok
 )"""
@@ -727,7 +733,7 @@ def _bpe_oracle() -> str:
     for r in range(1, BPE_ROUNDS + 1):
         ctes.append(f"best{r} AS (SELECT l, r, cnt FROM ({_bpe_pairs_sql(f'seq{r - 1}')}) ORDER BY cnt DESC, l, r LIMIT 1)")
         ctes.append(
-            f"seq{r} AS (SELECT tok, n, replace(seq, ' ' || b.l || ' ' || b.r || ' ', "
+            f"seq{r} AS (SELECT tok, n, replace(seq, ' ' || b.l || '  ' || b.r || ' ', "
             f"' ' || b.l || b.r || ' ') AS seq FROM seq{r - 1} CROSS JOIN best{r} b)"
         )
     selects = [
@@ -764,26 +770,43 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return bpe_merge_table(words)
+
+
+def bpe_merge_table(words: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """The BPE trainer over any (tok, n) word-frequency frame —
+    text_bpe_merges binds it to the documents table; the property test
+    (tests/test_bpe_property.py) pins it against a pure-Python reference
+    on arbitrary word multisets."""
+    # two-space separators so a single literal replace() merges runs
+    # left-to-right greedily (see _bpe_oracle's note)
     seq = words.select(
         "tok",
         "n",
         F.concat(
-            F.lit(" "), F.regexp_replace("tok", "(.)", "$1 "), F.lit("</w> ")
+            F.lit(" "), F.regexp_replace("tok", "(.)", "$1  "), F.lit("</w>  ")
         ).alias("seq"),
     )
     def _pair_structs():
         # NOTE: transform's lambda must stay single-parameter (a second
         # python arg would be read as the index variable by Spark)
-        sy = F.split(F.trim(F.col("seq")), " ")
-        return F.transform(
+        sy = F.split(F.trim(F.col("seq")), "  ")
+        pairs = F.transform(
             F.sequence(F.lit(1), F.size(sy) - 1),
             lambda i: F.struct(
                 F.element_at(sy, i).alias("l"), F.element_at(sy, i + 1).alias("r")
             ),
         )
+        # a fully-merged word is ONE symbol: sequence(1, 0) DESCENDS in
+        # Spark (DuckDB's generate_series is empty) and element_at(2)
+        # would throw under ANSI — guard to an empty pair list
+        # (tests/test_bpe_property.py's single-char-word corpora hit this)
+        return F.when(F.size(sy) >= 2, pairs).otherwise(
+            F.array().cast("array<struct<l:string,r:string>>")
+        )
 
     merges = []
-    for r in range(1, BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pair_structs = _pair_structs()
         best = (
             seq.select("n", F.explode(pair_structs).alias("p"))
@@ -805,7 +828,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             "n",
             F.expr(
-                "replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')"
+                "replace(seq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ')"
             ).alias("seq"),
         )
     out = merges[0]
