@@ -715,7 +715,7 @@ def _bpe_pairs_sql(seq_cte: str) -> str:
     """
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> str:
     # TWO-space separators: the merge pattern ' l  r ' consumes only ONE
     # of r's two trailing spaces, so the next adjacent pair keeps its
     # leading-space anchor and a single replace() pass merges runs
@@ -736,11 +736,15 @@ def _bpe_oracle() -> str:
             f"seq{r} AS (SELECT tok, n, replace(seq, ' ' || b.l || '  ' || b.r || ' ', "
             f"' ' || b.l || b.r || ' ') AS seq FROM seq{r - 1} CROSS JOIN best{r} b)"
         )
+    return ",\n".join(ctes)
+
+
+def _bpe_oracle() -> str:
     selects = [
         f"SELECT {r} AS round, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count, l || r AS merged_sym FROM best{r}"
         for r in range(1, BPE_ROUNDS + 1)
     ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return "WITH " + _bpe_ctes() + "\n" + "\nUNION ALL\n".join(selects)
 
 
 @register(
@@ -778,6 +782,21 @@ def bpe_merge_table(words: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     text_bpe_merges binds it to the documents table; the property test
     (tests/test_bpe_property.py) pins it against a pure-Python reference
     on arbitrary word multisets."""
+    merges, _seq = _bpe_chain(words, rounds)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_final_sequences(words: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """(tok, n, seq) after all merge rounds — the encoded state
+    text_bpe_encode exposes as subword segmentations."""
+    _merges, seq = _bpe_chain(words, rounds)
+    return seq
+
+
+def _bpe_chain(words: DataFrame, rounds: int):
     # two-space separators so a single literal replace() merges runs
     # left-to-right greedily (see _bpe_oracle's note)
     seq = words.select(
@@ -831,10 +850,7 @@ def bpe_merge_table(words: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
                 "replace(seq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ')"
             ).alias("seq"),
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, seq
 
 
 #: a bigram is "surprising" when its conditional probability under the
@@ -999,4 +1015,46 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "coverage_ppm"
             ),
         )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    # the same trainer CTE chain; the encoding IS the final seq state
+    return f"""WITH {_bpe_ctes()}
+SELECT tok,
+       CAST(n AS BIGINT) AS n_occurrences,
+       string_split(trim(seq), '  ') AS subwords,
+       CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_subwords
+FROM seq{BPE_ROUNDS}
+"""
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc=(
+        f"BPE ENCODING — the other half of the tokenizer: every distinct "
+        f"word segmented into subword units under the {BPE_ROUNDS} merges "
+        "text_bpe_merges learns (same training chain, so the segmentation "
+        "is exactly what that merge table produces; at serving time the "
+        "merge table is the persisted artifact and only the replace chain "
+        "runs). Output is vocabulary-bounded — one row per distinct word "
+        "with its occurrence weight, subword list, and subword count (the "
+        "corpus fertility statistic: total subwords = sum n * n_subwords)."
+    ),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seq = bpe_final_sequences(words)
+    subwords = F.split(F.trim(F.col("seq")), "  ")
+    return seq.select(
+        "tok",
+        F.col("n").cast("long").alias("n_occurrences"),
+        subwords.alias("subwords"),
+        F.size(subwords).cast("long").alias("n_subwords"),
     )
