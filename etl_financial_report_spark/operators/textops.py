@@ -28,9 +28,35 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a")
 
+#: the oracles' argmax argument list, generated from the SAME sorted
+#: LANG_MARKERS the per-language score columns come from — adding or
+#: removing a language cannot desynchronize the SQL argmax from the
+#: operator's (it used to be a hand-written 5-language literal)
+GREATEST_SCORE_SQL = (
+    f"greatest({', '.join(f'score_{lang}' for lang in sorted(LANG_MARKERS))})"
+)
+
 
 def _tokens(text: Column) -> Column:
     return F.split(text, " ")
+
+
+def _bigram_structs(ws: Column) -> Column:
+    """Adjacent-token (w1, w2) struct array minted executor-side from the
+    pre-split token array. Guarded for <2-token docs: Spark's
+    ``sequence(1, 0)`` DESCENDS to ``[1, 0]`` (DuckDB's generate_series
+    is empty), so ``element_at(ws, 0)`` would throw under ANSI / emit
+    null-bigram rows — same hazard, same guard as ``_bpe_chain`` below."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"),
+            F.element_at(ws, i + 1).alias("w2"),
+        ),
+    )
+    return F.when(F.size(ws) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
 
 
 @register(
@@ -111,8 +137,8 @@ WITH scored AS (
     FROM documents
 )
 SELECT doc_id,
-       CASE {" ".join(f"WHEN score_{lang} >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END AS pred_lang,
-       (CASE {" ".join(f"WHEN score_{lang} >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END = lang) AS agrees_with_label
+       CASE {" ".join(f"WHEN score_{lang} >= {GREATEST_SCORE_SQL} THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END AS pred_lang,
+       (CASE {" ".join(f"WHEN score_{lang} >= {GREATEST_SCORE_SQL} THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END = lang) AS agrees_with_label
 FROM scored
 """,
     doc=(
@@ -431,20 +457,9 @@ WHERE p.n_pair >= {BIGRAM_FLOOR}
 )
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.col("ws")
     bigrams = (
         docs.select(F.split("text", " ").alias("ws"))
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.struct(
-                        F.element_at(ws, i).alias("w1"),
-                        F.element_at(ws, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("bg")
-        )
+        .select(F.explode(_bigram_structs(F.col("ws"))).alias("bg"))
         .select("bg.w1", "bg.w2")
     )
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
@@ -472,7 +487,7 @@ WITH scored AS (
 ),
 pred AS (
     SELECT lang,
-           CASE {" ".join(f"WHEN score_{lang} >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END AS pred_lang
+           CASE {" ".join(f"WHEN score_{lang} >= {GREATEST_SCORE_SQL} THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END AS pred_lang
     FROM scored
 ),
 cells AS (
@@ -584,8 +599,27 @@ def token_drift_report(cnt: DataFrame) -> DataFrame:
     (streaming/runtime.run_token_drift_stream), so the two paths are
     rate-for-rate identical by construction."""
     tot = cnt.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
-    ppm_old = F.floor((F.col("n_old") * DRIFT_PPM).cast("double") / F.col("t_old")).cast("long")
-    ppm_new = F.floor((F.col("n_new") * DRIFT_PPM).cast("double") / F.col("t_new")).cast("long")
+
+    def _positive(total: Column, slice_name: str) -> Column:
+        # an empty baseline corpus or an all-empty accumulated new slice
+        # would otherwise divide by zero -> NULL rates and an arbitrary
+        # null-ordered top-K; fail loudly instead (the guard is in the
+        # divisor expression itself so column pruning cannot drop it)
+        return F.when(total > 0, total).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"token_drift_report: {slice_name} slice has zero tokens"
+                    " — drift rates are undefined"
+                )
+            )
+        )
+
+    ppm_old = F.floor(
+        (F.col("n_old") * DRIFT_PPM).cast("double") / _positive(F.col("t_old"), "baseline")
+    ).cast("long")
+    ppm_new = F.floor(
+        (F.col("n_new") * DRIFT_PPM).cast("double") / _positive(F.col("t_new"), "new")
+    ).cast("long")
     return (
         cnt.crossJoin(F.broadcast(tot))
         .select(
@@ -903,21 +937,9 @@ GROUP BY b.doc_id
 )
 def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.col("ws")
     bigrams = (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.struct(
-                        F.element_at(ws, i).alias("w1"),
-                        F.element_at(ws, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("bg"),
-        )
+        .select("doc_id", F.explode(_bigram_structs(F.col("ws"))).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
     )
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))

@@ -1,29 +1,38 @@
 """Manifest-based snapshot table: Delta/Iceberg-style versioned reads,
-time travel, optimistic concurrency, and copy-on-write MERGE over plain
-parquet files — no table-format jars required (the image has none; see
-README limitations). This upgrades the S14 story from "partition
-overwrite dance" to real snapshot semantics:
+time travel, optimistic concurrency, copy-on-write MERGE, and per-file
+min/max data skipping over plain parquet files — no table-format jars
+required (the image has none; see README limitations). This upgrades the
+S14 story from "partition overwrite dance" to real snapshot semantics:
 
   * every commit writes its data files under ``data/commit-v{N}/`` and
     then publishes ``_manifests/v{N}.json`` listing the COMPLETE file set
     of that version (previous files + new for append; replacement set for
-    replace/merge);
+    replace/merge) plus per-file row counts and column min/max stats
+    harvested from the parquet footers at commit time;
   * publication is a single atomic ``os.link`` of a temp file onto the
     version path — it either fully succeeds or fails with EEXIST, so two
-    racing writers cannot both claim a version (optimistic concurrency,
-    the loser retries on the new base). On a real object store this is
-    the conditional-PUT the formats use;
+    racing writers cannot both claim a version (optimistic concurrency).
+    ``commit_append`` rebases-and-retries on a lost race, and RE-CHECKS
+    its idempotency tag against the winner's manifests first, so two
+    writers replaying the same tagged micro-batch cannot double-publish
+    (the loser discovers the winner carried the tag and no-ops). On a
+    real object store the link is the conditional-PUT the formats use;
   * readers resolve a manifest ONCE and read exactly its files —
     concurrent commits never tear a read, and any historical version
-    stays readable (time travel) until a vacuum drops it;
+    stays readable (time travel) until a vacuum drops it. A pruned read
+    consults the manifest stats and opens only the files whose [min,max]
+    interval can satisfy the predicate — the Delta/Iceberg data-skipping
+    a 100 TB point lookup needs at the TABLE layer, before any footer is
+    touched;
   * MERGE is copy-on-write: the merged result lands as a full new file
     set under a new version — the previous snapshot is untouched, so a
     failed merge changes nothing and a retry is safe.
 
-At 100 TB the manifest holds file paths + counts, not data; commits are
-O(new files) and reads are O(manifest). A production deployment would
-add partition pruning stats per file (the layout module's min/max story)
-— the commit protocol is the part that cannot be bolted on later.
+At 100 TB the manifest holds file paths + footer stats, not data;
+commits are O(new files), reads are O(manifest), and pruning is pure
+manifest arithmetic. Manifests are immutable once published, so each
+instance caches parsed manifests — tag lookups and reads are O(new
+versions), not O(versions^2).
 """
 
 from __future__ import annotations
@@ -34,9 +43,69 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: manifest-stats value types that round-trip through JSON losslessly;
+#: anything else (bytes, dates, nested leaves) is skipped conservatively
+_JSONABLE = (bool, int, float, str)
+
+#: bounded optimistic-concurrency retries — each loss means another
+#: writer advanced the table, so livelock needs sustained contention
+_MAX_COMMIT_RETRIES = 20
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first — re-read and retry."""
+
+
+def _file_footer_meta(full_path: str) -> dict:
+    """Row count + per-column [min, max] for ONE parquet file, from the
+    footer only (no data pages read). A column's stats are kept only when
+    every row group carries them and the values are JSON-safe — a missing
+    row-group stat would make the file-level interval a lie, so it is
+    dropped (the reader treats missing stats as "cannot prune")."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    spans: dict[str, list] = {}
+    covered: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for i in range(rgm.num_columns):
+            col = rgm.column(i)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — top-level columns only
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, _JSONABLE) or not isinstance(mx, _JSONABLE):
+                continue
+            covered[name] = covered.get(name, 0) + 1
+            cur = spans.get(name)
+            spans[name] = (
+                [mn, mx] if cur is None else [min(cur[0], mn), max(cur[1], mx)]
+            )
+    stats = {
+        name: span
+        for name, span in spans.items()
+        if covered.get(name, 0) == md.num_row_groups and md.num_row_groups > 0
+    }
+    return {"rows": md.num_rows, "stats": stats}
+
+
+def _span_can_match(span: list | None, lo, hi) -> bool:
+    """True unless the recorded [min, max] PROVES no row satisfies
+    ``col BETWEEN lo AND hi`` (null-rejecting semantics — NULLs never
+    satisfy a range predicate). Missing stats keep the file: pruning must
+    never be wrong, only sometimes useless."""
+    if span is None:
+        return True  # no stats — cannot prove absence
+    mn, mx = span
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
 
 
 class SnapshotTable:
@@ -44,6 +113,9 @@ class SnapshotTable:
         self.path = path
         self._data = os.path.join(path, "data")
         self._manifests = os.path.join(path, "_manifests")
+        # manifests are immutable once published (atomic os.link claim),
+        # so parsed manifests cache per instance; vacuum invalidates
+        self._mcache: dict[int, dict] = {}
 
     # ----------------------------------------------------------- versions
 
@@ -64,15 +136,18 @@ class SnapshotTable:
         return os.path.join(self._manifests, f"v{version}.json")
 
     def _read_manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        if version not in self._mcache:
+            with open(self._manifest_path(version)) as f:
+                self._mcache[version] = json.load(f)
+        return self._mcache[version]
 
     # ------------------------------------------------------------- commit
 
     def _write_files(self, df: DataFrame, version: int) -> list[str]:
         """Land the dataframe's files for ``version``; returns paths
         relative to the table root. The commit dir name embeds a uuid so
-        a LOSING writer's files never collide with the winner's."""
+        a LOSING writer's files never collide with the winner's (and a
+        rebase republishing the same files at a later version is safe)."""
         sub = f"commit-v{version}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self._data, sub)
         df.write.parquet(out_dir)
@@ -82,14 +157,32 @@ class SnapshotTable:
             if f.endswith(".parquet")
         ]
 
+    def _meta_for(self, files: list[str]) -> dict[str, dict]:
+        return {
+            rel: _file_footer_meta(os.path.join(self.path, rel)) for rel in files
+        }
+
     def _publish(
-        self, version: int, files: list[str], op: str, tag: str | None = None
+        self,
+        version: int,
+        files: list[str],
+        op: str,
+        tag: str | None = None,
+        file_meta: dict[str, dict] | None = None,
     ) -> int:
         os.makedirs(self._manifests, exist_ok=True)
         tmp = os.path.join(self._manifests, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(
-                {"version": version, "op": op, "files": files, "tag": tag}, f, indent=1
+                {
+                    "version": version,
+                    "op": op,
+                    "files": files,
+                    "tag": tag,
+                    "file_meta": file_meta or {},
+                },
+                f,
+                indent=1,
             )
         try:
             # atomic claim: link fails with EEXIST if another writer won
@@ -103,18 +196,43 @@ class SnapshotTable:
         return version
 
     def commit_append(self, df: DataFrame, tag: str | None = None) -> int | None:
-        """Append a new version. ``tag`` makes the commit idempotent per
-        tag (e.g. a streaming micro-batch id): if any manifest already
-        carries it, the call is a no-op returning None — the
-        exactly-once contract a replayed foreachBatch needs, enforced at
-        the SINK, not by the caller remembering."""
+        """Append a new version, rebasing on lost version races. ``tag``
+        makes the commit idempotent per tag (e.g. a content fingerprint of
+        a streaming micro-batch): if any manifest already carries it, the
+        call is a no-op returning None — the exactly-once contract a
+        replayed foreachBatch needs, enforced at the SINK. The tag is
+        re-checked after EVERY lost race, so two writers racing the same
+        tagged batch resolve to exactly one published version (the loser
+        sees the winner's tag on rebase and no-ops); data files are
+        written once and re-pointed by the retried manifest."""
         if tag is not None and tag in self.committed_tags():
             return None
-        base = self.current_version()
-        prev_files = self._read_manifest(base)["files"] if base is not None else []
-        version = (base if base is not None else -1) + 1
-        new_files = self._write_files(df, version)
-        return self._publish(version, prev_files + new_files, "append", tag=tag)
+        new_files: list[str] | None = None
+        new_meta: dict[str, dict] = {}
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version()
+            prev = self._read_manifest(base) if base is not None else {}
+            prev_files = prev.get("files", [])
+            prev_meta = prev.get("file_meta", {})
+            version = (base if base is not None else -1) + 1
+            if new_files is None:
+                new_files = self._write_files(df, version)
+                new_meta = self._meta_for(new_files)
+            try:
+                return self._publish(
+                    version,
+                    prev_files + new_files,
+                    "append",
+                    tag=tag,
+                    file_meta={**prev_meta, **new_meta},
+                )
+            except ConcurrentCommitError:
+                if tag is not None and tag in self.committed_tags():
+                    return None  # the race winner carried our tag
+                continue  # plain version race — rebase on the new base
+        raise ConcurrentCommitError(
+            f"append lost {_MAX_COMMIT_RETRIES} version races — giving up"
+        )
 
     def committed_tags(self) -> set[str]:
         return {
@@ -124,16 +242,31 @@ class SnapshotTable:
         }
 
     def commit_replace(self, df: DataFrame) -> int:
-        base = self.current_version()
-        version = (base if base is not None else -1) + 1
-        return self._publish(version, self._write_files(df, version), "replace")
+        files: list[str] | None = None
+        meta: dict[str, dict] = {}
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version()
+            version = (base if base is not None else -1) + 1
+            if files is None:
+                files = self._write_files(df, version)
+                meta = self._meta_for(files)
+            try:
+                return self._publish(version, files, "replace", file_meta=meta)
+            except ConcurrentCommitError:
+                continue  # replace does not depend on base content — rebase
+        raise ConcurrentCommitError(
+            f"replace lost {_MAX_COMMIT_RETRIES} version races — giving up"
+        )
 
     def commit_merge(self, updates: DataFrame, key_cols: list[str]) -> int:
         """Copy-on-write MERGE (the S14 semantics): rows in ``updates``
         REPLACE current rows with the same key; unmatched update rows
         INSERT. The merged result is a full new snapshot — the base
         version remains readable and a failed/abandoned merge publishes
-        nothing."""
+        nothing. A lost version race raises ``ConcurrentCommitError``
+        WITHOUT retrying: the merge result was computed against the old
+        base, so the caller must recompute against the new one (the
+        semantic conflict Delta's MERGE also surfaces)."""
         spark = updates.sparkSession
         base = self.current_version()
         if base is None:
@@ -142,21 +275,82 @@ class SnapshotTable:
         keep = current.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = keep.unionByName(updates)
         version = base + 1
-        return self._publish(version, self._write_files(merged, version), "merge")
+        files = self._write_files(merged, version)
+        return self._publish(version, files, "merge", file_meta=self._meta_for(files))
 
     # --------------------------------------------------------------- read
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read one pinned snapshot (latest by default). The file list is
-        resolved from the manifest HERE, once — later commits cannot tear
-        this read, and any retained version time-travels."""
+    def files(
+        self,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """The file list of one snapshot after manifest-stats pruning.
+        ``prune`` maps column -> (lo, hi) (either bound None = open); a
+        file is skipped only when its recorded [min, max] PROVES no row
+        can satisfy ``col BETWEEN lo AND hi`` — files without stats for
+        the column are kept, so pruning is never wrong, only sometimes
+        useless. Pure manifest arithmetic: no footer or data file is
+        opened here."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"{self.path}: no committed version")
-        files = self._read_manifest(v)["files"]
-        if not files:
-            raise FileNotFoundError(f"{self.path}: version {v} is empty")
-        return spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        m = self._read_manifest(v)
+        files = m["files"]
+        if not prune:
+            return list(files)
+        meta = m.get("file_meta", {})
+        out = []
+        for rel in files:
+            fm = meta.get(rel)
+            if fm is not None and fm.get("rows", 1) == 0:
+                continue  # provably empty file
+            stats = (fm or {}).get("stats", {})
+            if all(
+                _span_can_match(stats.get(col), lo, hi)
+                for col, (lo, hi) in prune.items()
+            ):
+                out.append(rel)
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Read one pinned snapshot (latest by default). The file list is
+        resolved from the manifest HERE, once — later commits cannot tear
+        this read, and any retained version time-travels. With ``prune``,
+        only files whose manifest stats can satisfy the ranges are opened
+        AND the corresponding BETWEEN filters are applied to the rows, so
+        a pruned read is exactly the unpruned read filtered — skipping is
+        an optimization, never a semantics change."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"{self.path}: no committed version")
+        kept = self.files(v, prune)
+        if not kept:
+            # every file pruned — an empty frame with the table schema
+            # (schema from footers only; the where(false) folds the scan)
+            all_files = self._read_manifest(v)["files"]
+            if not all_files:
+                raise FileNotFoundError(f"{self.path}: version {v} is empty")
+            from pyspark.sql import functions as F
+
+            return spark.read.parquet(
+                *[os.path.join(self.path, f) for f in all_files]
+            ).where(F.lit(False))
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in kept])
+        if prune:
+            from pyspark.sql import functions as F
+
+            for col, (lo, hi) in prune.items():
+                if lo is not None:
+                    df = df.where(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.where(F.col(col) <= hi)
+        return df
 
     # ------------------------------------------------------------- vacuum
 
@@ -180,6 +374,7 @@ class SnapshotTable:
         for v in vs:
             if v not in retained:
                 os.unlink(self._manifest_path(v))
+                self._mcache.pop(v, None)
                 removed_manifests += 1
         return {
             "removed_files": removed_files,

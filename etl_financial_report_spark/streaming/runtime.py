@@ -529,12 +529,21 @@ def run_snapshot_ingest_stream(
 ) -> "SnapshotTable":
     """Streaming ingest into the versioned snapshot table
     (sources/snapshots.py): each micro-batch commits as ONE new table
-    version tagged with its batch id — the tag makes replayed batches a
-    sink-level no-op, so exactly-once holds even if the stream checkpoint
-    is lost (the classic foreachBatch + transactional-sink pattern;
-    ParquetSink.append_idempotent dedupes by ROW key, this dedupes by
-    BATCH and keeps every version time-travelable). Returns the table;
-    read(None) is the live view, read(v) any historical ingest state."""
+    version tagged with a CONTENT fingerprint of the batch — the md5 of
+    its sorted source-file list (falling back to an order-independent
+    row-hash sum for non-file batches). The tag makes replayed batches a
+    sink-level no-op, and because the fingerprint derives from WHAT the
+    batch contains rather than the checkpoint's batch NUMBERING,
+    exactly-once survives the lost-checkpoint disaster case even when new
+    files arrived before the replay: renumbered batches carrying
+    already-ingested files still hit their original tags, while genuinely
+    new files mint new tags and commit (the classic foreachBatch +
+    transactional-sink pattern; ParquetSink.append_idempotent dedupes by
+    ROW key, this dedupes by BATCH and keeps every version
+    time-travelable). Returns the table; read(None) is the live view,
+    read(v) any historical ingest state."""
+    import hashlib
+
     from ..sources.snapshots import SnapshotTable
 
     schema = spark.read.parquet(docs_dir).schema  # one footer read, no job
@@ -546,7 +555,23 @@ def run_snapshot_ingest_stream(
     table = SnapshotTable(table_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.commit_append(batch_df, tag=f"batch-{batch_id}")
+        src_files = sorted(batch_df.inputFiles())
+        if src_files:
+            fp = hashlib.md5("\n".join(src_files).encode("utf-8")).hexdigest()[:16]
+            tag = f"files-{fp}"
+        else:
+            # order-independent content fingerprint: sum of bounded row
+            # hashes (pmod keeps the ANSI long sum overflow-free out to
+            # ~9e9 rows per batch) + the row count
+            agg = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.pmod(F.xxhash64(*batch_df.columns), F.lit(10**9))),
+                    F.lit(0),
+                ).alias("h"),
+            ).first()
+            tag = f"content-{agg['n']}-{agg['h']}"
+        table.commit_append(batch_df, tag=tag)
 
     q = (
         stream.writeStream.foreachBatch(commit_batch)

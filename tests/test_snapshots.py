@@ -100,6 +100,65 @@ def test_tagged_append_is_idempotent(spark, tmp_path):
     assert t.committed_tags() == {"b0", "b1"}
 
 
+def test_manifest_stats_prune_opens_fewer_files(spark, tmp_path):
+    """Per-file min/max stats recorded at commit let a point/range read
+    open strictly fewer files — and the pruned read is EXACTLY the
+    unpruned read filtered (skipping is an optimization, never a
+    semantics change)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    # three commits with disjoint key ranges -> three disjoint file spans
+    t.commit_append(_df(spark, [(i, f"a{i}") for i in range(0, 10)]).coalesce(1))
+    t.commit_append(_df(spark, [(i, f"b{i}") for i in range(10, 20)]).coalesce(1))
+    t.commit_append(_df(spark, [(i, f"c{i}") for i in range(20, 30)]).coalesce(1))
+    all_files = t.files()
+    assert len(all_files) == 3
+    pruned = t.files(prune={"k": (12, 17)})
+    assert len(pruned) == 1  # only the middle commit's file qualifies
+    got = sorted(r.k for r in t.read(spark, prune={"k": (12, 17)}).collect())
+    assert got == list(range(12, 18))
+    # open bounds work, and a no-match range prunes everything but still
+    # returns a well-formed empty frame with the table schema
+    assert len(t.files(prune={"k": (None, 5)})) == 1
+    empty = t.read(spark, prune={"k": (1000, 2000)})
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+    # files without stats for the prune column are conservatively kept
+    m = t._read_manifest(t.current_version())
+    assert all(
+        "k" in m["file_meta"][f]["stats"] and m["file_meta"][f]["rows"] == 10
+        for f in all_files
+    )
+
+
+def test_prune_survives_merge_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    v0 = t.commit_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.commit_merge(_df(spark, [(2, "B"), (40, "d")]).coalesce(1), key_cols=["k"])
+    # merge rewrote the snapshot; stats were re-harvested for the new files
+    got = {(r.k, r.v) for r in t.read(spark, prune={"k": (2, 2)}).collect()}
+    assert got == {(2, "B")}
+    # the pre-merge version still prunes on ITS manifest
+    assert {r.k for r in t.read(spark, v0, prune={"k": (2, None)}).collect()} == {2}
+
+
+def test_tagged_append_rebases_and_dedupes_after_lost_race(spark, tmp_path):
+    """The tag TOCTOU from ADVICE r4: a writer that loses the version race
+    re-checks the tag on rebase — same tag -> no-op, different tag ->
+    clean retry at the next version. Simulated by pre-claiming the version
+    the writer will try."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    # a racer steals version 1 carrying tag "T"
+    racer = SnapshotTable(str(tmp_path / "t"))
+    racer.commit_append(_df(spark, [(2, "b")]), tag="T")
+    # our instance never saw the racer's manifest; same-tag append no-ops
+    assert t.commit_append(_df(spark, [(2, "b")]), tag="T") is None
+    # and a DIFFERENT tag rebases onto the racer's version cleanly
+    assert t.commit_append(_df(spark, [(3, "c")]), tag="U") == 2
+    assert t.read(spark).count() == 3
+    assert t.committed_tags() == {"T", "U"}
+
+
 def test_snapshot_ingest_stream_is_exactly_once(spark, tmp_path):
     """Streaming ingest through the snapshot table: every micro-batch is
     one tagged version; a full replay with a FRESH checkpoint (the
@@ -131,3 +190,16 @@ def test_snapshot_ingest_stream_is_exactly_once(spark, tmp_path):
 
     # every intermediate ingest state stays time-travelable
     assert table2.read(spark, versions_before[0]).count() == 100
+
+    # the ADVICE-r4 disaster case: NEW data arrives, THEN the checkpoint
+    # is lost. Batch renumbering must not let a replayed batch id mask a
+    # new batch's content — tags are content fingerprints, so the replay
+    # no-ops the two old files and commits exactly the new one.
+    docs.where(F.col("doc_id").between(200, 249)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    table3 = runtime.run_snapshot_ingest_stream(
+        spark, src, str(tmp_path / "table"), str(tmp_path / "ckpt3")
+    )
+    assert table3.read(spark).count() == docs.where(F.col("doc_id") < 250).count()
+    assert len(table3.versions()) == 3  # exactly one new version
