@@ -46,19 +46,23 @@ def cosine_q(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot.cast("double") / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double")))
 
 
-def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
-    """Cheap LSH bucket: sign bits of the first ``n_bits`` coordinates
-    packed into an int — exact float comparisons, portable. The scale
-    path for ANN: candidates only within the query's bucket."""
+def sign_bucket(vec: Column, n_bits: int = 4, offset: int = 0) -> Column:
+    """Cheap LSH bucket: sign bits of ``n_bits`` coordinates starting
+    after ``offset`` packed into an int — exact float comparisons,
+    portable. The scale path for ANN: candidates only within the query's
+    bucket. ``offset > 0`` mints an INDEPENDENT second-level key from the
+    next coordinate group (the hot-bucket recursive-split path)."""
     b = F.lit(0)
     for i in range(1, n_bits + 1):
-        b = b + F.when(F.element_at(vec, i) > 0, F.lit(2 ** (n_bits - i))).otherwise(F.lit(0))
+        b = b + F.when(F.element_at(vec, offset + i) > 0, F.lit(2 ** (n_bits - i))).otherwise(
+            F.lit(0)
+        )
     return b
 
 
-def sign_bucket_sql(expr: str, n_bits: int = 4) -> str:
+def sign_bucket_sql(expr: str, n_bits: int = 4, offset: int = 0) -> str:
     terms = [
-        f"(CASE WHEN {expr}[{i}] > 0 THEN {2 ** (n_bits - i)} ELSE 0 END)"
+        f"(CASE WHEN {expr}[{offset + i}] > 0 THEN {2 ** (n_bits - i)} ELSE 0 END)"
         for i in range(1, n_bits + 1)
     ]
     return " + ".join(terms)

@@ -732,19 +732,107 @@ def sim_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------- hot-bucket split + capped embedding pair path
+
+#: sign-bucket width (bits) of the level-0 LSH buckets
+SIGN_BUCKET_BITS = 4
+#: a level-0 bucket whose occupancy exceeds this SPLITS into 2^4
+#: sub-buckets keyed on the NEXT four sign bits. Real embedding
+#: distributions are anisotropic — sign buckets skew badly — so bucket
+#: occupancy must be bounded by policy, not hoped flat; the split keeps
+#: every vector pairable (recall is traded only across sub-bucket
+#: boundaries INSIDE hot buckets), unlike a drop-the-bucket cap
+SIM_SPLIT_CAP = 256
+#: backstop AFTER the split: a still-hot sub-bucket is excluded from
+#: pairing entirely (two-phase groupBy + broadcast anti-join — the
+#: simhash64 SIM64_MAX_BUCKET discipline) and accounted by
+#: ``sim_bucket_occupancy_stats``
+SIM_MAX_BUCKET = 4096
+#: rows per matmul tile inside the pair UDF: peak task memory is the
+#: bucket matrix + one O(TILE x bucket) cosine tile, never O(bucket^2)
+PAIR_TILE_ROWS = 1024
+
+#: the split-bucket CTE chain, shared verbatim by the pair, keep-list and
+#: occupancy-stats oracles so all three see the identical bucket policy
+_SPLIT_BUCKET_CTES = f"""sb AS (
+    SELECT vec_id,
+           {sign_bucket_sql("embedding")} AS b0,
+           {sign_bucket_sql("embedding", offset=SIGN_BUCKET_BITS)} AS b1
+    FROM embeddings
+),
+occ0 AS (SELECT b0, COUNT(*) AS n0 FROM sb GROUP BY b0),
+buckets AS (
+    SELECT sb.vec_id,
+           CASE WHEN o.n0 > {SIM_SPLIT_CAP}
+                THEN {2**SIGN_BUCKET_BITS} + sb.b0 * {2**SIGN_BUCKET_BITS} + sb.b1
+                ELSE sb.b0 END AS bucket
+    FROM sb JOIN occ0 o ON o.b0 = sb.b0
+),
+occ AS (SELECT bucket, COUNT(*) AS bucket_n FROM buckets GROUP BY bucket),
+live AS (
+    SELECT b.vec_id, b.bucket
+    FROM buckets b JOIN occ ON occ.bucket = b.bucket
+    WHERE occ.bucket_n <= {SIM_MAX_BUCKET}
+)"""
+
+
+def split_sign_buckets(
+    spark: SparkSession, sf_dir: str, split_cap: int | None = None
+) -> DataFrame:
+    """(vec_id, bucket) under the hot-bucket split policy: level-0 sign
+    buckets (ids 0..15), except members of buckets over ``split_cap``,
+    which re-key on the NEXT four sign bits into sub-bucket ids
+    ``16 + b0*16 + b1`` (16..271 — the id spaces are disjoint by
+    construction). The occupancy side of the decision is a <=16-row
+    aggregate broadcast back onto the corpus — no wide shuffle."""
+    split_cap = SIM_SPLIT_CAP if split_cap is None else split_cap
+    emb = load_table(spark, sf_dir, "embeddings")
+    sb = emb.select(
+        "vec_id",
+        sign_bucket(F.col("embedding")).alias("b0"),
+        sign_bucket(F.col("embedding"), offset=SIGN_BUCKET_BITS).alias("b1"),
+    )
+    occ0 = sb.groupBy("b0").agg(F.count(F.lit(1)).alias("n0"))
+    split_id = (
+        F.lit(2**SIGN_BUCKET_BITS)
+        + F.col("b0") * F.lit(2**SIGN_BUCKET_BITS)
+        + F.col("b1")
+    )
+    return sb.join(F.broadcast(occ0), "b0").select(
+        "vec_id",
+        F.when(F.col("n0") > split_cap, split_id).otherwise(F.col("b0")).alias("bucket"),
+    )
+
+
+def live_sign_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    split_cap: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Split buckets minus any STILL-hot sub-bucket (occupancy >
+    ``max_bucket`` after the split): the finite backstop that bounds the
+    per-task matrix no matter how adversarial the distribution. Dropped
+    rows are exactly what ``sim_bucket_occupancy_stats`` accounts —
+    two-phase groupBy + broadcast anti-join, no window over the bucket."""
+    max_bucket = SIM_MAX_BUCKET if max_bucket is None else max_bucket
+    b = split_sign_buckets(spark, sf_dir, split_cap)
+    occ = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    hot = occ.where(F.col("bucket_n") > max_bucket).select("bucket")
+    return b.join(F.broadcast(hot), "bucket", "left_anti")
+
+
 @register(
     "sim_bucketed_cosine_pairs",
     oracle=f"""
 WITH {_Q_CTE},
-buckets AS (
-    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
-),
+{_SPLIT_BUCKET_CTES},
 dots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
     FROM ex a
     JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-    JOIN buckets ba ON ba.vec_id = a.vec_id
-    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    JOIN live ba ON ba.vec_id = a.vec_id
+    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
     GROUP BY 1, 2
 )
 SELECT vec_a, vec_b,
@@ -757,21 +845,26 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS 
     doc=(
         "Bucketed embedding near-dup pairs — the SemDeDup/web-scale shape: "
         "vectors land in sign-bit LSH buckets and exact cosine runs ONLY "
-        "within each bucket as one per-group BLAS matmul (applyInPandas), "
-        "so compute drops from O(n^2) to sum of bucket^2 and the shuffle "
-        "key is the bucket id. Same exact quantized math as cosine_pairs; "
-        "recall is traded at bucket boundaries (measured by "
-        "sim_ann_recall_eval's twin methodology). Per-task memory is one "
-        "bucket — at production scale the bucket width grows with the bit "
-        "count, keeping buckets executor-sized."
+        "within each bucket as per-group BLAS matmuls (applyInPandas), so "
+        "compute drops from O(n^2) to sum of bucket^2 and the shuffle key "
+        "is the bucket id. Bucket occupancy is BOUNDED by policy: level-0 "
+        f"buckets over {SIM_SPLIT_CAP} rows split on the next four sign "
+        f"bits, and a sub-bucket still over {SIM_MAX_BUCKET} is dropped "
+        "from pairing via a broadcast anti-join (accounted by "
+        "sim_bucket_occupancy_stats) — real embedding distributions are "
+        "anisotropic, so an uncapped hot bucket would OOM one executor at "
+        "scale. Inside the UDF the cosine matrix is computed in "
+        f"{PAIR_TILE_ROWS}-row tiles, so task memory is O(bucket x tile). "
+        "Same exact quantized math as cosine_pairs; recall is traded at "
+        "bucket boundaries (measured by sim_ann_recall_eval's twin "
+        "methodology)."
     ),
 )
 def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings")
     qv = _quantized(spark, sf_dir).join(
-        emb.select("vec_id", sign_bucket(F.col("embedding")).alias("bucket")), "vec_id"
+        live_sign_buckets(spark, sf_dir), "vec_id"
     ).select("vec_id", "qe", "nsq", "bucket")
 
     schema = T.StructType(
@@ -782,16 +875,90 @@ def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     threshold = 0.3
+    tile = PAIR_TILE_ROWS  # bound at call time (tests shrink it)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qe"]], dtype=np.float64)
         nrm = np.sqrt(pdf["nsq"].to_numpy(dtype=np.int64).astype(np.float64))
-        cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
-        li, ri = np.nonzero((ids[:, None] < ids[None, :]) & (cos > threshold))
-        return pd.DataFrame({"vec_a": ids[li], "vec_b": ids[ri], "cosine": cos[li, ri]})
+        outs = []
+        for s in range(0, len(ids), tile):
+            e = min(s + tile, len(ids))
+            cos = (mat[s:e] @ mat.T) / (nrm[s:e, None] * nrm[None, :])
+            li, ri = np.nonzero((ids[s:e, None] < ids[None, :]) & (cos > threshold))
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": ids[s:e][li], "vec_b": ids[ri], "cosine": cos[li, ri]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return qv.groupBy("bucket").applyInPandas(bucket_pairs, schema)
+
+
+@register(
+    "sim_bucket_occupancy_stats",
+    oracle=f"""
+WITH {_SPLIT_BUCKET_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(bucket_n) AS BIGINT) AS max_occupancy,
+       CAST(SUM(CASE WHEN bucket >= {2**SIGN_BUCKET_BITS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS split_buckets,
+       CAST((SELECT COUNT(*) FROM occ0 WHERE n0 > {SIM_SPLIT_CAP}) AS BIGINT)
+           AS split_level0,
+       CAST(SUM(CASE WHEN bucket_n > {SIM_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS hot_buckets,
+       CAST(SUM(CASE WHEN bucket_n > {SIM_MAX_BUCKET} THEN bucket_n ELSE 0 END) AS BIGINT)
+           AS dropped_rows
+FROM occ
+""",
+    doc=(
+        "Occupancy accounting for the embedding sign-bucket path — the "
+        "twin of dedup_simhash64_bucket_stats: post-split bucket count, "
+        "max occupancy, how many sub-buckets the split minted, how many "
+        "level-0 buckets were hot enough to split, and exactly what the "
+        f"{SIM_MAX_BUCKET} backstop drops from pairing. A lazy plan "
+        "cannot side-effect a drop count, so the accounting is its own "
+        "one-action diagnostic (and the scale smoke asserts on it at x10)."
+    ),
+)
+def sim_bucket_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sb = emb.select("vec_id", sign_bucket(F.col("embedding")).alias("b0"))
+    split0 = (
+        sb.groupBy("b0")
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .agg(F.sum((F.col("n0") > SIM_SPLIT_CAP).cast("long")).alias("split_level0"))
+    )
+    occ = (
+        split_sign_buckets(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    return (
+        occ.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_n").alias("max_occupancy"),
+            F.sum((F.col("bucket") >= 2**SIGN_BUCKET_BITS).cast("long")).alias(
+                "split_buckets"
+            ),
+            F.sum((F.col("bucket_n") > SIM_MAX_BUCKET).cast("long")).alias("hot_buckets"),
+            F.sum(
+                F.when(F.col("bucket_n") > SIM_MAX_BUCKET, F.col("bucket_n")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dropped_rows"),
+        )
+        .crossJoin(F.broadcast(split0))
+        .select(
+            "n_buckets",
+            "max_occupancy",
+            "split_buckets",
+            "split_level0",
+            "hot_buckets",
+            "dropped_rows",
+        )
+    )
 
 
 # ------------------------------------------------- SemDeDup keep manifest
@@ -808,15 +975,13 @@ SEMDEDUP_COSINE = 0.4
     "dedup_semantic_keep_list",
     oracle=f"""
 WITH RECURSIVE {_Q_CTE},
-buckets AS (
-    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
-),
+{_SPLIT_BUCKET_CTES},
 dots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
     FROM ex a
     JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-    JOIN buckets ba ON ba.vec_id = a.vec_id
-    JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    JOIN live ba ON ba.vec_id = a.vec_id
+    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
     GROUP BY 1, 2
 ),
 pairs AS (

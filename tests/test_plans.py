@@ -30,6 +30,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_ann_ivfpq_topk", "sim_ann_multiprobe", "sim_ann_pq_recall_eval", "sim_ann_pq_topk",
     "sim_ann_recall_eval", "sim_ann_sq8_recall_eval", "sim_ann_sq8_topk",
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
+    # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg
+    "sim_bucket_occupancy_stats",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
     "text_token_rarity", "tpch_q11_important_stock",
     "tpch_q22_global_sales_opportunity", "ts_rollup_merge",

@@ -204,6 +204,55 @@ def test_simhash64_bucket_occupancy_at_scale(spark, sf1_dir, smoke_record):
     assert stats.max_occ <= REPLICAS * 8
 
 
+def test_sign_bucket_split_at_scale(spark, sf1_dir, smoke_record):
+    """VERDICT r4 done-criterion for the embedding pair path: at the x10
+    corpus (~20k vectors) every level-0 sign bucket exceeds SIM_SPLIT_CAP
+    and SPLITS on the next four sign bits; post-split occupancy must be
+    bounded (the per-task matmul is O(bucket x tile)) and the backstop
+    must not drop anything at this scale. The stats land in
+    SCALE_SMOKE.json so round-over-round occupancy drift is visible."""
+    from etl_financial_report_spark.operators.similarity import (
+        SIM_MAX_BUCKET,
+        SIM_SPLIT_CAP,
+        sim_bucket_occupancy_stats,
+    )
+
+    t0 = time.monotonic()
+    stats = sim_bucket_occupancy_stats(spark, sf1_dir).collect()[0]
+    smoke_record["sim_bucket_occupancy_stats"] = {
+        "rows": 1,
+        "sec": round(time.monotonic() - t0, 2),
+        "n_buckets": stats.n_buckets,
+        "max_occupancy": stats.max_occupancy,
+        "split_level0": stats.split_level0,
+        "hot_buckets": stats.hot_buckets,
+        "dropped_rows": stats.dropped_rows,
+    }
+    assert stats.split_level0 > 0  # the split ENGAGED at x10
+    assert stats.split_buckets > stats.split_level0  # and actually fanned out
+    # post-split occupancy bounded: identical replicas collapse into the
+    # same sub-bucket, so the bound is replica-cluster x (base bucket / 16)
+    # territory — far under the drop backstop
+    assert stats.max_occupancy <= SIM_MAX_BUCKET
+    assert stats.dropped_rows == 0
+    assert stats.max_occupancy < REPLICAS * SIM_SPLIT_CAP
+
+
+def test_bucketed_pairs_at_scale(spark, sf1_dir, smoke_record):
+    """The capped+split pair path end-to-end at x10: replicas are exact
+    cosine-1.0 twins in the SAME sub-bucket (identical signs), so the
+    pair query must recover at least the replica pairs of every base
+    vector despite the split."""
+    df, n = _run(
+        spark,
+        "sim_bucketed_cosine_pairs",
+        lambda: registry.all_queries()["sim_bucketed_cosine_pairs"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    n_base = load_table(spark, SRC_SF, "embeddings").count()
+    assert n >= n_base * REPLICAS * (REPLICAS - 1) // 2
+
+
 def test_q21_runs_at_scale(spark, sf1_dir, smoke_record):
     df, n = _run(
         spark,
