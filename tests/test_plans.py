@@ -33,6 +33,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg
     "sim_bucket_occupancy_stats",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
+    # both ride the BPE chain's 1-row best-pair broadcasts (same as
+    # text_bpe_encode); packing adds only the tiny group-offset broadcast
+    "text_bpe_doc_ids", "pack_bpe_sequences",
     "text_token_rarity", "tpch_q11_important_stock",
     "tpch_q22_global_sales_opportunity", "ts_rollup_merge",
     "w_ntile_percentile",
