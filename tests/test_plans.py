@@ -28,6 +28,10 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "layout_zorder_key", "rfm_segmentation", "sample_temporal_split",
     "sim_ann_ivf", "sim_ann_ivf_trained", "sim_ann_kmeans_train",
     "sim_ann_ivfpq_topk", "sim_ann_multiprobe", "sim_ann_pq_recall_eval", "sim_ann_pq_topk",
+    # 1-row overlap-count aggregates broadcast-joined (pq_recall_eval shape);
+    # refine additionally broadcasts the 1-row query vector + R-row shortlist
+    "sim_ann_ivfpq_recall_eval", "sim_ann_ivfpq_refine_topk",
+    "sim_ann_ivfpq_residual_topk",
     "sim_ann_recall_eval", "sim_ann_sq8_recall_eval", "sim_ann_sq8_topk",
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
     # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg
