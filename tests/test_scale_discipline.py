@@ -29,7 +29,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # pack_token_sequences: the same n/G group-total prefix frame
     "operators/windows.py": 1,  # interval sweep: per-day frame
     "operators/relational.py": 2,  # ntile band offsets + year/quarter frame
-    "operators/similarity.py": 1,  # IVF probe ranking: 8 centroid rows
+    # IVF probe ranking + residual-IVFPQ nprobe ranking: each orders the
+    # N_CELLS(=8) centroid cosines of ONE query vector — bounded frames
+    "operators/similarity.py": 2,
 }
 
 
