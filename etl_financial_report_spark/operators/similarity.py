@@ -1967,13 +1967,10 @@ def _ivf_residual_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("qrdot", "cnt", "rcnsq", "crdot")
         ]
     )
-    cellterms = cq.crossJoin(
-        F.broadcast(
-            qv.where(F.col("vec_id") == 0).select(
-                F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
-            )
-        )
-    ).select(
+    q_row = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cellterms = cq.crossJoin(F.broadcast(q_row)).select(
         F.col("cid").alias("cell"),
         dot_q(F.col("cq"), F.col("q_qe")).alias("qc"),
         "cqn",
