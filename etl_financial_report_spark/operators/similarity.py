@@ -822,6 +822,133 @@ def live_sign_buckets(
     return b.join(F.broadcast(hot), "bucket", "left_anti")
 
 
+#: queries in the batch recall eval — single-query recall@10 has 0.1
+#: granularity (pure noise between compositions); 16 queries give a
+#: stable mean and a worst-case tail
+SIM_EVAL_NQ = 16
+
+
+@register(
+    "sim_ann_batch_recall_eval",
+    oracle=f"""
+WITH {_Q_CTE},
+{_SPLIT_BUCKET_CTES},
+qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {SIM_EVAL_NQ}),
+bdots AS (
+    SELECT q.qid, e.vec_id, SUM(eq.v * e.v) AS dot
+    FROM qs q
+    JOIN ex eq ON eq.vec_id = q.qid
+    JOIN ex e ON e.i = eq.i AND e.vec_id >= {SIM_EVAL_NQ}
+    GROUP BY 1, 2
+),
+bcos AS (
+    SELECT d.qid, d.vec_id,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE))) AS cosine
+    FROM bdots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.vec_id
+),
+btrue AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+        FROM bcos
+    ) WHERE rk <= 10
+),
+blsh AS (
+    SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY c.cosine DESC, c.vec_id) AS rk
+        FROM bcos c
+        JOIN live bq ON bq.vec_id = c.qid
+        JOIN live bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket
+    ) WHERE rk <= 10
+),
+bovl AS (
+    SELECT t.qid, COUNT(*) AS n_overlap
+    FROM btrue t JOIN blsh l ON l.qid = t.qid AND l.vec_id = t.vec_id
+    GROUP BY t.qid
+),
+bper_q AS (
+    SELECT q.qid, COALESCE(o.n_overlap, 0) AS n_overlap
+    FROM qs q LEFT JOIN bovl o ON o.qid = q.qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) * 10 AS BIGINT) AS n_true,
+       CAST(SUM(n_overlap) AS BIGINT) AS n_overlap,
+       CAST(SUM(n_overlap) AS DOUBLE) / (COUNT(*) * 10) AS mean_recall_at_10,
+       CAST(MIN(n_overlap) AS DOUBLE) / 10 AS worst_recall_at_10
+FROM bper_q
+""",
+    doc=(
+        f"Batch recall eval — recall@10 of the PRODUCTION sign-bucket path "
+        f"(split + cap policy, live_sign_buckets) averaged over "
+        f"{SIM_EVAL_NQ} query vectors against per-query exact ground "
+        "truth, plus the worst per-query tail. Single-query recall has "
+        "0.1 granularity — composition comparisons at that resolution "
+        "are noise (the r5 lesson from the IVF-PQ eval); this is the "
+        "statistically meaningful version. Queries broadcast as one "
+        f"{SIM_EVAL_NQ}-row block (sim_ann_topk_batch's shape), truth "
+        "and LSH rank in per-query windows, and a query whose bucket "
+        "was dropped by the cap scores an honest zero via the left join."
+    ),
+)
+def sim_ann_batch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    qv = _quantized(spark, sf_dir)
+    queries = qv.where(F.col("vec_id") < SIM_EVAL_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    corpus = qv.where(F.col("vec_id") >= SIM_EVAL_NQ)
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id", "vec_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 10")
+        .select("q_id", "vec_id")
+    )
+    live = live_sign_buckets(spark, sf_dir)
+    qbuckets = live.withColumnRenamed("vec_id", "q_id").where(
+        F.col("q_id") < SIM_EVAL_NQ
+    )
+    cand = (
+        live.where(F.col("vec_id") >= SIM_EVAL_NQ)
+        .join(F.broadcast(qbuckets), "bucket")
+        .select("q_id", "vec_id")
+    )
+    lsh = (
+        scored.join(cand, ["q_id", "vec_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .where("rk <= 10")
+        .select("q_id", "vec_id")
+    )
+    ovl = (
+        truth.join(lsh, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    per_q = (
+        queries.select("q_id")
+        .join(ovl, "q_id", "left")
+        .select("q_id", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.count(F.lit(1)) * 10).alias("n_true"),
+        F.sum("n_overlap").alias("n_overlap"),
+        (F.sum("n_overlap").cast("double") / (F.count(F.lit(1)) * 10)).alias(
+            "mean_recall_at_10"
+        ),
+        (F.min("n_overlap").cast("double") / 10).alias("worst_recall_at_10"),
+    )
+
+
 @register(
     "sim_bucketed_cosine_pairs",
     oracle=f"""

@@ -32,6 +32,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # refine additionally broadcasts the 1-row query vector + R-row shortlist
     "sim_ann_ivfpq_recall_eval", "sim_ann_ivfpq_refine_topk",
     "sim_ann_ivfpq_residual_topk",
+    # 16-row query-block broadcast (sim_ann_topk_batch's shape)
+    "sim_ann_batch_recall_eval",
     "sim_ann_recall_eval", "sim_ann_sq8_recall_eval", "sim_ann_sq8_topk",
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
     # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg
