@@ -1831,3 +1831,106 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------- SymSpell variant pairs
+
+
+@register(
+    "dedup_symspell_variants",
+    oracle="""
+WITH vocab AS (
+    SELECT tok, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        UNION ALL
+        SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+    )
+    GROUP BY tok
+),
+keys AS (
+    SELECT tok, tok AS key FROM vocab
+    UNION
+    SELECT tok, substr(tok, 1, i - 1) || substr(tok, i + 1, 1000) AS key
+    FROM vocab, unnest(generate_series(1, length(tok))) u(i)
+),
+cand AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b
+    FROM keys a JOIN keys b ON a.key = b.key AND a.tok < b.tok
+    GROUP BY 1, 2
+)
+SELECT c.tok_a, c.tok_b,
+       CAST(va.n AS BIGINT) AS n_a,
+       CAST(vb.n AS BIGINT) AS n_b,
+       CAST(levenshtein(c.tok_a, c.tok_b) AS BIGINT) AS dist
+FROM cand c
+JOIN vocab va ON va.tok = c.tok_a
+JOIN vocab vb ON vb.tok = c.tok_b
+WHERE levenshtein(c.tok_a, c.tok_b) <= 1
+""",
+    doc=(
+        "SymSpell spelling-variant pairs (Garbe's symmetric-delete "
+        "construction): every vocabulary token mints its deletion "
+        "neighborhood — itself plus each single-character deletion — and "
+        "two tokens at Levenshtein distance <= 1 PROVABLY share a key "
+        "(substitution: both delete position i; insertion/deletion: the "
+        "longer one's deletion IS the shorter). Candidates come from the "
+        "key equi-join (the LSH shape: generate -> bucket-join -> exact "
+        "verify), the distance-2 false positives the keys admit are "
+        "killed by an exact levenshtein(a,b) <= 1 check — native in BOTH "
+        "engines, so the whole operator is oracle-exact. Everything is "
+        "VOCABULARY-bounded, never corpus-bounded: at 100 TB the token "
+        "stream aggregates once and ~length-many 12-char keys per "
+        "distinct token drive the join — the typo/variant clustering a "
+        "corpus normalizer consumes (fold 'tabel' into 'table' before "
+        "counting, dedup near-identical spellings). Runs over the lake's "
+        "combined text vocabulary (documents tokens + catalog part-name "
+        "words), where real variant pairs exist (cold/old, red/rod, "
+        "row/rod); the synthetic unit corpus in tests/test_symspell.py "
+        "pins the construction against brute-force levenshtein truth."
+    ),
+)
+def dedup_symspell_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    part = load_table(spark, sf_dir, "part")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .unionByName(part.select(F.explode(F.split("p_name", " ")).alias("tok")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.concat(
+            F.substring(F.col("tok"), 1, 1000).substr(F.lit(1), i - 1),
+            F.col("tok").substr(i + 1, F.lit(1000)),
+        ),
+    )
+    keys = (
+        vocab.select(
+            "tok",
+            F.explode(
+                F.array_distinct(F.concat(F.array(F.col("tok")), dels))
+            ).alias("key"),
+        )
+        .distinct()
+    )
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), "key")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+    )
+    return (
+        cand.join(vocab.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a")), "tok_a")
+        .join(vocab.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b")), "tok_b")
+        .where(F.levenshtein("tok_a", "tok_b") <= 1)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.levenshtein("tok_a", "tok_b").cast("long").alias("dist"),
+        )
+    )

@@ -1220,3 +1220,122 @@ def text_bpe_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# -------------------------------------------------- count-min sketch
+
+#: count-min sketch geometry: CMS_D independent hash rows of CMS_W
+#: counters — 1 KB of state summarizes an unbounded token stream with
+#: one-sided error <= 2N/CMS_W per estimate at confidence 1-(1/2)^CMS_D
+CMS_D = 4
+CMS_W = 256
+#: heavy hitters the eval interrogates the sketch about
+CMS_TOP_K = 16
+
+
+def _cms_bucket(base: Column, j: int) -> Column:
+    """Row-j counter index: the universal-hash family (A_j*h32 + B_j) mod P
+    folded onto the counter width — exact 64-bit in both engines
+    (functions/hashing's MinHash constants, A < 2^20, h32 < 2^32)."""
+    from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
+
+    return ((F.lit(MINHASH_A[j]) * base + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)) % F.lit(CMS_W)
+
+
+def _cms_bucket_sql(base_expr: str, j: int) -> str:
+    from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
+
+    return f"((({MINHASH_A[j]} * {base_expr} + {MINHASH_B[j]}) % {MINHASH_P}) % {CMS_W})"
+
+
+def _cms_oracle() -> str:
+    from ..functions.hashing import hash32_sql
+
+    base = hash32_sql("tok")
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql('base', j)} AS b, n FROM toks"
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (
+    SELECT tok, {hash32_sql("tok")} AS base, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+),
+cms AS (
+    SELECT j, b, SUM(n) AS cnt FROM ({rows}) GROUP BY j, b
+),
+top AS (
+    SELECT tok, base, n FROM toks ORDER BY n DESC, tok LIMIT {CMS_TOP_K}
+),
+probes AS (
+    {" UNION ALL ".join(f"SELECT tok, n, {j} AS j, {_cms_bucket_sql('base', j)} AS b FROM top" for j in range(CMS_D))}
+)
+SELECT p.tok,
+       CAST(p.n AS BIGINT) AS exact_n,
+       CAST(MIN(c.cnt) AS BIGINT) AS est_n,
+       (MIN(c.cnt) >= p.n) AS never_underestimates,
+       CAST(floor(CAST((MIN(c.cnt) - p.n) * 1000000 AS DOUBLE) / p.n) AS BIGINT) AS err_ppm
+FROM probes p JOIN cms c ON c.j = p.j AND c.b = p.b
+GROUP BY p.tok, p.n
+"""
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    doc=(
+        f"Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+        f"the token stream folds into a {CMS_D}x{CMS_W} integer counter "
+        "matrix through the engine's portable universal-hash family (ONE "
+        "md5 per distinct token, affine derivations — the MinHash "
+        f"construction), and the exact top-{CMS_TOP_K} tokens interrogate "
+        "the sketch: per token, the row-minimum estimate, the one-sided "
+        "overestimate guarantee (pinned: CMS can never undercount), and "
+        "the collision error in integer ppm. The sketch is 1 KB of "
+        "mergeable state no matter the corpus size — the scale story is "
+        "that per-partition sketches SUM (counter-wise) into the global "
+        "sketch, a map-side-combinable groupBy here. Unlike the HLL path "
+        "this sketch is deterministic given the hash family, so the whole "
+        "pipeline — sketch, probe, error — is oracle-exact, not rows-only."
+    ),
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("base", hash32(F.col("tok")))
+    )
+    buckets = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("base"), j).alias("b"))
+            for j in range(CMS_D)
+        ]
+    )
+    cms = (
+        toks.select("n", F.explode(buckets).alias("r"))
+        .groupBy("r.j", "r.b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top = toks.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOP_K)
+    probes = top.select("tok", "n", F.explode(buckets).alias("r")).select(
+        "tok", "n", F.col("r.j").alias("j"), F.col("r.b").alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["j", "b"])
+        .groupBy("tok", "n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") >= F.col("n")).alias("never_underestimates"),
+        F.floor(((F.col("est_n") - F.col("n")) * 1_000_000).cast("double") / F.col("n"))
+        .cast("long")
+        .alias("err_ppm"),
+    )
