@@ -23,6 +23,8 @@ def plan_of(spark, name: str) -> str:
 #: NEW query acquiring a BNLJ must be reviewed and added — or re-planned.
 BNLJ_SCALAR_BROADCAST_OK = {
     "corpus_token_drift", "dedup_banding_sweep", "dedup_lsh_recall_eval",
+    # six 1-row sketch/exact aggregates assembled into the single output row
+    "dedup_kmv_overlap_sketch",
     "pipeline_data_card", "text_vocab_coverage",
     "events_hybrid_rollup", "funnel_windowed", "graph_triangle_count",
     "layout_zorder_key", "rfm_segmentation", "sample_temporal_split",
