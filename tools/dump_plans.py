@@ -215,6 +215,35 @@ HEADLINERS = {
         "ONE aggregate over the truth-pair frame — no per-config "
         "self-joins."
     ),
+    "sim_bucketed_cosine_pairs": (
+        "Split-bucket pairs (r5): the 16-row occupancy aggregate and the "
+        "hot-bucket list broadcast back onto the corpus (split decision + "
+        "cap anti-join), then ONE applyInPandas keyed on the final bucket "
+        "id — per-task memory O(bucket x tile), the corpus shuffles once "
+        "on the bucket key."
+    ),
+    "sim_ann_ivfpq_residual_topk": (
+        "Residual IVF-PQ (r5): quantized coarse centroids, residual "
+        "stream, and residual-PQ codebooks are all K-bounded broadcasts; "
+        "the nprobe candidate prune lands before the ADC joins; the "
+        "fixed-order double combination runs in one projection."
+    ),
+    "text_cms_heavy_hitters": (
+        "Count-min sketch (r5): the token stream partial-aggregates to "
+        "the distinct-token frame, explodes to d x w counter updates "
+        "(map-side combinable), and the <=1024-row sketch broadcasts "
+        "against the bounded top-K probe set."
+    ),
+    "dedup_kmv_overlap_sketch": (
+        "KMV overlap (r5): per-half bottom-k's are TakeOrdered (never a "
+        "global sort); every estimate input is a 1-row aggregate "
+        "assembled by scalar broadcasts into the single output row."
+    ),
+    "dedup_symspell_variants": (
+        "SymSpell variants (r5): vocabulary-bounded end to end — token "
+        "stream aggregates once, deletion keys drive an equi-join, and "
+        "the exact levenshtein verify runs on the candidate pairs only."
+    ),
 }
 
 
