@@ -2238,3 +2238,199 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (maybe & ~F.col("exact_dup")).alias("false_positive"),
         )
     )
+
+
+def _kmv_matrix_oracle() -> str:
+    from ..functions.hashing import hash32_sql
+
+    K, SPAN = KMV_K, _KMV_SPAN
+    est = lambda n, u: (  # noqa: E731 — shared estimate grammar
+        f"CASE WHEN {n} < {K} THEN {n} "
+        f"ELSE CAST(floor(CAST({K - 1} AS DOUBLE) * {SPAN} / greatest({u}, 1)) AS BIGINT) END"
+    )
+    return f"""
+WITH sh AS (
+    SELECT source, unnest({_SHINGLES_SQL}) AS w FROM documents
+),
+hv AS (SELECT DISTINCT source, {hash32_sql('w')} AS hv FROM sh),
+ks AS (
+    SELECT source, hv FROM (
+        SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rk
+        FROM hv
+    ) WHERE rk <= {K}
+),
+kstat AS (SELECT source, COUNT(*) AS n_k, MAX(hv) AS u_k FROM ks GROUP BY source),
+dex AS (SELECT source, COUNT(*) AS d FROM hv GROUP BY source),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b
+    FROM dex a JOIN dex b ON a.source < b.source
+),
+merged_in AS (
+    SELECT p.src_a, p.src_b, k.hv FROM pairs p JOIN ks k ON k.source = p.src_a
+    UNION
+    SELECT p.src_a, p.src_b, k.hv FROM pairs p JOIN ks k ON k.source = p.src_b
+),
+merged AS (
+    SELECT src_a, src_b, hv FROM (
+        SELECT src_a, src_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rk
+        FROM merged_in
+    ) WHERE rk <= {K}
+),
+votes AS (
+    SELECT m.src_a, m.src_b, COUNT(*) AS n_m, MAX(m.hv) AS u_m,
+           SUM(CASE WHEN ka.hv IS NOT NULL AND kb.hv IS NOT NULL THEN 1 ELSE 0 END) AS kboth
+    FROM merged m
+    LEFT JOIN ks ka ON ka.source = m.src_a AND ka.hv = m.hv
+    LEFT JOIN ks kb ON kb.source = m.src_b AND kb.hv = m.hv
+    GROUP BY m.src_a, m.src_b
+),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_exact
+    FROM hv a JOIN hv b ON a.hv = b.hv AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT v.src_a, v.src_b,
+       CAST(da.d AS BIGINT) AS d_a_exact,
+       CAST({est("sa.n_k", "sa.u_k")} AS BIGINT) AS d_a_est,
+       CAST(db.d AS BIGINT) AS d_b_exact,
+       CAST({est("sb.n_k", "sb.u_k")} AS BIGINT) AS d_b_est,
+       CAST({est("v.n_m", "v.u_m")} AS BIGINT) AS d_u_est,
+       CAST(COALESCE(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+       CAST(CASE WHEN v.n_m < {K} THEN v.kboth
+                 ELSE CAST(floor(CAST(v.kboth * ({est("v.n_m", "v.u_m")}) AS DOUBLE) / {K}) AS BIGINT)
+            END AS BIGINT) AS inter_est,
+       CAST(floor(CAST(COALESCE(i.inter_exact, 0) * 1000000 AS DOUBLE)
+                  / (da.d + db.d - COALESCE(i.inter_exact, 0))) AS BIGINT) AS jaccard_ppm_exact,
+       CAST(floor(CAST(v.kboth * 1000000 AS DOUBLE) / v.n_m) AS BIGINT) AS jaccard_ppm_est
+FROM votes v
+JOIN kstat sa ON sa.source = v.src_a
+JOIN kstat sb ON sb.source = v.src_b
+JOIN dex da ON da.source = v.src_a
+JOIN dex db ON db.source = v.src_b
+LEFT JOIN inter i ON i.src_a = v.src_a AND i.src_b = v.src_b
+"""
+
+
+@register(
+    "dedup_kmv_source_matrix",
+    oracle=_kmv_matrix_oracle(),
+    doc=(
+        "Pairwise source-overlap matrix from MERGEABLE KMV sketches — the "
+        "sketch-algebra payoff: each source's distinct shingle-hash set "
+        f"collapses ONCE to its {KMV_K} smallest hashes (skew-safe "
+        "two-level topk_per_key, never a per-source global sort), and "
+        "every pair's union sketch + jaccard/intersection estimate "
+        "derives from the two per-source sketches ALONE (bottom-k of a "
+        "union = bottom-k of the union of bottom-k's; membership votes "
+        "use only sketch members) — so the 190-pair matrix costs one "
+        "corpus pass plus O(pairs x k) arithmetic. Exact values ride "
+        "along for every pair, so the estimate error is visible per "
+        "cell. At 100 TB this is the crawl-source overlap heat map: "
+        "per-source sketches maintain incrementally at ingest and any "
+        "pair's overlap answers from KB of state, no distinct-join."
+    ),
+)
+def dedup_kmv_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+    from ..functions.topk import topk_per_key
+
+    K = KMV_K
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", "text", F.split("text", " ").alias("toks")
+    ).select("source", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+    hv = sh.select("source", hash32(F.col("w")).alias("hv")).distinct()
+    ks = topk_per_key(
+        hv, ["source"], [F.asc("hv")], K, tiebreak=F.col("hv")
+    ).select("source", "hv")
+    kstat = ks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("hv").alias("u_k")
+    )
+    dex = hv.groupBy("source").agg(F.count(F.lit(1)).alias("d"))
+    # source-pair grid: both sides are the distinct-source list (O(10s)
+    # rows) — the BNLJ build side is explicitly the bounded broadcast
+    pairs = dex.select(F.col("source").alias("src_a")).join(
+        F.broadcast(dex.select(F.col("source").alias("src_b"))),
+        F.col("src_a") < F.col("src_b"),
+    )
+    ka = ks.select(F.col("source").alias("src_a"), "hv")
+    kb = ks.select(F.col("source").alias("src_b"), "hv")
+    merged_in = (
+        pairs.join(F.broadcast(ka), "src_a")
+        .select("src_a", "src_b", "hv")
+        .unionByName(pairs.join(F.broadcast(kb), "src_b").select("src_a", "src_b", "hv"))
+        .distinct()
+    )
+    # bottom-k of the merged sketch members: a bounded (<= 2k values)
+    # collect per pair, no window over the pair key
+    merged = (
+        merged_in.groupBy("src_a", "src_b")
+        .agg(F.slice(F.sort_array(F.collect_set("hv")), 1, K).alias("mk"))
+        .select("src_a", "src_b", F.explode("mk").alias("hv"))
+    )
+    votes = (
+        merged.join(
+            F.broadcast(ka.withColumn("in_a", F.lit(1))), ["src_a", "hv"], "left"
+        )
+        .join(F.broadcast(kb.withColumn("in_b", F.lit(1))), ["src_b", "hv"], "left")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_m"),
+            F.max("hv").alias("u_m"),
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+            ).alias("kboth"),
+        )
+    )
+    inter = (
+        hv.select(F.col("source").alias("src_a"), "hv")
+        .join(hv.select(F.col("source").alias("src_b"), "hv"), "hv")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+
+    def est(n_col: str, u_col: str) -> F.Column:
+        return F.when(F.col(n_col) < K, F.col(n_col)).otherwise(
+            F.floor(
+                F.lit(float(K - 1)) * F.lit(_KMV_SPAN) / F.greatest(F.col(u_col), F.lit(1))
+            ).cast("long")
+        )
+
+    sa = kstat.select(F.col("source").alias("src_a"), F.col("n_k").alias("na"), F.col("u_k").alias("ua"))
+    sb = kstat.select(F.col("source").alias("src_b"), F.col("n_k").alias("nb"), F.col("u_k").alias("ub"))
+    da = dex.select(F.col("source").alias("src_a"), F.col("d").alias("d_a_exact"))
+    db = dex.select(F.col("source").alias("src_b"), F.col("d").alias("d_b_exact"))
+    out = (
+        votes.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .join(F.broadcast(da), "src_a")
+        .join(F.broadcast(db), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("inter_exact", F.coalesce("inter_exact", F.lit(0)))
+        .withColumn("d_u_est", est("n_m", "u_m").cast("long"))
+    )
+    inter_est = F.when(F.col("n_m") < K, F.col("kboth")).otherwise(
+        F.floor((F.col("kboth") * F.col("d_u_est")).cast("double") / F.lit(K)).cast("long")
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("d_a_exact").cast("long").alias("d_a_exact"),
+        est("na", "ua").cast("long").alias("d_a_est"),
+        F.col("d_b_exact").cast("long").alias("d_b_exact"),
+        est("nb", "ub").cast("long").alias("d_b_est"),
+        "d_u_est",
+        F.col("inter_exact").cast("long").alias("inter_exact"),
+        inter_est.cast("long").alias("inter_est"),
+        F.floor(
+            (F.col("inter_exact") * 1000000).cast("double")
+            / (F.col("d_a_exact") + F.col("d_b_exact") - F.col("inter_exact"))
+        )
+        .cast("long")
+        .alias("jaccard_ppm_exact"),
+        F.floor((F.col("kboth") * 1000000).cast("double") / F.col("n_m"))
+        .cast("long")
+        .alias("jaccard_ppm_est"),
+    )

@@ -25,6 +25,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "corpus_token_drift", "dedup_banding_sweep", "dedup_lsh_recall_eval",
     # six 1-row sketch/exact aggregates assembled into the single output row
     "dedup_kmv_overlap_sketch",
+    # the source-pair grid: both BNLJ sides are the distinct-source list
+    "dedup_kmv_source_matrix",
     "pipeline_data_card", "text_vocab_coverage",
     "events_hybrid_rollup", "funnel_windowed", "graph_triangle_count",
     "layout_zorder_key", "rfm_segmentation", "sample_temporal_split",
