@@ -925,3 +925,79 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         q[0].alias("p50_approx"), q[1].alias("p90_approx"), q[2].alias("p99_approx")
     )
+
+
+#: heavy keys the skew profile names explicitly
+SKEW_TOP_N = 8
+
+
+@register(
+    "agg_key_skew_profile",
+    oracle=f"""
+WITH counts AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(median(CAST(n AS DOUBLE)) AS DOUBLE) AS p50_key_rows,
+           CAST(quantile_cont(CAST(n AS DOUBLE), 0.99) AS DOUBLE) AS p99_key_rows
+    FROM counts
+),
+top AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS top_rows
+    FROM (SELECT n FROM counts ORDER BY n DESC, user_id LIMIT {SKEW_TOP_N})
+)
+SELECT t.n_rows, t.n_keys, t.max_key_rows, t.p50_key_rows, t.p99_key_rows,
+       CAST(floor(CAST(t.max_key_rows * 1000 * t.n_keys AS DOUBLE) / t.n_rows) AS BIGINT)
+           AS max_over_avg_x1000,
+       CAST(floor(CAST(p.top_rows * 1000000 AS DOUBLE) / t.n_rows) AS BIGINT)
+           AS top{SKEW_TOP_N}_share_ppm
+FROM tot t CROSS JOIN top p
+""",
+    doc=(
+        "Join/agg-key skew profile for events.user_id — the diagnostic "
+        "that decides BETWEEN the engine's skew tools (AQE skew-join vs "
+        "explicit salting vs broadcast): key count, max key occupancy, "
+        "exact p50/p99 of the per-key distribution, max-over-average in "
+        f"integer permille, and the top-{SKEW_TOP_N} keys' share of all "
+        "rows in ppm. One count-of-counts aggregate over the partially "
+        "aggregated key frame — the corpus is read once, the heavy-key "
+        "head is a bounded TakeOrdered, and every ratio uses the exact-"
+        "numerator floor grammar. At 100 TB you run THIS before choosing "
+        "a join strategy; a max_over_avg in the thousands is the "
+        "signature of a key AQE must split or salting must spread."
+    ),
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.median(F.col("n").cast("double")).alias("p50_key_rows"),
+        F.percentile(F.col("n").cast("double"), F.lit(0.99)).alias("p99_key_rows"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(SKEW_TOP_N)
+        .agg(F.sum("n").cast("long").alias("top_rows"))
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "p50_key_rows",
+        "p99_key_rows",
+        F.floor(
+            (F.col("max_key_rows") * 1000 * F.col("n_keys")).cast("double")
+            / F.col("n_rows")
+        )
+        .cast("long")
+        .alias("max_over_avg_x1000"),
+        F.floor((F.col("top_rows") * 1000000).cast("double") / F.col("n_rows"))
+        .cast("long")
+        .alias(f"top{SKEW_TOP_N}_share_ppm"),
+    )

@@ -22,6 +22,8 @@ def plan_of(spark, name: str) -> str:
 #: subquery. Every build side here is O(1)/O(K), never corpus-sized. A
 #: NEW query acquiring a BNLJ must be reviewed and added — or re-planned.
 BNLJ_SCALAR_BROADCAST_OK = {
+    # 1-row heavy-key-head aggregate broadcast onto the 1-row dist stats
+    "agg_key_skew_profile",
     "corpus_token_drift", "dedup_banding_sweep", "dedup_lsh_recall_eval",
     # six 1-row sketch/exact aggregates assembled into the single output row
     "dedup_kmv_overlap_sketch",
