@@ -663,3 +663,113 @@ def run_user_totals_tws(
     )
     q.awaitTermination()
     return spark.table("user_totals_tws")
+
+
+def run_bloom_prefilter_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    corpus_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of ``dedup_bloom_prefilter`` — the runtime-filter
+    pattern as an ingest stream: the corpus's bloom filter (distinct
+    set-bit positions, ~KB) and its exact key set are materialized ONCE
+    before the stream starts; each arriving micro-batch probes the
+    broadcast filter, only 'maybe' docs take the exact membership join,
+    and per-doc verdicts (bloom_maybe / exact_dup / false_positive) land
+    through the idempotent sink keyed on doc_id — a replayed batch cannot
+    double-report. Per-batch cost scales with the batch and the filter
+    never rebuilds; in production the bit set maintains incrementally at
+    corpus ingest (bloom inserts are monotone — union of filters IS the
+    filter of the union). Batch/stream agreement is pinned by
+    tests/test_streaming.py."""
+    from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
+    from ..operators.dedup import BLOOM_K, BLOOM_M
+    from ..sources.sinks import ParquetSink
+
+    ck = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+
+    def based(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", ck.alias("ck")).withColumn(
+            "base", F.conv(F.substring("ck", 1, 8), 16, 10).cast("long")
+        )
+
+    def pos_structs() -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        (F.lit(MINHASH_A[j]) * F.col("base") + F.lit(MINHASH_B[j]))
+                        % F.lit(MINHASH_P)
+                        % F.lit(BLOOM_M)
+                    ).alias("pos"),
+                )
+                for j in range(BLOOM_K)
+            ]
+        )
+
+    corpus_based = based(corpus_docs)
+    filter_bits = (
+        corpus_based.select(F.explode(pos_structs()).alias("r"))
+        .select("r.j", "r.pos")
+        .distinct()
+        .localCheckpoint()
+    )
+    corpus_keys = corpus_based.select("ck").distinct().localCheckpoint()
+
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(out_dir, partition_cols=())
+
+    def verdict_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = based(batch_df)
+        probes = b.select("doc_id", F.explode(pos_structs()).alias("r")).select(
+            "doc_id", "r.j", "r.pos"
+        )
+        hits = (
+            probes.join(F.broadcast(filter_bits), ["j", "pos"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_set"))
+        )
+        maybe = F.coalesce(F.col("n_set"), F.lit(0)) == BLOOM_K
+        flagged = b.join(hits, "doc_id", "left").select(
+            "doc_id", "ck", maybe.alias("bloom_maybe")
+        )
+        # only 'maybe' docs pay the exact membership join — the prefilter
+        # is the point: a definitely-new doc costs zero corpus I/O
+        checked = flagged.where(F.col("bloom_maybe")).join(
+            corpus_keys.withColumn("present", F.lit(True)), "ck", "left"
+        )
+        out = (
+            flagged.where(~F.col("bloom_maybe"))
+            .select("doc_id", "bloom_maybe", F.lit(False).alias("exact_dup"))
+            .unionByName(
+                checked.select(
+                    "doc_id",
+                    "bloom_maybe",
+                    F.coalesce("present", F.lit(False)).alias("exact_dup"),
+                )
+            )
+            .select(
+                "doc_id",
+                "bloom_maybe",
+                "exact_dup",
+                (F.col("bloom_maybe") & ~F.col("exact_dup")).alias("false_positive"),
+            )
+        )
+        sink.append_idempotent(out, key_cols=["doc_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(verdict_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark)

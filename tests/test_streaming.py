@@ -331,3 +331,43 @@ def test_token_drift_stream_matches_batch_operator(spark, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert [tuple(r) for r in got2.collect()] == w
+
+
+def test_bloom_prefilter_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming runtime-filter twin of dedup_bloom_prefilter: the
+    batch slice streams in two file chunks against the once-built corpus
+    bloom; the landed verdicts must EXACTLY match the batch operator's,
+    and a replayed run must not double-report."""
+    from etl_financial_report_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        dedup_bloom_prefilter,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    new_dir = str(tmp_path / "new_docs")
+    batch = docs.where(in_batch)
+    batch.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(new_dir)
+    batch.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(new_dir)
+
+    got = runtime.run_bloom_prefilter_stream(
+        spark,
+        new_dir,
+        docs.where(~in_batch),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+    )
+    want = dedup_bloom_prefilter(spark, SMOKE_SF_DIR)
+    g = {(r.doc_id, r.bloom_maybe, r.exact_dup, r.false_positive) for r in got.collect()}
+    w = {(r.doc_id, r.bloom_maybe, r.exact_dup, r.false_positive) for r in want.collect()}
+    assert g == w and len(g) == batch.count()
+
+    got2 = runtime.run_bloom_prefilter_stream(
+        spark,
+        new_dir,
+        docs.where(~in_batch),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert got2.count() == len(g)
