@@ -773,3 +773,66 @@ def run_bloom_prefilter_stream(
     )
     q.awaitTermination()
     return sink.read(spark)
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming count-min sketch — the mergeability of
+    ``text_cms_heavy_hitters``'s sketch proven through the stream: each
+    micro-batch lands its PARTIAL (j, bucket, count, batch_id) sketch
+    through the idempotent sink (a replayed batch cannot double-count),
+    and the global sketch is the counter-wise SUM of the partials —
+    exactly the merge a 1000-executor ingest does with per-partition
+    sketches, keyed here by batch instead. Returns the merged (j, b, cnt)
+    sketch frame; tests pin that it equals the batch operator's sketch
+    counter-for-counter, which is the CMS merge theorem (sum of sketches
+    of slices == sketch of the union) made executable."""
+    from ..operators.textops import CMS_D, _cms_bucket
+    from ..functions.hashing import hash32
+    from ..sources.sinks import ParquetSink
+
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(out_dir, partition_cols=())
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("base", hash32(F.col("tok")))
+        )
+        buckets = F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("base"), j).alias("b"))
+                for j in range(CMS_D)
+            ]
+        )
+        partial = (
+            toks.select("n", F.explode(buckets).alias("r"))
+            .groupBy("r.j", "r.b")
+            .agg(F.sum("n").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        sink.append_idempotent(partial, key_cols=["j", "b", "batch_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        sink.read(spark)
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

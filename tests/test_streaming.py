@@ -371,3 +371,47 @@ def test_bloom_prefilter_stream_matches_batch_operator(spark, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert got2.count() == len(g)
+
+
+def test_cms_stream_merge_equals_batch_sketch(spark, tmp_path):
+    """The CMS merge theorem, executable: summing per-micro-batch partial
+    sketches must reproduce the whole-corpus sketch counter-for-counter
+    (and therefore every heavy-hitter estimate), and a replay must not
+    double-count."""
+    from etl_financial_report_spark.functions.hashing import hash32
+    from etl_financial_report_spark.operators.textops import CMS_D, _cms_bucket
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    merged = runtime.run_cms_stream(
+        spark, src, str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    )
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("base", hash32(F.col("tok")))
+    )
+    buckets = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("base"), j).alias("b"))
+            for j in range(CMS_D)
+        ]
+    )
+    whole = (
+        toks.select("n", F.explode(buckets).alias("r"))
+        .groupBy("r.j", "r.b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    g = {(r.j, r.b): r.cnt for r in merged.collect()}
+    w = {(r.j, r.b): r.cnt for r in whole.collect()}
+    assert g == w and len(g) > 0
+
+    # replay with a fresh checkpoint: partials dedupe on (j, b, batch_id)
+    merged2 = runtime.run_cms_stream(
+        spark, src, str(tmp_path / "sketch"), str(tmp_path / "ckpt2")
+    )
+    assert {(r.j, r.b): r.cnt for r in merged2.collect()} == w
