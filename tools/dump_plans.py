@@ -244,6 +244,21 @@ HEADLINERS = {
         "stream aggregates once, deletion keys drive an equi-join, and "
         "the exact levenshtein verify runs on the candidate pairs only."
     ),
+    "dedup_bloom_prefilter": (
+        "Bloom prefilter (r5): the ~KB set-bit frame broadcasts against "
+        "the batch probe stream; only 'maybe' survivors reach the exact "
+        "membership join — the runtime-filter pattern, explicit."
+    ),
+    "agg_key_skew_profile": (
+        "Key-skew profile (r5): one partially-aggregated count-of-counts "
+        "pass; the heavy-key head is a bounded TakeOrdered broadcast onto "
+        "the 1-row distribution stats."
+    ),
+    "dedup_kmv_source_matrix": (
+        "KMV source matrix (r5): per-source bottom-k via the skew-safe "
+        "two-level topk; every pairwise estimate derives from K-bounded "
+        "sketch frames — the corpus is read once."
+    ),
 }
 
 
