@@ -811,3 +811,47 @@ def _pack_ids(base: DataFrame) -> DataFrame:
         F.flatten(F.transform(ordered, lambda s: s["ids"])).alias("packed_ids"),
         F.transform(ordered, lambda s: s["n_ids"]).alias("seg_lens"),
     )
+
+
+def _semantic_aware_split_oracle() -> str:
+    from .similarity import SEMANTIC_COMP_CTES, _Q_CTE
+
+    return f"""
+WITH RECURSIVE {_Q_CTE},
+{SEMANTIC_COMP_CTES}
+SELECT vec_id, component,
+       CASE WHEN {hash32_sql("CAST(component AS VARCHAR)")} % 1000 < {_TRAIN_MAX} THEN 'train'
+            WHEN {hash32_sql("CAST(component AS VARCHAR)")} % 1000 < {_VAL_MAX} THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
+@register(
+    "sample_semantic_aware_split",
+    oracle=_semantic_aware_split_oracle(),
+    doc=(
+        "Semantic-cluster-aware train/val/test split — the EMBEDDING twin "
+        "of sample_dedup_aware_split: the permille hash keys on the "
+        "SemDeDup component id (dedup_semantic_keep_list's min-label), so "
+        "an entire semantic near-dup cluster lands in one split and "
+        "embedding-space eval leakage (a paraphrase of a training doc "
+        "sitting in test) is zero BY CONSTRUCTION for every pair the "
+        "semantic graph knows about. Same no-RNG reproducibility contract; "
+        "the cost over a naive split is the components pass a SemDeDup "
+        "build already runs. Oracle shares the recursive component chain "
+        "with the keep-list verbatim (SEMANTIC_COMP_CTES), so the two "
+        "artifacts can never disagree about what a cluster is."
+    ),
+)
+def sample_semantic_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import dedup_semantic_keep_list
+
+    comp = dedup_semantic_keep_list(spark, sf_dir).select("vec_id", "component")
+    bucket = hash32(F.col("component").cast("string")) % F.lit(1000)
+    split = (
+        F.when(bucket < _TRAIN_MAX, "train")
+        .when(bucket < _VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return comp.select("vec_id", "component", split.alias("split"))

@@ -1098,11 +1098,10 @@ def sim_bucket_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_COSINE = 0.4
 
 
-@register(
-    "dedup_semantic_keep_list",
-    oracle=f"""
-WITH RECURSIVE {_Q_CTE},
-{_SPLIT_BUCKET_CTES},
+#: the semantic-component CTE chain (split-bucket pairs above the
+#: SemDeDup bar -> recursive min-label closure) shared by the keep-list
+#: and the semantic-aware split oracles — one definition, two consumers
+SEMANTIC_COMP_CTES = f"""{_SPLIT_BUCKET_CTES},
 dots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
     FROM ex a
@@ -1132,7 +1131,14 @@ walk(node, reach) AS (
 comp AS (
     SELECT node AS vec_id, CAST(MIN(reach) AS BIGINT) AS component
     FROM walk GROUP BY node
-),
+)"""
+
+
+@register(
+    "dedup_semantic_keep_list",
+    oracle=f"""
+WITH RECURSIVE {_Q_CTE},
+{SEMANTIC_COMP_CTES},
 sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
 SELECT c.vec_id, c.component, (c.vec_id = c.component) AS keep, s.cluster_size
 FROM comp c JOIN sizes s ON s.component = c.component

@@ -131,3 +131,26 @@ def test_dedup_aware_split_has_zero_pair_leakage(spark, sf_dir):
     # and the split still covers every document exactly once
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert assign.count() == n_docs
+
+
+def test_semantic_aware_split_has_zero_embedding_leakage(spark):
+    """Every SemDeDup pair (cosine >= bar) must be intra-split under
+    sample_semantic_aware_split — zero embedding-space eval leakage by
+    construction, the embedding twin of the dedup-aware-split pin."""
+    from etl_financial_report_spark.operators.sampling import (
+        sample_semantic_aware_split,
+    )
+    from etl_financial_report_spark.operators.similarity import (
+        SEMDEDUP_COSINE,
+        sim_bucketed_cosine_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    split = {r.vec_id: r.split for r in sample_semantic_aware_split(spark, sf).collect()}
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in sim_bucketed_cosine_pairs(spark, sf).collect()
+        if r.cosine >= SEMDEDUP_COSINE
+    ]
+    assert pairs, "the corpus must contain semantic pairs"
+    assert all(split[a] == split[b] for a, b in pairs)
