@@ -64,3 +64,33 @@ def test_approx_quantiles_track_exact(spark):
         spread = max(exact[k]) - min(exact[k]) or 1.0
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) <= 0.05 * spread + 1e-9, (k, a, e)
+
+
+def test_cms_never_underestimates_on_arbitrary_corpora(spark, tmp_path):
+    """CMS one-sided error, property-style across adversarial corpora: a
+    deliberately tiny width forces collisions, and every estimate must
+    still be >= the exact count (hash-collision sums only ever ADD)."""
+    import etl_financial_report_spark.operators.textops as TX
+
+    cases = [
+        ["a"] * 50,  # one dominant token
+        [f"t{i}" for i in range(300)],  # all-distinct flood
+        ["x", "y"] * 30 + ["z"],  # near-tie head
+        [f"w{i % 7}" for i in range(140)],  # periodic
+    ]
+    for ci, toks in enumerate(cases):
+        sf = str(tmp_path / f"c{ci}")
+        spark.createDataFrame(
+            [(i, " ".join(toks[i::4]), "t", "en", 1) for i in range(4)],
+            "doc_id long, text string, source string, lang string, n_chars int",
+        ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        import unittest.mock as um
+
+        with um.patch.object(TX, "CMS_W", 8):
+            rows = TX.text_cms_heavy_hitters(spark, sf).collect()
+        assert rows
+        assert all(r.est_n >= r.exact_n for r in rows), (ci, rows)
+        assert all(r.never_underestimates for r in rows)
+        # with 8 buckets and >8 distinct tokens, collisions MUST surface
+        if len(set(toks)) > 8 * TX.CMS_D:
+            assert any(r.est_n > r.exact_n for r in rows), ci
