@@ -2348,9 +2348,18 @@ LIMIT 10
     ),
 )
 def sim_ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _refine_from_scored(spark, sf_dir, _ivf_residual_scored(spark, sf_dir))
+
+
+def _refine_from_scored(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
+) -> DataFrame:
+    """Exact re-rank of the top-REFINE_R of an ADC-scored frame — split
+    out so sim_ann_ivfpq_recall_eval can feed ONE residual-scored frame
+    to both the unrefined top-k and the refine stage instead of running
+    the whole residual pipeline twice."""
     shortlist = (
-        _ivf_residual_scored(spark, sf_dir)
-        .orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+        scored.orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
         .limit(REFINE_R)
         .select("vec_id")
     )
@@ -2450,8 +2459,14 @@ SELECT CAST((SELECT COUNT(*) FROM true_topk) AS BIGINT) AS n_true,
 def sim_ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_topk = sim_ann_topk(spark, sf_dir).select("vec_id")
     plain = sim_ann_ivfpq_topk(spark, sf_dir).select("vec_id")
-    resid = sim_ann_ivfpq_residual_topk(spark, sf_dir).select("vec_id")
-    refined = sim_ann_ivfpq_refine_topk(spark, sf_dir).select("vec_id")
+    # ONE residual pipeline feeds both the unrefined top-k and the refine
+    # stage (checkpointed intermediates inside _ivf_residual_scored are
+    # shared, so the coarse/residual training runs once, not twice)
+    scored = _ivf_residual_scored(spark, sf_dir)
+    resid = (
+        scored.orderBy(F.desc("cosine_pq"), F.asc("vec_id")).limit(10).select("vec_id")
+    )
+    refined = _refine_from_scored(spark, sf_dir, scored).select("vec_id")
     o_plain = true_topk.join(plain, "vec_id")
     o_resid = true_topk.join(resid, "vec_id")
     o_ref = true_topk.join(refined, "vec_id")
