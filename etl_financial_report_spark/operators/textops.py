@@ -1339,3 +1339,90 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     )
+
+
+# ------------------------------------------------ vocabulary growth
+
+#: corpus prefixes (by doc_id) the growth curve samples — the Heaps'-law
+#: shape answers "how fast does the vocabulary still grow", i.e. how much
+#: NEW content marginal crawling buys
+HEAPS_NS = (32, 128, 512)
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+first_seen AS (
+    SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({n} AS BIGINT) AS n_docs_prefix, "
+    f"CAST((SELECT COALESCE(SUM(n), 0) FROM per_doc WHERE doc_id < {n}) AS BIGINT) AS total_tokens, "
+    f"CAST((SELECT COUNT(*) FROM first_seen WHERE first_doc < {n}) AS BIGINT) AS distinct_tokens, "
+    f"CAST(floor(CAST((SELECT COUNT(*) FROM first_seen WHERE first_doc < {n}) * 1000000 AS DOUBLE) "
+    f"     / greatest((SELECT COALESCE(SUM(n), 0) FROM per_doc WHERE doc_id < {n}), 1)) AS BIGINT) AS ttr_ppm"
+    for n in HEAPS_NS)}
+""",
+    doc=(
+        "Vocabulary growth curve (Heaps'-law diagnostic): distinct-token "
+        f"and total-token counts after the first {HEAPS_NS} docs, with "
+        "the prefix type/token ratio in integer ppm — the corpus-health "
+        "number that says whether more crawling still buys new content "
+        "or only repeats the head (a flattening curve is the saturation "
+        "signal dedup budgets key on). ONE token pass: each token's "
+        "FIRST document (a partial-aggregated min) answers every prefix "
+        "at once via conditional counts — no per-prefix rescan, no "
+        "distinct-per-prefix shuffle; per-doc token totals aggregate the "
+        "same way."
+    ),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    firsts = first_seen.agg(
+        *[
+            F.sum((F.col("first_doc") < n).cast("long")).alias(f"d{n}")
+            for n in HEAPS_NS
+        ]
+    )
+    totals = per_doc.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id") < n, F.col("n"))), F.lit(0)
+            ).alias(f"t{n}")
+            for n in HEAPS_NS
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("long").alias("n_docs_prefix"),
+                F.col(f"t{n}").cast("long").alias("total_tokens"),
+                F.col(f"d{n}").cast("long").alias("distinct_tokens"),
+            )
+            for n in HEAPS_NS
+        ]
+    )
+    return (
+        firsts.crossJoin(F.broadcast(totals))
+        .select(F.explode(rows).alias("r"))
+        .select(
+            "r.n_docs_prefix",
+            "r.total_tokens",
+            "r.distinct_tokens",
+            F.floor(
+                (F.col("r.distinct_tokens") * 1000000).cast("double")
+                / F.greatest(F.col("r.total_tokens"), F.lit(1))
+            )
+            .cast("long")
+            .alias("ttr_ppm"),
+        )
+    )

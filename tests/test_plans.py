@@ -48,6 +48,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # both ride the BPE chain's 1-row best-pair broadcasts (same as
     # text_bpe_encode); packing adds only the tiny group-offset broadcast
     "text_bpe_doc_ids", "pack_bpe_sequences",
+    # 1-row per-prefix totals broadcast onto the 1-row first-seen counts
+    "text_vocab_growth",
     "text_token_rarity", "tpch_q11_important_stock",
     "tpch_q22_global_sales_opportunity", "ts_rollup_merge",
     "w_ntile_percentile",
