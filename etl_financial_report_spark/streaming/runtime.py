@@ -528,20 +528,23 @@ def run_snapshot_ingest_stream(
     spark: SparkSession, docs_dir: str, table_dir: str, checkpoint_dir: str
 ) -> "SnapshotTable":
     """Streaming ingest into the versioned snapshot table
-    (sources/snapshots.py): each micro-batch commits as ONE new table
-    version tagged with a CONTENT fingerprint of the batch — the md5 of
-    its sorted source-file list (falling back to an order-independent
-    row-hash sum for non-file batches). The tag makes replayed batches a
-    sink-level no-op, and because the fingerprint derives from WHAT the
-    batch contains rather than the checkpoint's batch NUMBERING,
-    exactly-once survives the lost-checkpoint disaster case even when new
-    files arrived before the replay: renumbered batches carrying
-    already-ingested files still hit their original tags, while genuinely
-    new files mint new tags and commit (the classic foreachBatch +
-    transactional-sink pattern; ParquetSink.append_idempotent dedupes by
-    ROW key, this dedupes by BATCH and keeps every version
-    time-travelable). Returns the table; read(None) is the live view,
-    read(v) any historical ingest state."""
+    (sources/snapshots.py): file-backed micro-batches commit one tagged
+    version PER SOURCE FILE (tag = md5 of the file path), non-file
+    batches one version tagged with an order-independent content
+    fingerprint. The tags make replayed data a sink-level no-op, and
+    because they derive from WHAT arrived rather than the checkpoint's
+    batch NUMBERING — or its batch GROUPING — exactly-once survives both
+    the lost-checkpoint disaster case (renumbered batches carrying
+    already-ingested files still hit their original tags while genuinely
+    new files mint new tags and commit) and a trigger-config change
+    between run and replay (ADVICE r5: a replay that re-groups the same
+    files into different per-batch sets finds each FILE's tag already
+    committed, where a per-batch file-set tag would double-ingest). The
+    classic foreachBatch + transactional-sink pattern;
+    ParquetSink.append_idempotent dedupes by ROW key, this dedupes by
+    file/batch content and keeps every version time-travelable. Returns
+    the table; read(None) is the live view, read(v) any historical
+    ingest state."""
     import hashlib
 
     from ..sources.snapshots import SnapshotTable
@@ -555,23 +558,51 @@ def run_snapshot_ingest_stream(
     table = SnapshotTable(table_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        src_files = sorted(batch_df.inputFiles())
-        if src_files:
-            fp = hashlib.md5("\n".join(src_files).encode("utf-8")).hexdigest()[:16]
-            tag = f"files-{fp}"
+        if batch_df.inputFiles():
+            # one commit per source file, tagged by the file's PATH, so
+            # idempotency is independent of how a trigger config groups
+            # files into batches. Paths come from input_file_name() (not
+            # inputFiles()) so the where-filter below matches the exact
+            # same spelling. The per-file path list is O(files/batch).
+            paths = sorted(
+                r["p"]
+                for r in batch_df.select(F.input_file_name().alias("p"))
+                .distinct()
+                .collect()
+            )
+            seen = table.committed_tags()
+            for path in paths:
+                fp = hashlib.md5(path.encode("utf-8")).hexdigest()[:16]
+                tag = f"file-{fp}"
+                if tag in seen:
+                    continue  # pre-check only; commit_append re-checks on race
+                table.commit_append(
+                    batch_df.where(F.input_file_name() == path), tag=tag
+                )
         else:
-            # order-independent content fingerprint: sum of bounded row
-            # hashes (pmod keeps the ANSI long sum overflow-free out to
-            # ~9e9 rows per batch) + the row count
-            agg = batch_df.agg(
+            # order-independent multiset fingerprint of the rows (ADVICE
+            # r5: count + bounded hash-sum alone is collision-prone).
+            # Fold the full 64-bit row hashes four independent ways —
+            # bounded sum (pmod keeps the ANSI long sum overflow-free out
+            # to ~9e9 rows per batch), xor, min, max — then md5 the
+            # combination; a colliding distinct batch must match all four
+            # folds simultaneously.
+            hashed = batch_df.select(
+                F.xxhash64(*batch_df.columns).alias("_h")
+            )
+            agg = hashed.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(
-                    F.sum(F.pmod(F.xxhash64(*batch_df.columns), F.lit(10**9))),
-                    F.lit(0),
-                ).alias("h"),
+                    F.sum(F.pmod(F.col("_h"), F.lit(10**9))), F.lit(0)
+                ).alias("s"),
+                F.coalesce(F.expr("bit_xor(_h)"), F.lit(0)).alias("x"),
+                F.coalesce(F.min("_h"), F.lit(0)).alias("lo"),
+                F.coalesce(F.max("_h"), F.lit(0)).alias("hi"),
             ).first()
-            tag = f"content-{agg['n']}-{agg['h']}"
-        table.commit_append(batch_df, tag=tag)
+            fold = f"{agg['n']}:{agg['s']}:{agg['x']}:{agg['lo']}:{agg['hi']}"
+            fp = hashlib.md5(fold.encode("utf-8")).hexdigest()[:16]
+            tag = f"content-{agg['n']}-{fp}"
+            table.commit_append(batch_df, tag=tag)
 
     q = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -54,7 +54,13 @@ def load_queries(path: str) -> dict[str, float]:
             qm = re.search(r'"queries":\s*\{(.*)', txt)
             out: dict[str, float] = {}
             if qm:
-                for pair in re.finditer(r'"([^"]+)":\s*([0-9.]+)', qm.group(1)):
+                # ADVICE r5: only keep pairs whose value is provably
+                # complete — a delimiter must follow the number, else a
+                # tail cut mid-number ('12.34' -> '12.3') would record a
+                # silently wrong timing for the last query
+                for pair in re.finditer(
+                    r'"([^"]+)":\s*([0-9.]+)\s*[,}]', qm.group(1)
+                ):
                     out[pair.group(1)] = float(pair.group(2))
             return out
     parsed = d.get("parsed") or {}
@@ -82,11 +88,28 @@ def delta_report(old: dict[str, float], new: dict[str, float], threshold: float)
 
 
 def latest_round_artifacts() -> tuple[str, str]:
+    """Pick the baseline round artifact for BENCH.json. ADVICE r5: once
+    the CURRENT round's BENCH_r{N}.json lands in the tree it holds the
+    same run as BENCH.json, and comparing them would always report 'No
+    flagged moves' — so when the newest round artifact's queries match
+    BENCH.json's, step back to the second-newest (the true r{N-1})."""
     rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    if len(rounds) >= 1:
-        prev = rounds[-1]
-        return prev, os.path.join(REPO, "BENCH.json")
-    raise SystemExit("no BENCH_r*.json artifacts found")
+    if not rounds:
+        raise SystemExit("no BENCH_r*.json artifacts found")
+    new_path = os.path.join(REPO, "BENCH.json")
+    prev = rounds[-1]
+    if len(rounds) >= 2:
+        try:
+            a, b = load_queries(prev), load_queries(new_path)
+            # the round artifact may be a truncated tail of the same run,
+            # so "same run" = every common query has the identical timing
+            # (dozens of float-identical timings never happen across runs)
+            common = set(a) & set(b)
+            if common and all(a[k] == b[k] for k in common):
+                prev = rounds[-2]
+        except (OSError, json.JSONDecodeError):
+            pass
+    return prev, new_path
 
 
 def main() -> None:
