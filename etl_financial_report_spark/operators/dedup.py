@@ -1943,15 +1943,21 @@ def dedup_symspell_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: membership votes estimate jaccard/intersection (Bar-Yossef et al. '02,
 #: the theta-sketch ancestor). 64 hashes = 512 B of mergeable state
 KMV_K = 64
+#: production sketch size (VERDICT r5 item 2): bottom-1024 hashes = 8 KB
+#: of mergeable state, relative cardinality error ~1/sqrt(k) ~ 3% — the
+#: geometry a 1e9-distinct-key crawl-overlap question wants. The plan is
+#: k-independent (TakeOrdered(k) + O(k) arithmetic), so the wide sketch
+#: costs the same corpus pass as the k=64 demo
+KMV_K_PROD = 1024
 
 #: hash32's range — the [0, 1) uniform scale the KMV estimator divides by
 _KMV_SPAN = 2**32
 
 
-def _kmv_oracle() -> str:
+def _kmv_oracle(k: int) -> str:
     from ..functions.hashing import hash32_sql
 
-    K, SPAN = KMV_K, _KMV_SPAN
+    K, SPAN = k, _KMV_SPAN
     return f"""
 WITH sh AS (
     SELECT doc_id % 2 AS half, unnest({_SHINGLES_SQL}) AS w FROM documents
@@ -2001,28 +2007,10 @@ FROM est
 """
 
 
-@register(
-    "dedup_kmv_overlap_sketch",
-    oracle=_kmv_oracle(),
-    doc=(
-        "KMV (bottom-k) distinct-overlap sketch between the two corpus "
-        f"halves (doc_id parity, the token-drift slice convention): each "
-        f"half's distinct shingle-hash set collapses to its {KMV_K} "
-        "smallest 32-bit hashes (a TakeOrdered, never a global sort), "
-        "cardinality estimates come from (k-1)/u_k, and the UNION "
-        "sketch's members vote on two-half membership to estimate "
-        "jaccard and intersection — reported side by side with the exact "
-        "values and nothing asserted away: the error IS the artifact. "
-        "The sketch is 512 B of mergeable state (bottom-k of a union = "
-        "bottom-k of bottom-k's), the portable md5-derived hash makes "
-        "every estimate bit-exact across engines, and at 100 TB this is "
-        "how you answer 'how much does the new crawl overlap the corpus' "
-        "without a distinct-join: per-partition bottom-k's merge on the "
-        "driver in O(k). Sub-k sets short-circuit to their exact size "
-        "(the sketch holds the whole set)."
-    ),
-)
-def dedup_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_overlap_sketch(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """k-parameterized KMV overlap sketch (shared by the demo-geometry
+    and production-geometry registrations below) — same one-pass plan at
+    any k: TakeOrdered(k) bottom-k's, O(k) estimate arithmetic."""
     from ..functions.hashing import hash32
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2034,7 +2022,7 @@ def dedup_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = sh.select("half", hash32(F.col("w")).alias("hv")).distinct()
 
     def bottomk(frame):
-        return frame.orderBy("hv").limit(KMV_K)
+        return frame.orderBy("hv").limit(k)
 
     ka = bottomk(hv.where(F.col("half") == 0).select("hv"))
     kb = bottomk(hv.where(F.col("half") == 1).select("hv"))
@@ -2072,14 +2060,14 @@ def dedup_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def est(n_col, u_col):
-        return F.when(F.col(n_col) < KMV_K, F.col(n_col)).otherwise(
+        return F.when(F.col(n_col) < k, F.col(n_col)).otherwise(
             F.floor(
-                F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPAN) / F.col(u_col)
+                F.lit(float(k - 1)) * F.lit(_KMV_SPAN) / F.col(u_col)
             ).cast("long")
         )
 
     out = sk.select(
-        F.lit(KMV_K).cast("long").alias("k"),
+        F.lit(k).cast("long").alias("k"),
         F.col("d_a_exact").cast("long").alias("d_a_exact"),
         est("na", "ua").cast("long").alias("d_a_est"),
         F.col("d_b_exact").cast("long").alias("d_b_exact"),
@@ -2090,8 +2078,8 @@ def dedup_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kboth").cast("long").alias("kboth"),
         "nu",
     )
-    inter_est = F.when(F.col("nu") < KMV_K, F.col("kboth")).otherwise(
-        F.floor((F.col("kboth") * F.col("d_u_est")).cast("double") / F.lit(KMV_K)).cast(
+    inter_est = F.when(F.col("nu") < k, F.col("kboth")).otherwise(
+        F.floor((F.col("kboth") * F.col("d_u_est")).cast("double") / F.lit(k)).cast(
             "long"
         )
     )
@@ -2112,6 +2100,49 @@ def dedup_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_ppm_est"),
     )
+
+
+@register(
+    "dedup_kmv_overlap_sketch",
+    oracle=_kmv_oracle(KMV_K),
+    doc=(
+        "KMV (bottom-k) distinct-overlap sketch between the two corpus "
+        f"halves (doc_id parity, the token-drift slice convention): each "
+        f"half's distinct shingle-hash set collapses to its {KMV_K} "
+        "smallest 32-bit hashes (a TakeOrdered, never a global sort), "
+        "cardinality estimates come from (k-1)/u_k, and the UNION "
+        "sketch's members vote on two-half membership to estimate "
+        "jaccard and intersection — reported side by side with the exact "
+        "values and nothing asserted away: the error IS the artifact. "
+        "The sketch is 512 B of mergeable state (bottom-k of a union = "
+        "bottom-k of bottom-k's), the portable md5-derived hash makes "
+        "every estimate bit-exact across engines, and at 100 TB this is "
+        "how you answer 'how much does the new crawl overlap the corpus' "
+        "without a distinct-join: per-partition bottom-k's merge on the "
+        "driver in O(k). Sub-k sets short-circuit to their exact size "
+        "(the sketch holds the whole set)."
+    ),
+)
+def dedup_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_overlap_sketch(spark, sf_dir, KMV_K)
+
+
+@register(
+    "dedup_kmv_overlap_k1024",
+    oracle=_kmv_oracle(KMV_K_PROD),
+    doc=(
+        "Production-geometry KMV (VERDICT r5 item 2): the SAME one-pass "
+        f"bottom-k overlap sketch at k={KMV_K_PROD} — 8 KB of mergeable "
+        "state, ~3% relative cardinality error (1/sqrt(k)), the size a "
+        "1e9-distinct-key crawl-overlap question wants. k changes only "
+        "the TakeOrdered limit and the O(k) estimate arithmetic, not the "
+        "corpus pass, and every estimate stays bit-exact against the "
+        "oracle; tests/test_sketches.py pins the wide estimates at least "
+        "as close to exact as the k=64 demo's."
+    ),
+)
+def dedup_kmv_overlap_k1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_overlap_sketch(spark, sf_dir, KMV_K_PROD)
 
 
 # --------------------------------------------- bloom-filter prefilter
@@ -2236,6 +2267,78 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             maybe.alias("bloom_maybe"),
             "exact_dup",
             (maybe & ~F.col("exact_dup")).alias("false_positive"),
+        )
+    )
+
+
+#: production bloom geometry (VERDICT r5 item 2) for the Spark-native
+#: filter: sized for ~1e6 corpus keys at 2^23 bits (1 MiB, ~1% fp) — the
+#: engine scales the same construction to 1e9 keys at a few GiB, a
+#: broadcast the row-exploded 4096-bit demo cannot reach
+NATIVE_BLOOM_ITEMS = 1_000_000
+NATIVE_BLOOM_BITS = 1 << 23
+
+
+@register(
+    "dedup_bloom_native",
+    oracle=None,  # the filter bytes are engine-specific (Spark's
+    # BloomFilterImpl murmur3 double-hashing is not portably re-derivable
+    # in DuckDB SQL) — rows-only; tests/test_bloom.py pins the probe
+    # bit-for-bit against the JVM filter's own mightContainLong AND pins
+    # verdict agreement with the oracle-exact demo dedup_bloom_prefilter
+    doc=(
+        "Spark-native bloom prefilter twin of dedup_bloom_prefilter "
+        "(VERDICT r5 item 2): the corpus slice's canonical content "
+        "hashes build ONE JVM BloomFilterImpl via the engine's own "
+        "DataFrameStatFunctions.bloomFilter (tree-aggregated per-"
+        f"partition filters, {NATIVE_BLOOM_BITS} bits sized for "
+        f"{NATIVE_BLOOM_ITEMS} keys — the construction behind Spark's "
+        "runtime bloom join filters; bloom_filter_agg/might_contain are "
+        "internal-registry-only in this build, verified unresolvable), "
+        "each batch doc probes the broadcast filter blob through an "
+        "Arrow-batched numpy re-derivation of mightContainLong "
+        "(functions/bloom_native.py, pinned bit-for-bit against the JVM "
+        "in tests/test_bloom.py), and only 'maybe' docs would pay the "
+        "exact corpus join. This is the 1e9-key production path the "
+        "row-exploded 4096-bit demo deliberately is not: the filter "
+        "stays a single broadcast blob (a few GiB at 1e9 keys) instead "
+        "of a distinct (j,pos) row set. Verdict columns match the demo "
+        "query; the one-sided guarantee (exact_dup -> bloom_maybe) and "
+        "verdict agreement with the demo's exact_dup are pinned at "
+        "sf0.1."
+    ),
+)
+def dedup_bloom_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bloom_native import build_bloom_filter_jvm, with_might_contain
+
+    docs = load_table(spark, sf_dir, "documents")
+    ck = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    based = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM).alias("in_batch"),
+        ck.alias("ck"),
+    ).withColumn("h", F.xxhash64("ck"))
+    corpus = based.where(~F.col("in_batch"))
+    flt = build_bloom_filter_jvm(
+        corpus, "h", NATIVE_BLOOM_ITEMS, NATIVE_BLOOM_BITS
+    )
+    corpus_keys = corpus.select("ck").distinct()
+    batch = based.where(F.col("in_batch")).select("doc_id", "ck", "h")
+    probed = with_might_contain(spark, batch, "h", flt).drop("h")
+    # the exact check joins ALL batch docs (the accounting needs true
+    # exact_dup even for bloom-negative docs); the production win the doc
+    # string describes — probing only 'maybe' docs — would add
+    # .where("bloom_maybe") here. Corpus keys shuffle-join: that side is
+    # the whole corpus and must NOT be broadcast.
+    return (
+        probed.join(corpus_keys.withColumn("present", F.lit(True)), "ck", "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            F.coalesce("present", F.lit(False)).alias("exact_dup"),
+            (F.col("bloom_maybe") & ~F.coalesce("present", F.lit(False))).alias(
+                "false_positive"
+            ),
         )
     )
 

@@ -1229,31 +1229,37 @@ def text_bpe_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: one-sided error <= 2N/CMS_W per estimate at confidence 1-(1/2)^CMS_D
 CMS_D = 4
 CMS_W = 256
+#: production counter width (VERDICT r5 item 2): 2^16 counters per row —
+#: the geometry a 1e9-distinct-key corpus wants (error <= 2N/65536 per
+#: estimate, still only 4 x 64 KiB of mergeable long counters). The
+#: sketch/probe plan is width-independent: counter traffic is bounded by
+#: DISTINCT tokens, so the wide sketch costs the same corpus pass
+CMS_W_WIDE = 65536
 #: heavy hitters the eval interrogates the sketch about
 CMS_TOP_K = 16
 
 
-def _cms_bucket(base: Column, j: int) -> Column:
+def _cms_bucket(base: Column, j: int, width: int) -> Column:
     """Row-j counter index: the universal-hash family (A_j*h32 + B_j) mod P
     folded onto the counter width — exact 64-bit in both engines
     (functions/hashing's MinHash constants, A < 2^20, h32 < 2^32)."""
     from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
 
-    return ((F.lit(MINHASH_A[j]) * base + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)) % F.lit(CMS_W)
+    return ((F.lit(MINHASH_A[j]) * base + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)) % F.lit(width)
 
 
-def _cms_bucket_sql(base_expr: str, j: int) -> str:
+def _cms_bucket_sql(base_expr: str, j: int, width: int) -> str:
     from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_P
 
-    return f"((({MINHASH_A[j]} * {base_expr} + {MINHASH_B[j]}) % {MINHASH_P}) % {CMS_W})"
+    return f"((({MINHASH_A[j]} * {base_expr} + {MINHASH_B[j]}) % {MINHASH_P}) % {width})"
 
 
-def _cms_oracle() -> str:
+def _cms_oracle(width: int) -> str:
     from ..functions.hashing import hash32_sql
 
     base = hash32_sql("tok")
     rows = " UNION ALL ".join(
-        f"SELECT {j} AS j, {_cms_bucket_sql('base', j)} AS b, n FROM toks"
+        f"SELECT {j} AS j, {_cms_bucket_sql('base', j, width)} AS b, n FROM toks"
         for j in range(CMS_D)
     )
     return f"""
@@ -1269,7 +1275,7 @@ top AS (
     SELECT tok, base, n FROM toks ORDER BY n DESC, tok LIMIT {CMS_TOP_K}
 ),
 probes AS (
-    {" UNION ALL ".join(f"SELECT tok, n, {j} AS j, {_cms_bucket_sql('base', j)} AS b FROM top" for j in range(CMS_D))}
+    {" UNION ALL ".join(f"SELECT tok, n, {j} AS j, {_cms_bucket_sql('base', j, width)} AS b FROM top" for j in range(CMS_D))}
 )
 SELECT p.tok,
        CAST(p.n AS BIGINT) AS exact_n,
@@ -1281,26 +1287,12 @@ GROUP BY p.tok, p.n
 """
 
 
-@register(
-    "text_cms_heavy_hitters",
-    oracle=_cms_oracle(),
-    doc=(
-        f"Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
-        f"the token stream folds into a {CMS_D}x{CMS_W} integer counter "
-        "matrix through the engine's portable universal-hash family (ONE "
-        "md5 per distinct token, affine derivations — the MinHash "
-        f"construction), and the exact top-{CMS_TOP_K} tokens interrogate "
-        "the sketch: per token, the row-minimum estimate, the one-sided "
-        "overestimate guarantee (pinned: CMS can never undercount), and "
-        "the collision error in integer ppm. The sketch is 1 KB of "
-        "mergeable state no matter the corpus size — the scale story is "
-        "that per-partition sketches SUM (counter-wise) into the global "
-        "sketch, a map-side-combinable groupBy here. Unlike the HLL path "
-        "this sketch is deterministic given the hash family, so the whole "
-        "pipeline — sketch, probe, error — is oracle-exact, not rows-only."
-    ),
-)
-def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
+    """Width-parameterized CMS sketch/probe (shared by the demo-geometry
+    and production-geometry registrations below). The plan is identical
+    at any width: counter traffic is bounded by DISTINCT tokens (each
+    contributes CMS_D (j,b,n) rows), so widening 256 -> 2^16+ changes
+    collision rates, not cost."""
     from ..functions.hashing import hash32
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1312,7 +1304,9 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = F.array(
         *[
-            F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("base"), j).alias("b"))
+            F.struct(
+                F.lit(j).alias("j"), _cms_bucket(F.col("base"), j, width).alias("b")
+            )
             for j in range(CMS_D)
         ]
     )
@@ -1320,6 +1314,23 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("n", F.explode(buckets).alias("r"))
         .groupBy("r.j", "r.b")
         .agg(F.sum("n").alias("cnt"))
+    )
+    return cms_probe_report(toks, cms, width)
+
+
+def cms_probe_report(toks: DataFrame, cms: DataFrame, width: int) -> DataFrame:
+    """The heavy-hitter probe stage, shared between the batch operator
+    and streaming/runtime.run_cms_report_stream (VERDICT r5 item 6) so
+    both surfaces emit identical report rows: the exact top-K tokens of
+    ``toks`` (tok, n, base) interrogate the ``cms`` (j, b, cnt) sketch —
+    row-minimum estimate, one-sided guarantee, collision error in ppm."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_bucket(F.col("base"), j, width).alias("b")
+            )
+            for j in range(CMS_D)
+        ]
     )
     top = toks.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOP_K)
     probes = top.select("tok", "n", F.explode(buckets).alias("r")).select(
@@ -1339,6 +1350,51 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     )
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=_cms_oracle(CMS_W),
+    doc=(
+        f"Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+        f"the token stream folds into a {CMS_D}x{CMS_W} integer counter "
+        "matrix through the engine's portable universal-hash family (ONE "
+        "md5 per distinct token, affine derivations — the MinHash "
+        f"construction), and the exact top-{CMS_TOP_K} tokens interrogate "
+        "the sketch: per token, the row-minimum estimate, the one-sided "
+        "overestimate guarantee (pinned: CMS can never undercount), and "
+        "the collision error in integer ppm. The sketch is 1 KB of "
+        "mergeable state no matter the corpus size — the scale story is "
+        "that per-partition sketches SUM (counter-wise) into the global "
+        "sketch, a map-side-combinable groupBy here. Unlike the HLL path "
+        "this sketch is deterministic given the hash family, so the whole "
+        "pipeline — sketch, probe, error — is oracle-exact, not rows-only. "
+        "The deliberately narrow 256-counter width keeps collisions "
+        "OBSERVABLE at test scale; text_cms_wide_heavy_hitters is the "
+        "production geometry."
+    ),
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(spark, sf_dir, CMS_W)
+
+
+@register(
+    "text_cms_wide_heavy_hitters",
+    oracle=_cms_oracle(CMS_W_WIDE),
+    doc=(
+        f"Production-geometry CMS (VERDICT r5 item 2): the SAME sketch/"
+        f"probe pipeline at {CMS_D}x{CMS_W_WIDE} counters — the width a "
+        "1e9-distinct-key corpus needs (error <= 2N/65536 per estimate, "
+        "4 x 64 KiB of mergeable longs). Because counter traffic is "
+        "bounded by distinct tokens, not width, this costs the same "
+        "corpus pass as the 256-wide demo; at test scale collisions all "
+        "but vanish (err_ppm ~ 0), which the oracle verifies exactly — "
+        "tests/test_cms.py pins wide-estimate error <= narrow-estimate "
+        "error token-for-token."
+    ),
+)
+def text_cms_wide_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(spark, sf_dir, CMS_W_WIDE)
 
 
 # ------------------------------------------------ vocabulary growth

@@ -822,7 +822,7 @@ def run_cms_stream(
     sketch frame; tests pin that it equals the batch operator's sketch
     counter-for-counter, which is the CMS merge theorem (sum of sketches
     of slices == sketch of the union) made executable."""
-    from ..operators.textops import CMS_D, _cms_bucket
+    from ..operators import textops
     from ..functions.hashing import hash32
     from ..sources.sinks import ParquetSink
 
@@ -843,8 +843,11 @@ def run_cms_stream(
         )
         buckets = F.array(
             *[
-                F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("base"), j).alias("b"))
-                for j in range(CMS_D)
+                F.struct(
+                    F.lit(j).alias("j"),
+                    textops._cms_bucket(F.col("base"), j, textops.CMS_W).alias("b"),
+                )
+                for j in range(textops.CMS_D)
             ]
         )
         partial = (
@@ -867,3 +870,63 @@ def run_cms_stream(
         .groupBy("j", "b")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def run_cms_report_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """The streaming twin of the heavy-hitter REPORT (VERDICT r5 item 6):
+    run_cms_stream proves the sketch merges; this closes the loop by
+    emitting the same report ROWS the batch operator does. Each
+    micro-batch lands BOTH its partial (j, b, cnt) sketch and its partial
+    (tok, n) counts idempotently (the token_drift pattern — replays
+    dedupe on batch_id), then the merged counts + merged sketch feed the
+    SHARED probe stage (textops.cms_probe_report), so the stream report
+    is pinned row-for-row against text_cms_heavy_hitters in
+    tests/test_streaming.py, including after a lost-checkpoint replay.
+    The probe needs exact top-K counts, which is why the token counters
+    stream alongside the sketch — at 100 TB that is the standard
+    heavy-hitter pipeline: mergeable counters in the stream, one bounded
+    probe at report time."""
+    from ..operators import textops
+    from ..functions.hashing import hash32
+    from ..sources.sinks import ParquetSink
+
+    merged_sketch = run_cms_stream(
+        spark, new_docs_dir, f"{out_dir}/sketch", f"{checkpoint_dir}/sketch"
+    )
+
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    tok_sink = ParquetSink(f"{out_dir}/tokcnt", partition_cols=())
+
+    def count_batch(batch_df: DataFrame, batch_id: int) -> None:
+        c = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        tok_sink.append_idempotent(c, key_cols=["tok", "batch_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", f"{checkpoint_dir}/tokcnt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    toks = (
+        tok_sink.read(spark)
+        .groupBy("tok")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("base", hash32(F.col("tok")))
+    )
+    return textops.cms_probe_report(toks, merged_sketch, textops.CMS_W)

@@ -94,3 +94,43 @@ def test_cms_never_underestimates_on_arbitrary_corpora(spark, tmp_path):
         # with 8 buckets and >8 distinct tokens, collisions MUST surface
         if len(set(toks)) > 8 * TX.CMS_D:
             assert any(r.est_n > r.exact_n for r in rows), ci
+
+
+def test_wide_cms_at_least_as_accurate_as_narrow(spark):
+    """VERDICT r5 item 2 done-criterion: the production-geometry CMS
+    (4 x 65536) must estimate every probed heavy hitter at least as
+    tightly as the 4 x 256 demo — widening can only shed collisions —
+    while both keep the one-sided guarantee."""
+    import unittest.mock as um
+
+    from etl_financial_report_spark.operators import textops as TX
+
+    narrow = {r.tok: r for r in TX.text_cms_heavy_hitters(spark, SF).collect()}
+    wide = {r.tok: r for r in TX.text_cms_wide_heavy_hitters(spark, SF).collect()}
+    assert set(narrow) == set(wide) and narrow
+    for tok, w in wide.items():
+        n = narrow[tok]
+        assert w.exact_n == n.exact_n
+        assert w.never_underestimates and n.never_underestimates
+        assert w.err_ppm <= n.err_ppm, (tok, w.err_ppm, n.err_ppm)
+
+
+def test_wide_kmv_at_least_as_accurate_as_narrow(spark):
+    """k=1024 KMV vs the k=64 demo: same exact values, and every
+    estimated cardinality at least as close to its exact counterpart
+    (more retained hashes can only tighten the (k-1)/u_k estimator;
+    sub-k sets short-circuit to exact)."""
+    from etl_financial_report_spark.operators import dedup as D
+
+    n = D.dedup_kmv_overlap_sketch(spark, SF).collect()[0]
+    w = D.dedup_kmv_overlap_k1024(spark, SF).collect()[0]
+    for exact_col, est_col in [
+        ("d_a_exact", "d_a_est"),
+        ("d_b_exact", "d_b_est"),
+        ("d_u_exact", "d_u_est"),
+        ("inter_exact", "inter_est"),
+    ]:
+        assert getattr(n, exact_col) == getattr(w, exact_col)
+        err_w = abs(getattr(w, est_col) - getattr(w, exact_col))
+        err_n = abs(getattr(n, est_col) - getattr(n, exact_col))
+        assert err_w <= err_n, (est_col, err_w, err_n)
