@@ -811,17 +811,22 @@ def run_cms_stream(
     new_docs_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Streaming count-min sketch — the mergeability of
     ``text_cms_heavy_hitters``'s sketch proven through the stream: each
-    micro-batch lands its PARTIAL (j, bucket, count, batch_id) sketch
-    through the idempotent sink (a replayed batch cannot double-count),
-    and the global sketch is the counter-wise SUM of the partials —
-    exactly the merge a 1000-executor ingest does with per-partition
-    sketches, keyed here by batch instead. Returns the merged (j, b, cnt)
-    sketch frame; tests pin that it equals the batch operator's sketch
-    counter-for-counter, which is the CMS merge theorem (sum of sketches
-    of slices == sketch of the union) made executable."""
+    micro-batch lands one PARTIAL (j, bucket, count) sketch PER SOURCE
+    FILE through the idempotent sink (keyed by the file path, not the
+    checkpoint's batch numbering — ADVICE r5: batch_id keys double-count
+    when a replay re-groups the same files under a different trigger
+    config; file keys are grouping-invariant, the same fix the snapshot
+    ingest carries), and the global sketch is the counter-wise SUM of
+    the partials — exactly the merge a 1000-executor ingest does with
+    per-partition sketches, keyed here by file instead. Returns the
+    merged (j, b, cnt) sketch frame; tests pin that it equals the batch
+    operator's sketch counter-for-counter — the CMS merge theorem (sum
+    of sketches of slices == sketch of the union) made executable — and
+    that a replay under a CHANGED trigger config adds nothing."""
     from ..operators import textops
     from ..functions.hashing import hash32
     from ..sources.sinks import ParquetSink
@@ -829,15 +834,25 @@ def run_cms_stream(
     schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(new_docs_dir)
     )
     sink = ParquetSink(out_dir, partition_cols=())
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # partials keyed by SOURCE FILE, not batch id: a sketch of a file
+        # is the same rows no matter which batch the trigger put it in,
+        # so replays under any trigger config dedupe exactly (non-file
+        # rows fall back to the batch id — file streams never hit it)
+        src = F.coalesce(
+            F.nullif(F.input_file_name(), F.lit("")), F.lit(f"batch-{batch_id}")
+        )
         toks = (
-            batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
-            .groupBy("tok")
+            batch_df.select(
+                F.md5(src).alias("src"),
+                F.explode(F.split("text", " ")).alias("tok"),
+            )
+            .groupBy("src", "tok")
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("base", hash32(F.col("tok")))
         )
@@ -851,12 +866,11 @@ def run_cms_stream(
             ]
         )
         partial = (
-            toks.select("n", F.explode(buckets).alias("r"))
-            .groupBy("r.j", "r.b")
+            toks.select("src", "n", F.explode(buckets).alias("r"))
+            .groupBy("src", "r.j", "r.b")
             .agg(F.sum("n").alias("cnt"))
-            .withColumn("batch_id", F.lit(batch_id))
         )
-        sink.append_idempotent(partial, key_cols=["j", "b", "batch_id"])
+        sink.append_idempotent(partial, key_cols=["j", "b", "src"])
 
     q = (
         stream.writeStream.foreachBatch(sketch_batch)
@@ -882,11 +896,13 @@ def run_cms_report_stream(
     run_cms_stream proves the sketch merges; this closes the loop by
     emitting the same report ROWS the batch operator does. Each
     micro-batch lands BOTH its partial (j, b, cnt) sketch and its partial
-    (tok, n) counts idempotently (the token_drift pattern — replays
-    dedupe on batch_id), then the merged counts + merged sketch feed the
-    SHARED probe stage (textops.cms_probe_report), so the stream report
-    is pinned row-for-row against text_cms_heavy_hitters in
-    tests/test_streaming.py, including after a lost-checkpoint replay.
+    (tok, n) counts idempotently (keyed per SOURCE FILE — see
+    run_cms_stream's ADVICE-r5 note on why batch ids double-count under
+    a changed trigger config), then the merged counts + merged sketch
+    feed the SHARED probe stage (textops.cms_probe_report), so the
+    stream report is pinned row-for-row against text_cms_heavy_hitters
+    in tests/test_streaming.py, including after a lost-checkpoint
+    replay.
     The probe needs exact top-K counts, which is why the token counters
     stream alongside the sketch — at 100 TB that is the standard
     heavy-hitter pipeline: mergeable counters in the stream, one bounded
@@ -908,13 +924,18 @@ def run_cms_report_stream(
     tok_sink = ParquetSink(f"{out_dir}/tokcnt", partition_cols=())
 
     def count_batch(batch_df: DataFrame, batch_id: int) -> None:
-        c = (
-            batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("batch_id", F.lit(batch_id))
+        src = F.coalesce(
+            F.nullif(F.input_file_name(), F.lit("")), F.lit(f"batch-{batch_id}")
         )
-        tok_sink.append_idempotent(c, key_cols=["tok", "batch_id"])
+        c = (
+            batch_df.select(
+                F.md5(src).alias("src"),
+                F.explode(F.split("text", " ")).alias("tok"),
+            )
+            .groupBy("src", "tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tok_sink.append_idempotent(c, key_cols=["tok", "src"])
 
     q = (
         stream.writeStream.foreachBatch(count_batch)

@@ -410,11 +410,23 @@ def test_cms_stream_merge_equals_batch_sketch(spark, tmp_path):
     w = {(r.j, r.b): r.cnt for r in whole.collect()}
     assert g == w and len(g) > 0
 
-    # replay with a fresh checkpoint: partials dedupe on (j, b, batch_id)
+    # replay with a fresh checkpoint: partials dedupe per source file
     merged2 = runtime.run_cms_stream(
         spark, src, str(tmp_path / "sketch"), str(tmp_path / "ckpt2")
     )
     assert {(r.j, r.b): r.cnt for r in merged2.collect()} == w
+
+    # ADVICE r5: replay under a CHANGED trigger config (both files in one
+    # batch instead of one per batch) — re-grouped batches mint the same
+    # per-file keys, so nothing double-counts
+    merged3 = runtime.run_cms_stream(
+        spark,
+        src,
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt3"),
+        max_files_per_trigger=2,
+    )
+    assert {(r.j, r.b): r.cnt for r in merged3.collect()} == w
 
 
 def test_cms_report_stream_matches_batch_report(spark, tmp_path):
