@@ -828,12 +828,14 @@ GROUP BY node
 """,
     doc=(
         "Near-dup clusters from the MinHash-LSH pair graph: iterative "
-        "min-label propagation (component id = smallest reachable doc_id). "
-        "Each round is one shuffle join + groupBy-min; lineage is truncated "
-        "per round with localCheckpoint so 100 TB runs don't accumulate a "
-        "deep DAG, and rounds scale with cluster diameter (near-dup "
-        "clusters are shallow — this converges in 2-4 rounds). The oracle "
-        "is the recursive-CTE transitive closure of the same graph."
+        "min-label propagation with per-round pointer jumping (component "
+        "id = smallest reachable doc_id). Each round is one shuffle join "
+        "+ groupBy-min + a label self-join; lineage is truncated per "
+        "round with localCheckpoint so 100 TB runs don't accumulate a "
+        "deep DAG, and rounds scale with LOG of cluster diameter — the "
+        "x100 smoke's 63-link chain converges in ~7 rounds where plain "
+        "propagation blew the 20-round cap. The oracle is the "
+        "recursive-CTE transitive closure of the same graph."
     ),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,12 +851,18 @@ def min_label_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
 ) -> DataFrame:
-    """Connected components of an undirected pair graph by iterative
-    min-label propagation: component id = smallest reachable node id.
-    Rounds scale with cluster diameter; lineage truncates per round via
-    localCheckpoint so 100 TB runs don't accumulate a deep DAG. ``nodes``
-    supplies the full id universe — isolated nodes skip the loop and come
-    back as their own singleton component. Shared by the text pair graph
+    """Connected components of an undirected pair graph: min-label
+    propagation PLUS per-round pointer jumping (component <-
+    component-of-component), so rounds scale with log(diameter), not
+    diameter — the r6 x100 smoke falsified the "near-dup clusters are
+    shallow" assumption with a 63-link chain of lag-rotated embeddings
+    that blew the 20-round cap under plain propagation; path-halving
+    converges it in ~7. Component id = smallest reachable node id
+    (pointers only ever decrease, so the jump is always defined and
+    monotone). Lineage truncates per round via localCheckpoint so 100 TB
+    runs don't accumulate a deep DAG. ``nodes`` supplies the full id
+    universe — isolated nodes skip the loop and come back as their own
+    singleton component. Shared by the text pair graph
     (dedup_components) and the embedding pair graph
     (dedup_semantic_keep_list)."""
     # materialize the pair graph ONCE — every round joins against it, and
@@ -875,14 +883,25 @@ def min_label_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        relabeled = labels.join(nbr, labels[id_col] == nbr["src"], "left").select(
+            id_col,
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping (path halving): component <- component(component).
+        # component values are always member node ids (labels start at the
+        # node's own id and only decrease to reachable ids), so the lookup
+        # always hits; the mapped value can only be smaller-or-equal
         relabeled = (
-            labels.join(nbr, labels[id_col] == nbr["src"], "left")
-            .select(
-                id_col,
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+            relabeled.alias("l")
+            .join(
+                relabeled.select(
+                    F.col(id_col).alias("_pid"), F.col("component").alias("_pcomp")
+                ),
+                F.col("l.component") == F.col("_pid"),
             )
+            .select(F.col(f"l.{id_col}").alias(id_col), F.col("_pcomp").alias("component"))
             .localCheckpoint()
         )
         changed = (
