@@ -827,21 +827,27 @@ FROM walk
 GROUP BY node
 """,
     doc=(
-        "Near-dup clusters from the MinHash-LSH pair graph: iterative "
-        "min-label propagation with per-round pointer jumping (component "
-        "id = smallest reachable doc_id). Each round is one shuffle join "
-        "+ groupBy-min + a label self-join; lineage is truncated per "
-        "round with localCheckpoint so 100 TB runs don't accumulate a "
-        "deep DAG, and rounds scale with LOG of cluster diameter — the "
-        "x100 smoke's 63-link chain converges in ~7 rounds where plain "
-        "propagation blew the 20-round cap. The oracle is the "
-        "recursive-CTE transitive closure of the same graph."
+        "Near-dup clusters from the MinHash-LSH pair graph via graph "
+        "contraction (component id = smallest reachable doc_id): each "
+        "round hooks every live component to its min neighbor component, "
+        "compresses that component-sized pointer table by doubling, and "
+        "contracts the edge graph through it, so rounds scale with LOG "
+        "of the component count regardless of diameter or id ordering "
+        "and per-round cost shrinks with the contracted graph. Lineage "
+        "is truncated per round with localCheckpoint so 100 TB runs "
+        "don't accumulate a deep DAG. The oracle is the recursive-CTE "
+        "transitive closure of the same graph."
     ),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     return min_label_components(pairs, docs.select("doc_id"))
+
+
+#: pointer-compression inner cap: depth of the per-round min-neighbor
+#: forest halves per jump, so 2^30 covers any realistic descending chain
+MAX_CC_COMPRESS_JUMPS = 30
 
 
 def min_label_components(
@@ -851,74 +857,126 @@ def min_label_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
 ) -> DataFrame:
-    """Connected components of an undirected pair graph: min-label
-    propagation PLUS per-round pointer jumping (component <-
-    component-of-component), so rounds scale with log(diameter), not
-    diameter — the r6 x100 smoke falsified the "near-dup clusters are
-    shallow" assumption with a 63-link chain of lag-rotated embeddings
-    that blew the 20-round cap under plain propagation; path-halving
-    converges it in ~7. Component id = smallest reachable node id
-    (pointers only ever decrease, so the jump is always defined and
-    monotone). Lineage truncates per round via localCheckpoint so 100 TB
-    runs don't accumulate a deep DAG. ``nodes`` supplies the full id
-    universe — isolated nodes skip the loop and come back as their own
-    singleton component. Shared by the text pair graph
-    (dedup_components) and the embedding pair graph
-    (dedup_semantic_keep_list)."""
-    # materialize the pair graph ONCE — every round joins against it, and
-    # without this the upstream candidate pipeline would re-run per
-    # iteration (measured 3.5x slower at sf0.1)
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    """Connected components of an undirected pair graph by graph
+    CONTRACTION (component id = smallest reachable node id). The r6 x100
+    smoke falsified two weaker schemes in turn: plain min-label
+    propagation needs diameter rounds (a 63-link chain of lag-rotated
+    embeddings blew the 20-round cap), and per-node pointer jumping
+    doesn't fix it because hooking stays node-local — a boundary node
+    adopts the smaller neighbor label but its component ROOT is never
+    hooked, so minima still crawl hop-by-hop (measured: 20+ rounds with
+    a 2-4x/round time blowup on the 183k-node x100 pair graph).
+
+    Contraction instead works on the COMPONENT-level edge graph, which
+    shrinks every round:
+      1. each live component points at its smallest neighbor component;
+      2. that pointer table (one row per component, << nodes) is
+         compressed to a fixed point by pointer doubling;
+      3. the node->component mapping is rewritten through it (one
+         node-sized join per round);
+      4. the component edges are contracted through it (self-loops drop,
+         duplicates merge) — convergence is simply "no edges left".
+    Descending pointer runs end in local minima, so at least half the
+    live components merge away per round: rounds = O(log #components)
+    regardless of diameter or id ordering (the x100 graph converges in 5
+    rounds where node-local jumping was still churning at 20). Pointers
+    only ever decrease, so the final label is the component minimum.
+    Lineage truncates per round via localCheckpoint so 100 TB runs don't
+    accumulate a deep DAG, and per-round cost SHRINKS with the
+    contracted graph. ``nodes`` supplies the full id universe — isolated
+    nodes skip the loop and come back as their own singleton component.
+    Shared by the text pair graph (dedup_components) and the embedding
+    pair graph (dedup_semantic_keep_list)."""
+    # materialize the pair graph ONCE — the contraction loop rewrites it
+    # per round, and without this the upstream candidate pipeline would
+    # re-run per iteration (measured 3.5x slower at sf0.1)
+    cedges = (
+        pairs.select(F.col(a_col).alias("ca"), F.col(b_col).alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .distinct()
         .localCheckpoint()
     )
-    # only nodes with at least one edge can ever change label; isolated
-    # nodes are their own component and skip the loop entirely
-    members = edges.select(F.col("src").alias(id_col)).distinct()
-    labels = members.select(id_col, F.col(id_col).alias("component")).localCheckpoint()
+    # node -> current component; only nodes with an edge ever change, so
+    # the mapping covers members only and isolated nodes skip the loop
+    members = (
+        cedges.select(F.col("ca").alias(id_col))
+        .unionAll(cedges.select(F.col("cb").alias(id_col)))
+        .distinct()
+    )
+    mapping = members.select(id_col, F.col(id_col).alias("component")).localCheckpoint()
     for _ in range(MAX_CC_ITERATIONS):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels[id_col])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        if cedges.isEmpty():
+            break
+        # 1. hook every live component to its smallest neighbor component
+        sym = cedges.unionAll(
+            cedges.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
         )
-        relabeled = labels.join(nbr, labels[id_col] == nbr["src"], "left").select(
-            id_col,
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping (path halving): component <- component(component).
-        # component values are always member node ids (labels start at the
-        # node's own id and only decrease to reachable ids), so the lookup
-        # always hits; the mapped value can only be smaller-or-equal
-        relabeled = (
-            relabeled.alias("l")
-            .join(
-                relabeled.select(
-                    F.col(id_col).alias("_pid"), F.col("component").alias("_pcomp")
-                ),
-                F.col("l.component") == F.col("_pid"),
+        ptr = (
+            sym.groupBy("ca")
+            .agg(F.min("cb").alias("pc"))
+            .select(
+                F.col("ca").alias("c"),
+                F.least(F.col("ca"), F.col("pc")).alias("pc"),
             )
-            .select(F.col(f"l.{id_col}").alias(id_col), F.col("_pcomp").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            relabeled.alias("n")
-            .join(labels.alias("o"), id_col)
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
+        # 2. compress the pointer forest to a fixed point: pc <- pc(pc)
+        # halves every chain, and the table is one row per LIVE component
+        for _ in range(MAX_CC_COMPRESS_JUMPS):
+            jumped = (
+                ptr.alias("p")
+                .join(
+                    ptr.select(F.col("c").alias("_c"), F.col("pc").alias("_pc")),
+                    F.col("p.pc") == F.col("_c"),
+                    "left",
+                )
+                .select(
+                    F.col("p.c").alias("c"),
+                    # roots may be absent from their own neighbor list only
+                    # when already final; coalesce keeps them fixed points
+                    F.coalesce(F.col("_pc"), F.col("p.pc")).alias("pc"),
+                )
+                .localCheckpoint()
+            )
+            moved = (
+                jumped.alias("n")
+                .join(ptr.alias("o"), "c")
+                .where(F.col("n.pc") != F.col("o.pc"))
+                .count()
+            )
+            ptr = jumped
+            if moved == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"pointer compression did not flatten in {MAX_CC_COMPRESS_JUMPS} jumps"
+            )
+        # 3. rewrite the node mapping through the compressed pointers
+        mapping = (
+            mapping.join(ptr, mapping["component"] == ptr["c"], "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("pc"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
         )
-        labels = relabeled
-        if changed == 0:
-            break
+        # 4. contract the component edges; the loop ends when none remain
+        ca_m = ptr.select(F.col("c").alias("ca"), F.col("pc").alias("ca_new"))
+        cb_m = ptr.select(F.col("c").alias("cb"), F.col("pc").alias("cb_new"))
+        cedges = (
+            cedges.join(ca_m, "ca")
+            .join(cb_m, "cb")
+            .select(F.col("ca_new").alias("ca"), F.col("cb_new").alias("cb"))
+            .where(F.col("ca") != F.col("cb"))
+            .distinct()
+            .localCheckpoint()
+        )
     else:
         raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERATIONS} rounds")
-    isolated = nodes.join(labels, id_col, "left_anti").select(
+    isolated = nodes.join(mapping, id_col, "left_anti").select(
         id_col, F.col(id_col).alias("component")
     )
-    return labels.unionAll(isolated)
+    return mapping.unionAll(isolated)
 
 
 @register(

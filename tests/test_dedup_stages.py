@@ -111,3 +111,64 @@ def test_simhash64_manku_tables_recall_equals_single_block_pigeonhole(spark):
     }
     assert manku == truth
     assert len(truth) > 0  # the corpus does contain near-dup signatures
+
+
+def test_min_label_components_long_chain_converges_logarithmically(spark, monkeypatch):
+    """The x100 smoke falsified the "near-dup clusters are shallow"
+    assumption with a 63-link chain (lag-rotated embeddings); pin the fix
+    here cheaply: graph contraction must converge a 63-link chain under a
+    10-round cap (plain propagation needs ~63 rounds and raised), and the
+    labels must be the true transitive closure plus untouched singletons."""
+    from pyspark.sql import functions as F
+
+    import etl_financial_report_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "MAX_CC_ITERATIONS", 10)
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id")).unionAll(
+        spark.createDataFrame([(100,), (101,), (999,)], ["doc_id"])
+    )
+    got = {
+        r.doc_id: r.component
+        for r in D.min_label_components(pairs, nodes).collect()
+    }
+    assert len(got) == n + 3
+    assert all(got[i] == 0 for i in range(n))
+    assert got[100] == 100 and got[101] == 100
+    assert got[999] == 999
+
+
+def test_min_label_components_adversarial_ordering_converges(spark, monkeypatch):
+    """The scheme contraction replaced (node-local pointer jumping) was
+    falsified at x100 not by chain LENGTH but by adversarial id ORDERING:
+    minima crawl when hooking never reaches component roots. Pin the
+    O(log #components) guarantee on its worst shape — a 256-link chain
+    whose ids are a deterministic pseudo-random permutation (many local
+    minima per round, no monotone runs) — under a 12-round cap
+    (ceil(log2(256)) = 8 plus margin; plain propagation needs ~256)."""
+    from pyspark.sql import functions as F
+
+    import etl_financial_report_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "MAX_CC_ITERATIONS", 12)
+    n = 256
+    # fixed LCG permutation of 0..n-1 (full period for m=2^k, c odd,
+    # a ≡ 1 mod 4): deterministic, order-scrambled ids along the chain
+    perm, x = [], 0
+    for _ in range(n):
+        perm.append(x)
+        x = (5 * x + 113) % n
+    assert len(set(perm)) == n
+    pairs = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.component
+        for r in D.min_label_components(pairs, nodes).collect()
+    }
+    assert len(got) == n
+    assert all(got[i] == 0 for i in range(n))

@@ -26,7 +26,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "agg_key_skew_profile",
     "corpus_token_drift", "dedup_banding_sweep", "dedup_lsh_recall_eval",
     # six 1-row sketch/exact aggregates assembled into the single output row
-    "dedup_kmv_overlap_sketch",
+    # (k1024 is the same plan — k changes only the TakeOrdered limit)
+    "dedup_kmv_overlap_sketch", "dedup_kmv_overlap_k1024",
     # the source-pair grid: both BNLJ sides are the distinct-source list
     "dedup_kmv_source_matrix",
     "pipeline_data_card", "text_vocab_coverage",
@@ -38,8 +39,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # refine additionally broadcasts the 1-row query vector + R-row shortlist
     "sim_ann_ivfpq_recall_eval", "sim_ann_ivfpq_refine_topk",
     "sim_ann_ivfpq_residual_topk",
-    # 16-row query-block broadcast (sim_ann_topk_batch's shape)
-    "sim_ann_batch_recall_eval",
+    # 16-row query-block broadcast (sim_ann_topk_batch's shape); the
+    # ivfpq variant adds only 1-row per-stage recall aggregates on top
+    "sim_ann_batch_recall_eval", "sim_ann_ivfpq_batch_recall_eval",
     "sim_ann_recall_eval", "sim_ann_sq8_recall_eval", "sim_ann_sq8_topk",
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
     # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg

@@ -19,6 +19,14 @@ PKG = Path("/root/repo/etl_financial_report_spark")
 ALLOWED_COLLECT = {
     "operators/nullcol.py": 1,  # P9 null-column prune: 2-pass schema op
     "sources/excel.py": 1,  # driver-side Excel sink, small-output-only
+    # per-batch distinct source-file path list in the snapshot-ingest
+    # foreachBatch (ADVICE r5 per-file tags): O(files per trigger) rows,
+    # bounded by maxFilesPerTrigger — never row-scaled
+    "streaming/runtime.py": 1,
+    # BPE early-stop: one collect per merge WINDOW of <= checkpoint_every
+    # 1-row best-pair aggregates — the stop decision is driver-side by
+    # nature and the row count is merge-bounded, never corpus-scaled
+    "operators/textops.py": 1,
 }
 
 #: files allowed unpartitioned Window.orderBy, with the count of BOUNDED

@@ -110,6 +110,23 @@ def test_components_cover_scaled_corpus(spark, sf1_dir, smoke_record):
     assert n_components <= n_docs // REPLICAS
 
 
+def test_semantic_keep_list_at_scale(spark, sf1_dir, smoke_record):
+    """SemDeDup end-to-end at x10 (identical replicas): every vector
+    verdicts once, and each base vector's 10 identical replicas collapse
+    to one kept canonical. Recorded so the x100 artifact has a ratio
+    denominator for the contraction-based components path."""
+    df, n = _run(
+        spark,
+        "dedup_semantic_keep_list",
+        lambda: registry.all_queries()["dedup_semantic_keep_list"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    n_vecs = load_table(spark, sf1_dir, "embeddings").count()
+    assert n == n_vecs
+    kept = df.where(F.col("keep")).count()
+    assert kept <= n_vecs - 2000 * (REPLICAS - 1)
+
+
 def test_blocked_cosine_at_scale(spark, sf1_dir, smoke_record):
     from etl_financial_report_spark.operators.similarity import cosine_pairs
 

@@ -221,6 +221,23 @@ def test_semantic_keep_list_x100(spark, sf10_dir, smoke_record):
     assert kept <= n_vecs - N_BASE_VECS * (IDENTICAL - 1)
 
 
+def test_components_x100(spark, sf10_dir, smoke_record):
+    """The TEXT pair graph's components at 500k docs — the contraction
+    loop's second consumer. Identical replicas guarantee >= 9 collapsed
+    docs per base; mutated replicas (every token suffixed) are singleton
+    components, so the verdict count must equal the corpus exactly."""
+    df, n = _run(
+        spark,
+        "dedup_components",
+        lambda: registry.all_queries()["dedup_components"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    n_docs = load_table(spark, sf10_dir, "documents").count()
+    assert n == n_docs
+    n_components = df.select("component").distinct().count()
+    assert n_components <= n_docs - N_BASE_DOCS * (IDENTICAL - 1)
+
+
 def test_lsh_verified_x100(spark, sf10_dir, smoke_record):
     df, n = _run(
         spark,
