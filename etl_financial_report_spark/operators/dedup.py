@@ -2614,3 +2614,125 @@ def dedup_kmv_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_ppm_est"),
     )
+
+
+# --------------------------------------------- chunk-level keep-first dedup
+
+#: non-overlapping chunk width in tokens — the "paragraph" stand-in for
+#: this corpus (single-line docs, no newline boundaries); power of two so
+#: every position->chunk division is exact in double arithmetic
+DEDUP_CHUNK_W = 16
+
+#: chunk-index packing for the portable lexicographic (doc_id, chunk_idx)
+#: argmin: one BIGINT carries both, valid while docs stay under 2^16 chunks
+#: (a 1M-token doc) and doc_ids under 2^47
+_CHUNK_POS_SHIFT = 65536
+
+
+@register(
+    "dedup_chunk_keep_first",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+occ AS (
+    SELECT doc_id, i AS cidx,
+           md5(array_to_string(toks[(i * {DEDUP_CHUNK_W} + 1):least((i + 1) * {DEDUP_CHUNK_W}, len(toks))], ' ')) AS ch,
+           doc_id * {_CHUNK_POS_SHIFT} + i AS pos
+    FROM t, unnest(generate_series(0, (len(toks) - 1) // {DEDUP_CHUNK_W})) u(i)
+),
+win AS (
+    SELECT ch, MIN(pos) AS win_pos, COUNT(*) AS n_occ FROM occ GROUP BY ch
+),
+kept AS (
+    SELECT o.doc_id, list_sort(list(o.cidx) FILTER (o.pos = w.win_pos)) AS kept_idx,
+           COUNT(*) AS n_chunks
+    FROM occ o JOIN win w ON o.ch = w.ch
+    GROUP BY o.doc_id
+)
+SELECT t.doc_id,
+       CAST(k.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(len(k.kept_idx), 0) AS BIGINT) AS n_kept,
+       coalesce(list_aggregate(
+           list_filter(t.toks, (x, i) -> list_contains(
+               coalesce(k.kept_idx, CAST([] AS BIGINT[])), (i - 1) // {DEDUP_CHUNK_W})),
+           'string_agg', ' '), '') AS kept_text
+FROM t JOIN kept k ON t.doc_id = k.doc_id
+""",
+    doc=(
+        f"Chunk-level KEEP-FIRST dedup (the C4/Dolma paragraph-dedup "
+        f"semantics, with non-overlapping {DEDUP_CHUNK_W}-token chunks "
+        "standing in for paragraphs — this corpus has no newline "
+        "boundaries): every distinct chunk keeps exactly its first "
+        "occurrence in (doc_id, chunk_idx) order and later copies are "
+        "scrubbed, unlike dedup_span_scrub which drops ALL copies of a "
+        "cross-doc span. The global argmin is a two-phase "
+        "groupBy(chunk-md5).min over a single packed BIGINT position "
+        "(never a window over a content key, so a boilerplate chunk "
+        "shared by millions of docs stays a map-side partial min); "
+        "shuffles carry 16-byte md5 keys and packed integers, never "
+        "text — the kept text is rebuilt doc-locally from the kept "
+        "chunk-index list in one array projection."
+    ),
+)
+def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = DEDUP_CHUNK_W
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / W).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("cidx"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        toks,
+                        i * W + 1,
+                        F.least(F.lit(W), F.size(toks) - i * W),
+                    ),
+                    " ",
+                )
+            ).alias("ch"),
+        ),
+    )
+    occ = docs.select(
+        "doc_id", F.explode(chunk_structs).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.cidx").alias("cidx"),
+        F.col("g.ch").alias("ch"),
+        (F.col("doc_id") * _CHUNK_POS_SHIFT + F.col("g.cidx")).alias("pos"),
+    )
+    win = occ.groupBy("ch").agg(F.min("pos").alias("win_pos"))
+    kept = (
+        occ.join(win, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("pos") == F.col("win_pos"), F.col("cidx")))
+            ).alias("kept_idx"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+    return (
+        docs.join(kept, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.size("kept_idx").cast("long").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.filter(
+                        toks,
+                        lambda x, i: F.array_contains(
+                            F.col("kept_idx"), F.floor(i / W).cast("long")
+                        ),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )

@@ -855,3 +855,81 @@ def sample_semantic_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return comp.select("vec_id", "component", split.alias("split"))
+
+
+# ------------------------------------------ temperature-based source mixing
+
+#: ppm scale shared by the raw and temperature weights
+_TEMP_PPM = 1_000_000
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+WITH s AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS isqrt
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT SUM(n_docs) AS total_docs, SUM(isqrt) AS total_isqrt FROM s
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       isqrt,
+       CAST(floor(CAST(n_docs * {_TEMP_PPM} AS DOUBLE) / total_docs) AS BIGINT) AS raw_ppm,
+       CAST(floor(CAST(isqrt * {_TEMP_PPM} AS DOUBLE) / total_isqrt) AS BIGINT) AS temp_ppm,
+       CAST(floor(CAST(total_docs * isqrt AS DOUBLE) / total_isqrt) AS BIGINT) AS quota_docs
+FROM s, tot
+ORDER BY source
+""",
+    doc=(
+        "Temperature-based (alpha = 0.5) source-mixing weights — the "
+        "multilingual-LM rebalancing step (XLM-R's exponentiated "
+        "sampling, Conneau et al. 2020): each source's draw probability "
+        "is proportional to n_docs^alpha, flattening the head so "
+        "low-resource sources are seen more often than their raw share. "
+        "Reported per source: raw share, temperature share, and a "
+        "one-epoch document quota at the temperature weights. All "
+        "arithmetic is exact-integer (floor(sqrt) is IEEE-exact in both "
+        "engines) with ONE double division per reported ppm, so the "
+        "weights are bit-identical across engines; the cross-source "
+        "totals ride a broadcast 1-row aggregate — per-source state is "
+        "3 integers, so this scales to any corpus in one pass."
+    ),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long").alias("isqrt"),
+    )
+    tot = s.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("isqrt").alias("total_isqrt")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "isqrt",
+            F.floor(
+                (F.col("n_docs") * _TEMP_PPM).cast("double") / F.col("total_docs")
+            )
+            .cast("long")
+            .alias("raw_ppm"),
+            F.floor(
+                (F.col("isqrt") * _TEMP_PPM).cast("double") / F.col("total_isqrt")
+            )
+            .cast("long")
+            .alias("temp_ppm"),
+            F.floor(
+                (F.col("total_docs") * F.col("isqrt")).cast("double")
+                / F.col("total_isqrt")
+            )
+            .cast("long")
+            .alias("quota_docs"),
+        )
+        .orderBy("source")
+    )

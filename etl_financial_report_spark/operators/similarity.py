@@ -2978,3 +2978,104 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(hit, F.col("cosine")).alias("cosine"),
         )
     )
+
+
+# ------------------------------------------------- hard-negative mining
+
+#: per query: top-N different-label neighbors (hard negatives) and the
+#: single LEAST-similar same-label neighbor (hard positive)
+HARD_NEG_K = 5
+
+
+@register(
+    "sim_hard_negative_mining",
+    oracle=f"""
+WITH {_Q_CTE},
+qq AS (SELECT vec_id AS q_id, label AS q_label FROM q WHERE vec_id < {N_QUERY_BATCH}),
+qex AS (SELECT vec_id AS q_id, i, v FROM ex WHERE vec_id < {N_QUERY_BATCH}),
+qn AS (SELECT vec_id AS q_id, nsq FROM norms WHERE vec_id < {N_QUERY_BATCH}),
+dots AS (
+    SELECT c.vec_id, qex.q_id, SUM(c.v * qex.v) AS dot
+    FROM ex c JOIN qex ON c.i = qex.i
+    WHERE c.vec_id >= {N_QUERY_BATCH}
+    GROUP BY c.vec_id, qex.q_id
+),
+scored AS (
+    SELECT d.q_id, qq.q_label, d.vec_id, cq.label,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN qn ON qn.q_id = d.q_id
+    JOIN qq ON qq.q_id = d.q_id
+    JOIN q cq ON cq.vec_id = d.vec_id
+),
+negs AS (
+    SELECT q_id, q_label, 'neg' AS kind,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank,
+           vec_id, label, cosine
+    FROM scored WHERE label <> q_label
+),
+poss AS (
+    SELECT q_id, q_label, 'pos' AS kind,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine ASC, vec_id) AS rank,
+           vec_id, label, cosine
+    FROM scored WHERE label = q_label
+)
+SELECT q_id, q_label, kind, CAST(rank AS BIGINT) AS rank, vec_id, label, cosine
+FROM negs WHERE rank <= {HARD_NEG_K}
+UNION ALL
+SELECT q_id, q_label, kind, CAST(rank AS BIGINT) AS rank, vec_id, label, cosine
+FROM poss WHERE rank <= 1
+""",
+    doc=(
+        f"Hard-example mining for contrastive/metric training (the FaceNet "
+        f"/ SimCSE batch-construction step): for each of {N_QUERY_BATCH} "
+        f"anchor vectors, the {HARD_NEG_K} MOST-similar different-label "
+        "vectors (hard negatives — the ones a margin loss learns from) "
+        "and the LEAST-similar same-label vector (hard positive). One "
+        "corpus pass: the anchor block rides a broadcast like "
+        "sim_ann_topk_batch, every corpus row scores against all anchors "
+        "in its own task, and the per-anchor ranks are windows "
+        "partitioned by anchor id over q_id-keyed score rows — the only "
+        "wide exchange. Same exact quantized cosine grammar as the ANN "
+        "stack, so results are bit-identical to the oracle."
+    ),
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    qv = _quantized(spark, sf_dir)
+    anchors = qv.where(F.col("vec_id") < N_QUERY_BATCH).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("qe").alias("q_qe"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    scored = (
+        qv.where(F.col("vec_id") >= N_QUERY_BATCH)
+        .crossJoin(F.broadcast(anchors))
+        .select("q_id", "q_label", "vec_id", "label", cos.alias("cosine"))
+    )
+    w_neg = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w_pos = Window.partitionBy("q_id").orderBy(F.asc("cosine"), F.asc("vec_id"))
+    negs = (
+        scored.where(F.col("label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w_neg))
+        .where(F.col("rank") <= HARD_NEG_K)
+        .select(
+            "q_id", "q_label", F.lit("neg").alias("kind"),
+            F.col("rank").cast("long").alias("rank"), "vec_id", "label", "cosine",
+        )
+    )
+    poss = (
+        scored.where(F.col("label") == F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w_pos))
+        .where(F.col("rank") <= 1)
+        .select(
+            "q_id", "q_label", F.lit("pos").alias("kind"),
+            F.col("rank").cast("long").alias("rank"), "vec_id", "label", "cosine",
+        )
+    )
+    return negs.unionAll(poss)

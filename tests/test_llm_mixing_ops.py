@@ -1,0 +1,122 @@
+"""Semantic pins for the r6 LLM-pipeline additions: chunk-level
+keep-first dedup (C4/Dolma paragraph semantics), temperature-based
+source mixing, and hard-negative mining. Exactness vs DuckDB is covered
+by the parity harness; these tests pin the SEMANTICS on corpora built to
+exercise each rule."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark.operators.dedup import (
+    DEDUP_CHUNK_W,
+    dedup_chunk_keep_first,
+)
+from etl_financial_report_spark.operators.sampling import (
+    sample_temperature_mixture,
+)
+from etl_financial_report_spark.operators.similarity import (
+    HARD_NEG_K,
+    N_QUERY_BATCH,
+    sim_hard_negative_mining,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_chunk_keep_first_scrubs_later_copies_only(spark, tmp_path):
+    W = DEDUP_CHUNK_W
+    chunk_a = " ".join(f"a{i}" for i in range(W))
+    chunk_b = " ".join(f"b{i}" for i in range(W))
+    chunk_c = " ".join(f"c{i}" for i in range(W))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{chunk_a} {chunk_b}", "src0"),  # first owner of a and b
+            (2, f"{chunk_a} {chunk_c}", "src0"),  # later copy of a: scrubbed
+            (3, "tiny doc", "src0"),  # shorter than W: single unique chunk
+        ],
+    )
+    got = {r.doc_id: r for r in dedup_chunk_keep_first(spark, sf).collect()}
+    assert got[1].n_chunks == 2 and got[1].n_kept == 2
+    assert got[1].kept_text == f"{chunk_a} {chunk_b}"
+    # doc 2 keeps only its unique chunk — the duplicate of chunk_a goes
+    assert got[2].n_chunks == 2 and got[2].n_kept == 1
+    assert got[2].kept_text == chunk_c
+    assert got[3].n_chunks == 1 and got[3].n_kept == 1
+    assert got[3].kept_text == "tiny doc"
+
+
+def test_chunk_keep_first_winner_is_lexicographic_min(spark, tmp_path):
+    """First occurrence = min (doc_id, chunk_idx): when the same chunk
+    appears at a LATER index of an earlier doc and an earlier index of a
+    later doc, the earlier doc wins."""
+    W = DEDUP_CHUNK_W
+    dup = " ".join(f"d{i}" for i in range(W))
+    uniq = " ".join(f"u{i}" for i in range(W))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, f"{uniq} {dup}", "src0"), (2, f"{dup} {uniq}", "src0")],
+    )
+    got = {r.doc_id: r for r in dedup_chunk_keep_first(spark, sf).collect()}
+    # doc 1 owns both chunks (uniq@(1,0), dup@(1,1) beats dup@(2,0))
+    assert got[1].n_kept == 2
+    assert got[2].n_kept == 0 and got[2].kept_text == ""
+
+
+def test_temperature_mixture_flattens_the_head(spark, tmp_path):
+    rows = [(i, f"tok{i}", "big") for i in range(400)] + [
+        (1000 + i, f"tok{i}", "small") for i in range(100)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.source: r for r in sample_temperature_mixture(spark, sf).collect()}
+    big, small = got["big"], got["small"]
+    assert big.n_docs == 400 and small.n_docs == 100
+    assert big.isqrt == 20 and small.isqrt == 10
+    # raw share 4:1 flattens to 2:1 at alpha = 0.5
+    assert big.raw_ppm == 800_000 and small.raw_ppm == 200_000
+    assert big.temp_ppm == 666_666 and small.temp_ppm == 333_333
+    # the head gives up share, the tail gains it
+    assert big.temp_ppm < big.raw_ppm and small.temp_ppm > small.raw_ppm
+    # quotas sum to at most one epoch and follow the temperature weights
+    assert big.quota_docs + small.quota_docs <= 500
+    assert big.quota_docs == 333 and small.quota_docs == 166
+
+
+def test_hard_negative_mining_semantics(spark, sf_dir):
+    df = sim_hard_negative_mining(spark, sf_dir)
+    rows = df.collect()
+    negs = [r for r in rows if r.kind == "neg"]
+    poss = [r for r in rows if r.kind == "pos"]
+    q_ids = {r.q_id for r in rows}
+    assert q_ids == set(range(N_QUERY_BATCH))
+    # every negative crosses the label boundary; every positive stays inside
+    assert all(r.label != r.q_label for r in negs)
+    assert all(r.label == r.q_label for r in poss)
+    # per anchor: HARD_NEG_K negatives ranked by descending similarity,
+    # exactly one hardest positive
+    for q in q_ids:
+        qn = sorted((r for r in negs if r.q_id == q), key=lambda r: r.rank)
+        assert [r.rank for r in qn] == list(range(1, HARD_NEG_K + 1))
+        assert all(
+            qn[i].cosine >= qn[i + 1].cosine for i in range(len(qn) - 1)
+        )
+        qp = [r for r in poss if r.q_id == q]
+        assert len(qp) == 1 and qp[0].rank == 1
+    # the hard positive really is the least-similar same-label vector:
+    # no negative of the same anchor may beat it from below -- and the
+    # mined negatives sit above the positive in similarity for a margin
+    # loss to have signal on at least one anchor
+    assert any(
+        max(r.cosine for r in negs if r.q_id == q)
+        > [r.cosine for r in poss if r.q_id == q][0]
+        for q in q_ids
+    )

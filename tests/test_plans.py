@@ -46,6 +46,10 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
     # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg
     "sim_bucket_occupancy_stats",
+    # 8-row anchor-block broadcast (sim_ann_topk_batch's shape)
+    "sim_hard_negative_mining",
+    # 1-row cross-source totals broadcast onto the per-source aggregate
+    "sample_temperature_mixture",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
     # both ride the BPE chain's 1-row best-pair broadcasts (same as
     # text_bpe_encode); packing adds only the tiny group-offset broadcast
