@@ -273,6 +273,45 @@ def test_span_scrub_x100(spark, sf10_dir, smoke_record):
     assert df.where((F.col("n_tokens") < SPAN_N) & (F.col("n_dropped") > 0)).count() == 0
 
 
+def test_chunk_keep_first_x100(spark, sf10_dir, smoke_record):
+    """Keep-first chunk dedup at 500k docs. Identical replicas 1-9 keep
+    NOTHING (every chunk's winner pos sits in the lower-doc_id replica 0
+    copy — base-corpus dups notwithstanding, the winner is never a later
+    replica), and corpus-wide each distinct chunk is kept exactly once."""
+    from etl_financial_report_spark.operators.dedup import DEDUP_CHUNK_W
+
+    df, n = _run(
+        spark,
+        "dedup_chunk_keep_first",
+        lambda: registry.all_queries()["dedup_chunk_keep_first"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    n_docs = load_table(spark, sf10_dir, "documents").count()
+    assert n == n_docs
+    ident_later = (F.col("doc_id") >= ID_OFFSET) & (
+        F.col("doc_id") < IDENTICAL * ID_OFFSET
+    )
+    assert df.where(ident_later & (F.col("n_kept") > 0)).count() == 0
+    # global keep-exactly-once: total kept == distinct chunks (re-derived)
+    W = DEDUP_CHUNK_W
+    toks = F.split("text", " ")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / W).cast("int")),
+        lambda i: F.md5(
+            F.array_join(
+                F.slice(toks, i * W + 1, F.least(F.lit(W), F.size(toks) - i * W)), " "
+            )
+        ),
+    )
+    n_distinct = (
+        load_table(spark, sf10_dir, "documents")
+        .select(F.explode(chunks).alias("ch"))
+        .distinct()
+        .count()
+    )
+    assert df.agg(F.sum("n_kept")).collect()[0][0] == n_distinct
+
+
 def test_ivfpq_topk_x100(spark, sf10_dir, smoke_record):
     df, n = _run(
         spark,
