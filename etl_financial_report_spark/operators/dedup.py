@@ -2629,18 +2629,80 @@ DEDUP_CHUNK_W = 16
 _CHUNK_POS_SHIFT = 65536
 
 
+def _chunk_occ_sql(where: str = "TRUE") -> str:
+    """Chunk-occurrence rows (doc_id, cidx, ch, pos) over a CTE ``t``
+    holding (doc_id, toks) — the single definition both chunk-dedup
+    oracles derive from."""
+    return f"""
+    SELECT doc_id, i AS cidx,
+           md5(array_to_string(toks[(i * {DEDUP_CHUNK_W} + 1):least((i + 1) * {DEDUP_CHUNK_W}, len(toks))], ' ')) AS ch,
+           doc_id * {_CHUNK_POS_SHIFT} + i AS pos
+    FROM t, unnest(generate_series(0, (len(toks) - 1) // {DEDUP_CHUNK_W})) u(i)
+    WHERE {where}"""
+
+
+def _chunk_occurrences(docs: DataFrame) -> DataFrame:
+    """Chunk-occurrence frame (doc_id, cidx, ch, pos) of a (doc_id, toks)
+    frame — the Spark twin of _chunk_occ_sql, shared by the full and
+    incremental chunk-dedup paths."""
+    W = DEDUP_CHUNK_W
+    toks = F.col("toks")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / W).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("cidx"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        toks,
+                        i * W + 1,
+                        F.least(F.lit(W), F.size(toks) - i * W),
+                    ),
+                    " ",
+                )
+            ).alias("ch"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunk_structs).alias("g")).select(
+        "doc_id",
+        F.col("g.cidx").alias("cidx"),
+        F.col("g.ch").alias("ch"),
+        (F.col("doc_id") * _CHUNK_POS_SHIFT + F.col("g.cidx")).alias("pos"),
+    )
+
+
+def _rebuild_kept_text(docs_with_kept: DataFrame) -> DataFrame:
+    """Doc-local rebuild: (doc_id, toks, kept_idx, n_chunks) -> the
+    chunk-dedup verdict row. kept_idx holds the SORTED chunk indexes
+    that survive; tokens of dropped chunks are filtered out in one array
+    projection and never shuffle."""
+    W = DEDUP_CHUNK_W
+    return docs_with_kept.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.size("kept_idx").cast("long").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.filter(
+                    F.col("toks"),
+                    lambda x, i: F.array_contains(
+                        F.col("kept_idx"), F.floor(i / W).cast("long")
+                    ),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
+
+
 @register(
     "dedup_chunk_keep_first",
     oracle=f"""
 WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
-occ AS (
-    SELECT doc_id, i AS cidx,
-           md5(array_to_string(toks[(i * {DEDUP_CHUNK_W} + 1):least((i + 1) * {DEDUP_CHUNK_W}, len(toks))], ' ')) AS ch,
-           doc_id * {_CHUNK_POS_SHIFT} + i AS pos
-    FROM t, unnest(generate_series(0, (len(toks) - 1) // {DEDUP_CHUNK_W})) u(i)
-),
+occ AS ({_chunk_occ_sql()}),
 win AS (
     SELECT ch, MIN(pos) AS win_pos, COUNT(*) AS n_occ FROM occ GROUP BY ch
 ),
@@ -2676,35 +2738,10 @@ FROM t JOIN kept k ON t.doc_id = k.doc_id
     ),
 )
 def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    W = DEDUP_CHUNK_W
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    toks = F.col("toks")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / W).cast("int")),
-        lambda i: F.struct(
-            i.cast("long").alias("cidx"),
-            F.md5(
-                F.array_join(
-                    F.slice(
-                        toks,
-                        i * W + 1,
-                        F.least(F.lit(W), F.size(toks) - i * W),
-                    ),
-                    " ",
-                )
-            ).alias("ch"),
-        ),
-    )
-    occ = docs.select(
-        "doc_id", F.explode(chunk_structs).alias("g")
-    ).select(
-        "doc_id",
-        F.col("g.cidx").alias("cidx"),
-        F.col("g.ch").alias("ch"),
-        (F.col("doc_id") * _CHUNK_POS_SHIFT + F.col("g.cidx")).alias("pos"),
-    )
+    occ = _chunk_occurrences(docs)
     win = occ.groupBy("ch").agg(F.min("pos").alias("win_pos"))
     kept = (
         occ.join(win, "ch")
@@ -2716,23 +2753,80 @@ def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_chunks"),
         )
     )
-    return (
-        docs.join(kept, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_chunks").cast("long").alias("n_chunks"),
-            F.size("kept_idx").cast("long").alias("n_kept"),
-            F.coalesce(
-                F.array_join(
-                    F.filter(
-                        toks,
-                        lambda x, i: F.array_contains(
-                            F.col("kept_idx"), F.floor(i / W).cast("long")
-                        ),
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            ).alias("kept_text"),
-        )
+    return _rebuild_kept_text(docs.join(kept, "doc_id"))
+
+
+@register(
+    "dedup_chunk_incremental",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bocc AS ({_chunk_occ_sql(f"doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}")}),
+cset AS (
+    SELECT DISTINCT ch
+    FROM ({_chunk_occ_sql(f"doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}")}) c
+),
+flag AS (
+    SELECT b.doc_id, b.cidx, (s.ch IS NOT NULL) AS seen
+    FROM bocc b LEFT JOIN cset s ON b.ch = s.ch
+),
+k AS (
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CAST(seen AS BIGINT)) AS n_seen,
+           list_sort(list(cidx) FILTER (NOT seen)) AS kept_idx
+    FROM flag GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(k.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(len(k.kept_idx), 0) AS BIGINT) AS n_kept,
+       CAST(floor(CAST(k.n_seen * 1000000 AS DOUBLE) / k.n_chunks) AS BIGINT) AS seen_frac_ppm,
+       coalesce(list_aggregate(
+           list_filter(t.toks, (x, i) -> list_contains(
+               coalesce(k.kept_idx, CAST([] AS BIGINT[])), (i - 1) // {DEDUP_CHUNK_W})),
+           'string_agg', ' '), '') AS kept_text
+FROM t JOIN k ON t.doc_id = k.doc_id
+""",
+    doc=(
+        "Incremental chunk-level dedup — the daily-ingest twin of "
+        "dedup_chunk_keep_first (same batch-slice convention as "
+        "dedup_incremental): the NEW batch's chunks probe the corpus's "
+        "distinct-chunk set and only never-seen chunks survive into the "
+        "batch doc's kept text, with the seen fraction reported in ppm "
+        "(the 'how stale is this crawl' number). Probe volume scales "
+        "with |batch| chunks — the corpus side is the collapsed md5 set "
+        "a production pipeline persists as its chunk index, and the "
+        "probe join carries 16-byte keys only; the corpus text is never "
+        "re-paired with itself. Intra-batch duplicate chunks are "
+        "deliberately out of scope (dedup_chunk_keep_first's job on the "
+        "batch alone), matching dedup_incremental's contract."
+    ),
+)
+def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    batch = docs.where(in_batch)
+    cset = _chunk_occurrences(docs.where(~in_batch)).select("ch").distinct()
+    flag = (
+        _chunk_occurrences(batch)
+        .join(cset.withColumn("_hit", F.lit(True)), "ch", "left")
+        .select("doc_id", "cidx", F.coalesce("_hit", F.lit(False)).alias("seen"))
+    )
+    k = flag.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("seen").cast("long")).alias("n_seen"),
+        F.sort_array(
+            F.collect_list(F.when(~F.col("seen"), F.col("cidx")))
+        ).alias("kept_idx"),
+    )
+    # n_seen == n_chunks - n_kept (kept is exactly the unseen chunks)
+    return _rebuild_kept_text(batch.join(k, "doc_id")).withColumn(
+        "seen_frac_ppm",
+        F.floor(
+            ((F.col("n_chunks") - F.col("n_kept")) * 1000000).cast("double")
+            / F.col("n_chunks")
+        ).cast("long"),
     )

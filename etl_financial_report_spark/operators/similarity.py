@@ -3079,3 +3079,120 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return negs.unionAll(poss)
+
+
+# ------------------------------------------- semantic threshold sweep
+
+#: cosine bars measured by the sweep, in integer percent
+SEM_SWEEP_PCTS = (40, 50, 60, 70, 80, 90)
+
+
+@register(
+    "sim_semantic_threshold_sweep",
+    oracle=f"""
+WITH {_Q_CTE},
+{_SPLIT_BUCKET_CTES},
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM ex a
+    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    JOIN live ba ON ba.vec_id = a.vec_id
+    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    GROUP BY 1, 2
+),
+pairsq AS MATERIALIZED (
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) > 0.3
+),
+vmax AS MATERIALIZED (
+    SELECT vec, MAX(cosine) AS mc FROM (
+        SELECT vec_a AS vec, cosine FROM pairsq
+        UNION ALL
+        SELECT vec_b AS vec, cosine FROM pairsq
+    ) GROUP BY vec
+),
+tot AS (SELECT COUNT(*) AS n FROM embeddings),
+th(t) AS (VALUES {", ".join(f"({t})" for t in SEM_SWEEP_PCTS)}),
+pp AS (
+    SELECT t, COUNT(*) FILTER (p.cosine >= CAST(t AS DOUBLE) / 100) AS n_pairs
+    FROM th LEFT JOIN pairsq p ON TRUE GROUP BY t
+),
+vv AS (
+    SELECT t, COUNT(*) FILTER (v.mc >= CAST(t AS DOUBLE) / 100) AS n_dup
+    FROM th LEFT JOIN vmax v ON TRUE GROUP BY t
+)
+SELECT CAST(th.t AS BIGINT) AS threshold_pct,
+       CAST(pp.n_pairs AS BIGINT) AS n_pairs,
+       CAST(vv.n_dup AS BIGINT) AS n_dup_vecs,
+       CAST(floor(CAST(vv.n_dup * 1000000 AS DOUBLE) / tot.n) AS BIGINT) AS dup_frac_ppm
+FROM th JOIN pp ON pp.t = th.t JOIN vv ON vv.t = th.t CROSS JOIN tot
+ORDER BY threshold_pct
+""",
+    doc=(
+        "SemDeDup threshold selection curve: the duplicate exposure the "
+        "corpus would see at each cosine bar {40..90}%, measured from ONE "
+        "run of the production split-bucket pair path — per-bar pair "
+        "count, vectors with at least one above-bar neighbor, and that "
+        "as a ppm fraction of the corpus. Every bar is a conditional "
+        "aggregate over the same pair frame (per-vector max-cosine is "
+        "one symmetrized groupBy), so the whole sweep costs the pair "
+        "pass plus O(corpus) arithmetic — the number SEMDEDUP_COSINE "
+        "should be chosen FROM, not guessed. The bars ride one row of "
+        "conditional sums exploded into the report rows; the corpus "
+        "total is a broadcast 1-row scalar."
+    ),
+)
+def sim_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = sim_bucketed_cosine_pairs(spark, sf_dir).localCheckpoint()
+    vmax = (
+        pairs.select(F.col("vec_a").alias("vec"), "cosine")
+        .unionAll(pairs.select(F.col("vec_b").alias("vec"), "cosine"))
+        .groupBy("vec")
+        .agg(F.max("cosine").alias("mc"))
+    )
+    pp = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("cosine") >= t / 100).cast("long")), F.lit(0)
+            ).alias(f"p{t}")
+            for t in SEM_SWEEP_PCTS
+        ]
+    )
+    vv = vmax.agg(
+        *[
+            F.coalesce(F.sum((F.col("mc") >= t / 100).cast("long")), F.lit(0)).alias(
+                f"v{t}"
+            )
+            for t in SEM_SWEEP_PCTS
+        ]
+    )
+    tot = load_table(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("n"))
+    row = pp.crossJoin(F.broadcast(vv)).crossJoin(F.broadcast(tot))
+    bars = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("long").alias("threshold_pct"),
+                    F.col(f"p{t}").alias("n_pairs"),
+                    F.col(f"v{t}").alias("n_dup_vecs"),
+                )
+                for t in SEM_SWEEP_PCTS
+            ]
+        )
+    )
+    return (
+        row.select(bars.alias("b"), "n")
+        .select(
+            F.col("b.threshold_pct").alias("threshold_pct"),
+            F.col("b.n_pairs").alias("n_pairs"),
+            F.col("b.n_dup_vecs").alias("n_dup_vecs"),
+            F.floor((F.col("b.n_dup_vecs") * 1000000).cast("double") / F.col("n"))
+            .cast("long")
+            .alias("dup_frac_ppm"),
+        )
+        .orderBy("threshold_pct")
+    )

@@ -120,3 +120,60 @@ def test_hard_negative_mining_semantics(spark, sf_dir):
         > [r.cosine for r in poss if r.q_id == q][0]
         for q in q_ids
     )
+
+
+def test_chunk_incremental_scrubs_only_corpus_seen_chunks(spark, tmp_path):
+    """Batch docs (doc_id % 10 == 7) lose exactly the chunks the CORPUS
+    already has; never-seen chunks survive even if repeated inside the
+    batch (intra-batch dedup is out of scope by contract)."""
+    from etl_financial_report_spark.operators.dedup import (
+        dedup_chunk_incremental,
+    )
+
+    W = DEDUP_CHUNK_W
+    known = " ".join(f"k{i}" for i in range(W))
+    fresh = " ".join(f"f{i}" for i in range(W))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{known} filler", "src0"),  # corpus owns `known`
+            (7, f"{known} {fresh}", "src0"),  # batch: one stale, one fresh
+            (17, fresh, "src0"),  # batch: fresh only (batch-internal dup OK)
+        ],
+    )
+    got = {r.doc_id: r for r in dedup_chunk_incremental(spark, sf).collect()}
+    assert set(got) == {7, 17}  # only batch docs verdict
+    assert got[7].n_chunks == 2 and got[7].n_kept == 1
+    assert got[7].kept_text == fresh
+    assert got[7].seen_frac_ppm == 500_000
+    assert got[17].n_chunks == 1 and got[17].n_kept == 1
+    assert got[17].seen_frac_ppm == 0
+
+
+def test_semantic_threshold_sweep_is_monotone_and_matches_keep_list(spark, sf_dir):
+    """Raising the bar can only shrink the pair set, and the 40% bar must
+    agree exactly with dedup_semantic_keep_list: a vector sits in a
+    multi-member component iff it has at least one >= SEMDEDUP_COSINE
+    neighbor (components are built from exactly those edges)."""
+    from etl_financial_report_spark.operators.similarity import (
+        SEM_SWEEP_PCTS,
+        dedup_semantic_keep_list,
+        sim_semantic_threshold_sweep,
+    )
+
+    rows = {
+        r.threshold_pct: r
+        for r in sim_semantic_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(SEM_SWEEP_PCTS)
+    for lo, hi in zip(SEM_SWEEP_PCTS, SEM_SWEEP_PCTS[1:]):
+        assert rows[lo].n_pairs >= rows[hi].n_pairs
+        assert rows[lo].n_dup_vecs >= rows[hi].n_dup_vecs
+        assert rows[lo].dup_frac_ppm >= rows[hi].dup_frac_ppm
+    clustered = (
+        dedup_semantic_keep_list(spark, sf_dir)
+        .where(F.col("cluster_size") > 1)
+        .count()
+    )
+    assert rows[40].n_dup_vecs == clustered

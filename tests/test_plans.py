@@ -50,6 +50,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_hard_negative_mining",
     # 1-row cross-source totals broadcast onto the per-source aggregate
     "sample_temperature_mixture",
+    # three 1-row conditional-sum aggregates assembled into the 6 bar rows
+    "sim_semantic_threshold_sweep",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
     # both ride the BPE chain's 1-row best-pair broadcasts (same as
     # text_bpe_encode); packing adds only the tiny group-offset broadcast
