@@ -2804,12 +2804,31 @@ FROM t JOIN k ON t.doc_id = k.doc_id
     ),
 )
 def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
+    docs = load_table(spark, sf_dir, "documents")
     in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
-    batch = docs.where(in_batch)
-    cset = _chunk_occurrences(docs.where(~in_batch)).select("ch").distinct()
+    cset = build_corpus_chunk_index(docs.where(~in_batch))
+    return chunk_incremental_verdicts(docs.where(in_batch), cset)
+
+
+def build_corpus_chunk_index(corpus: DataFrame) -> DataFrame:
+    """The persisted chunk index of an already-ingested corpus: its
+    distinct chunk md5 set — the only corpus state the incremental path
+    (and its streaming twin) ever probes."""
+    return (
+        _chunk_occurrences(
+            corpus.select("doc_id", F.split("text", " ").alias("toks"))
+        )
+        .select("ch")
+        .distinct()
+    )
+
+
+def chunk_incremental_verdicts(batch_docs: DataFrame, cset: DataFrame) -> DataFrame:
+    """Verdict a batch of raw documents against a corpus chunk index:
+    per batch doc, its chunk count, surviving (never-seen) chunks, the
+    rebuilt kept text, and the seen fraction in ppm. Shared by
+    dedup_chunk_incremental and the streaming twin."""
+    batch = batch_docs.select("doc_id", F.split("text", " ").alias("toks"))
     flag = (
         _chunk_occurrences(batch)
         .join(cset.withColumn("_hit", F.lit(True)), "ch", "left")

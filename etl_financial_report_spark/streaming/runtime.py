@@ -461,6 +461,49 @@ def run_incremental_dedup_stream(
     return sink.read(spark)
 
 
+def run_chunk_dedup_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    corpus_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of ``dedup_chunk_incremental`` — chunk-level
+    staleness verdicts as new documents arrive in per-file microbatches.
+    The corpus's distinct-chunk md5 index
+    (operators/dedup.build_corpus_chunk_index) is materialized ONCE
+    before the stream starts and probed by every batch: per-batch cost
+    scales with the batch's chunk count, never the corpus (in production
+    the index is the table the nightly keep-first job maintains;
+    localCheckpoint stands in here). Verdicts land through the
+    idempotent sink keyed on doc_id, so a replayed batch cannot
+    double-report. Returns the verdict table."""
+    from ..operators.dedup import build_corpus_chunk_index, chunk_incremental_verdicts
+    from ..sources.sinks import ParquetSink
+
+    cset = build_corpus_chunk_index(corpus_docs).localCheckpoint()
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(out_dir, partition_cols=())
+
+    def verdict_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = chunk_incremental_verdicts(batch_df, cset)
+        sink.append_idempotent(out, key_cols=["doc_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(verdict_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark)
+
+
 def run_token_drift_stream(
     spark: SparkSession,
     new_docs_dir: str,

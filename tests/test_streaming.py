@@ -465,3 +465,52 @@ def test_cms_report_stream_matches_batch_report(spark, tmp_path):
         )
     )
     assert got2 == want
+
+
+def test_chunk_dedup_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming chunk-staleness verdicts must agree row-for-row with
+    the batch dedup_chunk_incremental on the same corpus/batch split, and
+    a replayed stream must not double-report (idempotent sink keyed on
+    doc_id)."""
+    from etl_financial_report_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        dedup_chunk_incremental,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    new_dir = str(tmp_path / "new_docs")
+    # two files -> two microbatches under maxFilesPerTrigger=1
+    batch = docs.where(in_batch)
+    batch.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(new_dir)
+    batch.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(new_dir)
+
+    got = runtime.run_chunk_dedup_stream(
+        spark,
+        new_dir,
+        docs.where(~in_batch),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+    )
+    want = dedup_chunk_incremental(spark, SMOKE_SF_DIR)
+    g = {
+        (r.doc_id, r.n_chunks, r.n_kept, r.seen_frac_ppm, r.kept_text)
+        for r in got.collect()
+    }
+    w = {
+        (r.doc_id, r.n_chunks, r.n_kept, r.seen_frac_ppm, r.kept_text)
+        for r in want.collect()
+    }
+    assert g == w and len(g) == batch.count()
+
+    # replay with a fresh checkpoint: landing the same verdicts again is
+    # a no-op
+    got2 = runtime.run_chunk_dedup_stream(
+        spark,
+        new_dir,
+        docs.where(~in_batch),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert got2.count() == len(g)
