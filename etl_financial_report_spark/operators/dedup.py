@@ -2849,3 +2849,239 @@ def chunk_incremental_verdicts(batch_docs: DataFrame, cset: DataFrame) -> DataFr
             / F.col("n_chunks")
         ).cast("long"),
     )
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+#: winnowing parameters (Schleimer et al. 2003 "Winnowing: Local
+#: Algorithms for Document Fingerprinting" — the MOSS selector): k-gram
+#: size and window width. Any shared token run of length >= W + K - 1
+#: is GUARANTEED to share a selected fingerprint.
+WINNOW_K = 4
+WINNOW_W = 4
+#: fingerprints shared by more docs than this are boilerplate and are
+#: dropped before pairing (the df-cap that keeps hot keys from exploding
+#: the self-join — same policy as multimodal_frame_dedup)
+WINNOW_DF_CAP = 32
+
+#: (hash, position) packed into one BIGINT: h < 2^32, pos < 2^16 ->
+#: h * 65536 + pos < 2^48, exact in both engines
+_WINNOW_POS_SHIFT = 65536
+
+
+def _winnow_sql() -> str:
+    """CTE text: t(doc_id, toks) -> wf(doc_id, n_grams, fps) where fps is
+    the distinct selected-fingerprint list (packed hash*2^16+pos) of the
+    standard winnowing pass — per 1-based window start j, the RIGHTMOST
+    minimum k-gram hash in the window. Window width adapts to
+    least(W, n_grams) so short-but-hashable docs keep one fingerprint."""
+    k, w, shift = WINNOW_K, WINNOW_W, _WINNOW_POS_SHIFT
+    gram = f"CAST('0x' || substr(md5(array_to_string(toks[i:i + {k - 1}], ' ')), 1, 8) AS BIGINT)"
+    return f"""
+g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - {k - 1}), i -> {gram}) AS grams
+    FROM t
+    WHERE len(toks) >= {k}
+),
+wf AS (
+    SELECT doc_id, len(grams) AS n_grams,
+           list_distinct(list_transform(
+               generate_series(1, len(grams) - least({w}, len(grams)) + 1),
+               j -> list_aggregate(grams[j:j + least({w}, len(grams)) - 1], 'min') * {shift}
+                    + list_aggregate(
+                        list_filter(
+                            generate_series(j, j + least({w}, len(grams)) - 1),
+                            p -> grams[p] = list_aggregate(grams[j:j + least({w}, len(grams)) - 1], 'min')),
+                        'max')
+           )) AS fps
+    FROM g
+)"""
+
+
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, fps) — the Spark twin of _winnow_sql over a
+    (doc_id, toks) frame. Everything runs in one array-native projection
+    per doc: no shuffle happens until a caller aggregates the packed
+    fingerprint ints."""
+    k, w, shift = WINNOW_K, WINNOW_W, _WINNOW_POS_SHIFT
+    from ..functions.hashing import hash32
+
+    toks = F.col("toks")
+    grams_col = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: hash32(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    g = docs.where(F.size(toks) >= k).select(
+        "doc_id", grams_col.alias("grams")
+    )
+    grams = F.col("grams")
+    weff = F.least(F.lit(w), F.size(grams))
+
+    def select_at(j):
+        window = F.slice(grams, j, weff)
+        wmin = F.array_min(window)
+        rightmost = F.array_max(
+            F.filter(
+                F.sequence(j, j + weff - 1),
+                lambda p: F.element_at(grams, p) == wmin,
+            )
+        )
+        return wmin * shift + rightmost
+
+    return g.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(grams) - weff + 1),
+                select_at,
+            )
+        ).alias("fps"),
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+{_winnow_sql()}
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fps) AS BIGINT) AS n_selected,
+       CAST(floor(CAST(len(fps) * 1000000 AS DOUBLE)
+                  / (n_grams - least({WINNOW_W}, n_grams) + 1)) AS BIGINT) AS density_ppm
+FROM wf
+""",
+    doc=(
+        "Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS "
+        f"algorithm): {WINNOW_K}-gram hashes, rightmost-minimum selection "
+        f"per {WINNOW_W}-wide window — any shared token run of >= "
+        f"{WINNOW_W + WINNOW_K - 1} tokens is GUARANTEED to share a "
+        "selected fingerprint, while only ~2/(w+1) of positions are "
+        "stored. Per-doc report: gram count, distinct selected "
+        "fingerprints, selection density in ppm. The whole selection is "
+        "one array-native projection per doc (portable hash32 grams, "
+        "packed hash*2^16+pos ints) — zero shuffle; this is the "
+        "index-build half of dedup_winnowing_pairs."
+    ),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sel = _winnow_selected(docs)
+    weff = F.least(F.lit(WINNOW_W), F.col("n_grams"))
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_selected"),
+        F.floor(
+            (F.size("fps") * 1000000).cast("double")
+            / (F.col("n_grams") - weff + 1)
+        )
+        .cast("long")
+        .alias("density_ppm"),
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+{_winnow_sql()},
+fp AS MATERIALIZED (
+    SELECT doc_id, (u.f // {_WINNOW_POS_SHIFT}) AS h
+    FROM wf, unnest(fps) u(f)
+    GROUP BY 1, 2
+),
+live AS MATERIALIZED (
+    SELECT h FROM (SELECT h, COUNT(*) AS df FROM fp GROUP BY h)
+    WHERE df BETWEEN 2 AND {WINNOW_DF_CAP}
+),
+nd AS (
+    SELECT doc_id, COUNT(*) AS nf FROM fp JOIN live USING (h) GROUP BY doc_id
+),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM fp a JOIN live USING (h) JOIN fp b ON b.h = a.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps,
+       CAST(floor(CAST(shared_fps * 1000000 AS DOUBLE)
+                  / (na.nf + nb.nf - shared_fps)) AS BIGINT) AS jaccard_ppm
+FROM shared
+JOIN nd na ON na.doc_id = doc_a
+JOIN nd nb ON nb.doc_id = doc_b
+WHERE shared_fps >= 2
+""",
+    doc=(
+        "Cross-document winnowing matches — the MOSS pair report: docs "
+        "sharing >= 2 selected fingerprint HASHES (positions stripped: "
+        "a moved copy still matches), with fingerprint-set jaccard in "
+        "ppm. Fingerprints seen in more than "
+        f"{WINNOW_DF_CAP} docs are boilerplate and dropped BEFORE the "
+        "self-join (two-phase df count, the same hot-key cap as "
+        "multimodal_frame_dedup), so a viral chunk can never explode a "
+        "task; everything that shuffles is a 32-bit hash int. The "
+        f">= {WINNOW_W + WINNOW_K - 1}-token guarantee makes a miss "
+        "impossible for real overlaps of that length, unlike MinHash "
+        "whose recall is probabilistic."
+    ),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # materialize the per-doc fingerprint lists BEFORE exploding: explode
+    # collapses projections, and without the barrier Catalyst inlines the
+    # nested gram-hash lambdas at every reference site — measured 137s vs
+    # 3s at sf0.01. This frame IS the fingerprint index production
+    # persists, so the materialization is the real pipeline shape anyway.
+    fp = (
+        _winnow_selected(docs)
+        .localCheckpoint()
+        .select("doc_id", F.explode("fps").alias("f"))
+        .select(
+            "doc_id", F.floor(F.col("f") / _WINNOW_POS_SHIFT).cast("long").alias("h")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    live = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("h")
+    )
+    capped = fp.join(live, "h")
+    nd = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    shared = (
+        capped.alias("a")
+        .join(
+            capped.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_b")).alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+    )
+    return (
+        shared.join(nd.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na_f")), "doc_a")
+        .join(nd.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb_f")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+            F.floor(
+                (F.col("shared_fps") * 1000000).cast("double")
+                / (F.col("na_f") + F.col("nb_f") - F.col("shared_fps"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -177,3 +177,45 @@ def test_semantic_threshold_sweep_is_monotone_and_matches_keep_list(spark, sf_di
         .count()
     )
     assert rows[40].n_dup_vecs == clustered
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """The winnowing contract (Schleimer et al. 2003): any shared token
+    run of >= W + K - 1 tokens MUST share a selected fingerprint, and
+    selection stores far fewer positions than the gram stream. Docs 1/2
+    share exactly such a run embedded at different offsets in otherwise
+    disjoint text; doc 3 shares nothing."""
+    from etl_financial_report_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        dedup_winnowing_pairs,
+        text_winnowing_fingerprints,
+    )
+
+    # two disjoint guarantee-windows of W+K-1 tokens -> >= 2 distinct
+    # shared fingerprints (the pair report's bar)
+    run = " ".join(f"s{i}" for i in range(2 * (WINNOW_W + WINNOW_K - 1)))
+    pad_a = " ".join(f"a{i}" for i in range(30))
+    pad_b = " ".join(f"b{i}" for i in range(30))
+    pad_c = " ".join(f"c{i}" for i in range(30))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{pad_a} {run}", "src0"),
+            (2, f"{run} {pad_b}", "src0"),
+            (3, pad_c, "src0"),
+        ],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in dedup_winnowing_pairs(spark, sf).collect()
+    }
+    assert (1, 2) in pairs and set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] >= 2
+    stats = {r.doc_id: r for r in text_winnowing_fingerprints(spark, sf).collect()}
+    for r in stats.values():
+        assert 0 < r.n_selected <= r.n_grams
+        assert 0 < r.density_ppm <= 1_000_000
+    # ~2/(W+1) density on random-ish text, loosely bounded
+    assert stats[3].n_selected < stats[3].n_grams
