@@ -523,6 +523,134 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: span widths swept by the duplication-length spectrum — powers of two
+#: around the common scrub granularities (Lee et al. use 50 tokens; C4's
+#: paragraph dedup is effectively ~raw-line width)
+SPECTRUM_WIDTHS = (8, 16, 32, 64)
+
+
+@register(
+    "dedup_span_spectrum",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sp AS (
+    SELECT doc_id, w, md5(array_to_string(toks[i : i + w - 1], ' ')) AS sh
+    FROM t, (VALUES {", ".join(f"({w})" for w in SPECTRUM_WIDTHS)}) ks(w),
+         unnest(generate_series(1, len(toks) - w + 1)) u(i)
+    WHERE len(toks) >= w
+),
+pd AS (SELECT w, sh, doc_id, COUNT(*) AS occ FROM sp GROUP BY 1, 2, 3),
+ps AS (SELECT w, sh, SUM(occ) AS n_occ, COUNT(*) AS n_docs FROM pd GROUP BY 1, 2),
+spec AS (
+    SELECT w,
+           SUM(n_occ) AS n_spans,
+           COUNT(*) AS n_distinct_spans,
+           SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+           SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS dup_positions
+    FROM ps GROUP BY w
+),
+aff AS (
+    SELECT pd.w, COUNT(DISTINCT pd.doc_id) AS affected_docs
+    FROM pd JOIN ps ON ps.w = pd.w AND ps.sh = pd.sh
+    WHERE ps.n_docs >= 2 GROUP BY pd.w
+)
+SELECT s.w AS span_w,
+       CAST(s.n_spans AS BIGINT) AS n_spans,
+       CAST(s.n_distinct_spans AS BIGINT) AS n_distinct_spans,
+       CAST(s.n_dup_spans AS BIGINT) AS n_dup_spans,
+       CAST(s.dup_positions AS BIGINT) AS dup_positions,
+       CAST(COALESCE(a.affected_docs, 0) AS BIGINT) AS affected_docs,
+       CAST((s.dup_positions * 1000000) // s.n_spans AS BIGINT) AS dup_ppm
+FROM spec s LEFT JOIN aff a ON a.w = s.w
+ORDER BY span_w
+""",
+    doc=(
+        "Duplication-length SPECTRUM — the scrub-granularity selection "
+        f"curve for dedup_span_scrub/dedup_chunk_keep_first: for each span "
+        f"width in {SPECTRUM_WIDTHS}, the corpus-wide count of positional "
+        "spans, distinct spans, spans duplicated across >= 2 DISTINCT "
+        "documents, positional occurrences of those duplicated spans "
+        "(exactly the text a scrub at that width would touch), affected "
+        "documents, and the duplicated fraction in integer ppm. Short "
+        "spans over-trigger (every common phrase collides) and long spans "
+        "under-trigger (one edited token breaks the match) — this one "
+        "artifact shows where the knee is BEFORE committing a scrub width, "
+        "the same measured-threshold-selection shape as "
+        "sim_semantic_threshold_sweep and dedup_banding_sweep. All four "
+        "widths ride ONE token pass (the per-width span streams union "
+        "before the explode); counting is the same two-phase "
+        "(w, sh, doc_id) -> (w, sh) cascade as dedup_span_scrub, so hot "
+        "boilerplate spans combine map-side and shuffles carry only "
+        "16-byte hashes — never text. The ppm is exact integer division, "
+        "bit-identical across engines."
+    ),
+)
+def dedup_span_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    empty = F.array().cast("array<struct<w:int,sh:string>>")
+
+    def span_struct(w: int):
+        # closure factory, NOT a default arg: a 2-param lambda would make
+        # pyspark's transform() pass (element, index) and shadow w
+        def f(i: F.Column) -> F.Column:
+            return F.struct(
+                F.lit(w).alias("w"),
+                F.md5(F.array_join(F.slice(toks, i, w), " ")).alias("sh"),
+            )
+
+        return f
+
+    branches = []
+    for w in SPECTRUM_WIDTHS:
+        spans_w = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)), span_struct(w)
+        )
+        branches.append(F.when(F.size(toks) >= w, spans_w).otherwise(empty))
+    sp = docs.select(
+        "doc_id", F.explode(F.flatten(F.array(*branches))).alias("g")
+    ).select("doc_id", F.col("g.w").alias("w"), F.col("g.sh").alias("sh"))
+    # two-phase cascade: (w, sh, doc_id) occurrence counts combine
+    # map-side, then collapse to one row per distinct span
+    per_doc = sp.groupBy("w", "sh", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    per_span = per_doc.groupBy("w", "sh").agg(
+        F.sum("occ").alias("n_occ"), F.count(F.lit(1)).alias("n_docs")
+    )
+    is_dup = F.col("n_docs") >= 2
+    spec = per_span.groupBy("w").agg(
+        F.sum("n_occ").alias("n_spans"),
+        F.count(F.lit(1)).alias("n_distinct_spans"),
+        F.sum(F.when(is_dup, 1).otherwise(0)).alias("n_dup_spans"),
+        F.sum(F.when(is_dup, F.col("n_occ")).otherwise(0)).alias("dup_positions"),
+    )
+    aff = (
+        per_doc.join(per_span.where(is_dup).select("w", "sh"), ["w", "sh"])
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("affected_docs"))
+    )
+    return (
+        spec.join(aff, "w", "left")
+        .select(
+            F.col("w").alias("span_w"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_distinct_spans").cast("long").alias("n_distinct_spans"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.col("dup_positions").cast("long").alias("dup_positions"),
+            F.coalesce(F.col("affected_docs"), F.lit(0))
+            .cast("long")
+            .alias("affected_docs"),
+            F.expr("(dup_positions * 1000000) div n_spans")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("span_w")
+    )
+
+
 #: Gopher-rule constants (Rae et al. 2021 table A1 shape, thresholds
 #: calibrated so every rule BINDS on the synthetic corpus: token count
 #: p5/p95 are ~16/94, mean word length spans 3.7-5.3, and 'the'/'a'

@@ -933,3 +933,118 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------- data-constrained repeat upsampling
+
+#: epoch ceiling for repeated data — Muennighoff et al. 2023 measure that
+#: up to ~4 epochs of repeats are worth nearly as much as fresh tokens,
+#: with value decaying fast beyond
+REPEAT_MAX_EPOCHS = 4
+
+
+@register(
+    "sample_repeat_upsampling",
+    oracle=f"""
+WITH s AS (
+    SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+    FROM documents GROUP BY source
+),
+si AS (
+    SELECT source, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isqrt
+    FROM s
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, SUM(isqrt) AS total_isqrt FROM si),
+plan AS (
+    SELECT source, n_tokens,
+           (total_tokens * isqrt) // total_isqrt AS quota_tokens
+    FROM si, tot
+),
+ep AS (
+    SELECT source, n_tokens, quota_tokens,
+           (quota_tokens + n_tokens - 1) // n_tokens AS epochs_needed
+    FROM plan
+),
+cp AS (
+    SELECT *, least(epochs_needed, {REPEAT_MAX_EPOCHS}) AS epochs_planned FROM ep
+),
+sv AS (
+    SELECT *, least(quota_tokens, epochs_planned * n_tokens) AS tokens_served FROM cp
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(quota_tokens AS BIGINT) AS quota_tokens,
+       CAST(epochs_needed AS BIGINT) AS epochs_needed,
+       CAST(epochs_planned AS BIGINT) AS epochs_planned,
+       CAST(tokens_served AS BIGINT) AS tokens_served,
+       CAST(quota_tokens - tokens_served AS BIGINT) AS deficit_tokens,
+       CAST((tokens_served * 1000000) // n_tokens AS BIGINT) AS upsample_ppm
+FROM sv
+ORDER BY source
+""",
+    doc=(
+        "Data-constrained repeat-upsampling plan (Muennighoff et al. 2023 "
+        "'Scaling Data-Constrained Language Models'): per-source TOKEN "
+        "quotas at alpha=0.5 temperature weights (sample_temperature_"
+        "mixture's grammar, over tokens instead of docs), the number of "
+        "epochs of that source needed to fill its quota, the epoch count "
+        f"CAPPED at {REPEAT_MAX_EPOCHS} (repeated data loses value past "
+        "~4 epochs), tokens actually served under the cap, the unmet "
+        "deficit a curation run must source elsewhere, and the effective "
+        "repetition rate in ppm (1e6 = exactly one epoch). This is the "
+        "artifact that decides WHICH low-resource sources get repeated "
+        "and how often before sample_epoch_shuffle materializes the "
+        "epochs. All arithmetic is exact INTEGER division end-to-end "
+        "(floor(sqrt) is IEEE-exact; everything after is bigint div) — "
+        "bit-identical across engines; per-source state is a handful of "
+        "integers riding a broadcast 1-row total, one corpus pass. At "
+        "extreme corpus sizes the total_tokens x isqrt product needs the "
+        "same rescale-to-ppm guard as the kmeans centroid sums "
+        "(int64 headroom ~1e18)."
+    ),
+)
+def sample_repeat_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(F.split("text", " ")).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").alias("n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")))
+            .cast("long")
+            .alias("isqrt"),
+        )
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("isqrt").alias("total_isqrt")
+    )
+    plan = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("(total_tokens * isqrt) div total_isqrt").alias("quota_tokens"),
+    )
+    ep = plan.withColumn(
+        "epochs_needed", F.expr("(quota_tokens + n_tokens - 1) div n_tokens")
+    ).withColumn(
+        "epochs_planned", F.least(F.col("epochs_needed"), F.lit(REPEAT_MAX_EPOCHS))
+    ).withColumn(
+        "tokens_served",
+        F.least(F.col("quota_tokens"), F.col("epochs_planned") * F.col("n_tokens")),
+    )
+    return ep.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("quota_tokens").cast("long").alias("quota_tokens"),
+        F.col("epochs_needed").cast("long").alias("epochs_needed"),
+        F.col("epochs_planned").cast("long").alias("epochs_planned"),
+        F.col("tokens_served").cast("long").alias("tokens_served"),
+        (F.col("quota_tokens") - F.col("tokens_served"))
+        .cast("long")
+        .alias("deficit_tokens"),
+        F.expr("(tokens_served * 1000000) div n_tokens")
+        .cast("long")
+        .alias("upsample_ppm"),
+    ).orderBy("source")

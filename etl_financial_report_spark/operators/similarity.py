@@ -3196,3 +3196,100 @@ def sim_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+# ------------------------------------------- nearest-centroid classifier
+
+
+@register(
+    "sim_centroid_classifier",
+    oracle=f"""
+WITH {_Q_CTE},
+cl AS (
+    SELECT q.label AS cid, e.i, CAST(SUM(e.v) AS BIGINT) AS cv
+    FROM ex e JOIN q ON q.vec_id = e.vec_id GROUP BY 1, 2
+),
+cn AS (SELECT cid, SUM(cv * cv) AS cnsq FROM cl GROUP BY cid),
+dots AS (
+    SELECT e.vec_id, c.cid, SUM(e.v * c.cv) AS dot
+    FROM ex e JOIN cl c ON c.i = e.i GROUP BY 1, 2
+),
+cosv AS (
+    SELECT d.vec_id, d.cid,
+           CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(c.cnsq AS DOUBLE))) AS cos
+    FROM dots d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cn c ON c.cid = d.cid
+    WHERE c.cnsq > 0
+),
+assign AS (
+    SELECT vec_id, cid AS predicted FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        FROM cosv
+    ) WHERE rk = 1
+),
+conf AS (
+    SELECT q.label AS actual_label, a.predicted AS predicted_label, COUNT(*) AS n
+    FROM q JOIN assign a ON a.vec_id = q.vec_id GROUP BY 1, 2
+),
+tot AS (SELECT actual_label, SUM(n) AS actual_total FROM conf GROUP BY 1)
+SELECT c.actual_label, c.predicted_label, CAST(c.n AS BIGINT) AS n,
+       CAST(t.actual_total AS BIGINT) AS actual_total,
+       CAST((c.n * 1000000) // t.actual_total AS BIGINT) AS cell_ppm
+FROM conf c JOIN tot t USING (actual_label)
+ORDER BY actual_label, predicted_label
+""",
+    doc=(
+        "Nearest-class-mean classifier eval over the labeled embeddings — "
+        "the weak-classifier loop a labeling/curation pipeline runs to "
+        "sanity-check embedding quality (if class centroids can't "
+        "separate the labels, neither will anything built on them). "
+        "Per-label centroids are EXACT int64 elementwise member sums "
+        "(cosine is scale-invariant, so the sum vector IS the mean "
+        "direction — no float averaging, same rule as "
+        "sim_ann_kmeans_train); every vector assigns to its argmax-"
+        "quantized-cosine label centroid via the shared _assign_cells "
+        "broadcast (L rows per vector, bounded by the label count, never "
+        "the corpus), and the output is the confusion matrix with "
+        "per-actual-label recall cells in exact-integer ppm. The embedding "
+        "twin of text_lang_id_eval. One corpus pass for the centroids "
+        "(per-dim sums, two-phase) + one broadcast scoring pass; centroid "
+        "state is labels x dims integers."
+    ),
+)
+def sim_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir)
+    ex = qv.select("label", F.posexplode("qe").alias("i", "v"))
+    dims = ex.groupBy("label", "i").agg(F.sum("v").alias("s"))
+    cents = (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ).alias("c_qe")
+        )
+        .withColumn("c_nsq", norm_sq_q(F.col("c_qe")))
+        .where(F.col("c_nsq") > 0)
+        .select(F.col("label").alias("cid"), "c_qe", "c_nsq")
+    )
+    assign = _assign_cells(qv.select("vec_id", "qe", "nsq"), cents)
+    conf = (
+        qv.select("vec_id", F.col("label").alias("actual_label"))
+        .join(assign, "vec_id")
+        .groupBy("actual_label", F.col("cell").alias("predicted_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = conf.groupBy("actual_label").agg(F.sum("n").alias("actual_total"))
+    return (
+        conf.join(tot, "actual_label")
+        .select(
+            "actual_label",
+            "predicted_label",
+            F.col("n").cast("long").alias("n"),
+            F.col("actual_total").cast("long").alias("actual_total"),
+            F.expr("(n * 1000000) div actual_total").cast("long").alias("cell_ppm"),
+        )
+        .orderBy("actual_label", "predicted_label")
+    )

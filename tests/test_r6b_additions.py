@@ -1,0 +1,124 @@
+"""Semantic pins for the r6 late additions: the duplication-length
+spectrum (scrub-width selection), the nearest-centroid classifier eval,
+and the data-constrained repeat-upsampling plan. Exactness vs DuckDB is
+covered by the parity harness; these pin the SEMANTICS on corpora built
+to exercise each rule."""
+
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark.operators.quality import (
+    SPECTRUM_WIDTHS,
+    dedup_span_spectrum,
+)
+from etl_financial_report_spark.operators.sampling import (
+    REPEAT_MAX_EPOCHS,
+    sample_repeat_upsampling,
+)
+from etl_financial_report_spark.operators.similarity import (
+    sim_centroid_classifier,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_vecs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+# ------------------------------------------------------- span spectrum
+
+
+def test_span_spectrum_counts_shared_run_exactly(spark, tmp_path):
+    """Two docs share exactly a 32-token run; the spectrum must report
+    32-w+1 duplicated spans at width w <= 32 and zero at w = 64, with
+    within-doc repeats (doc 3) never counted as cross-doc dups."""
+    shared = [f"s{i}" for i in range(32)]
+    doc1 = [f"x{i}" for i in range(40)] + shared + [f"y{i}" for i in range(40)]
+    doc2 = [f"p{i}" for i in range(40)] + shared + [f"q{i}" for i in range(40)]
+    rep = [f"r{i}" for i in range(16)]
+    doc3 = rep + rep + [f"z{i}" for i in range(40)]  # internal repeat only
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, " ".join(doc1), "a"), (2, " ".join(doc2), "a"), (3, " ".join(doc3), "b")],
+    )
+    rows = {r["span_w"]: r for r in dedup_span_spectrum(spark, sf).collect()}
+    assert set(rows) == set(SPECTRUM_WIDTHS)
+    for w in (8, 16, 32):
+        r = rows[w]
+        # only windows fully inside the shared run match across docs
+        assert r["n_dup_spans"] == 32 - w + 1
+        assert r["dup_positions"] == 2 * (32 - w + 1)
+        assert r["affected_docs"] == 2
+    assert rows[64]["n_dup_spans"] == 0
+    assert rows[64]["dup_positions"] == 0
+    assert rows[64]["affected_docs"] == 0
+    # the spectrum is monotone: wider spans can only trigger less
+    ppms = [rows[w]["dup_ppm"] for w in SPECTRUM_WIDTHS]
+    assert ppms == sorted(ppms, reverse=True)
+    # every positional span is accounted (doc lengths 112, 112, 72)
+    for w in SPECTRUM_WIDTHS:
+        expect = sum(max(0, n - w + 1) for n in (112, 112, 72))
+        assert rows[w]["n_spans"] == expect
+
+
+# ------------------------------------------- nearest-centroid classifier
+
+
+def test_centroid_classifier_separable_labels_are_diagonal(spark, tmp_path):
+    """Two orthogonal label clouds classify perfectly; a deliberately
+    flipped vector produces exactly one off-diagonal cell."""
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + i * 0.01, 0.1, 0.0, 0.0], 0))
+    for i in range(8):
+        rows.append((100 + i, [0.1, 10.0 + i * 0.01, 0.0, 0.0], 1))
+    # vec 999 is labeled 0 but sits in label 1's direction
+    rows.append((999, [0.0, 50.0, 0.0, 0.0], 0))
+    sf = _write_vecs(spark, tmp_path, rows)
+    out = sim_centroid_classifier(spark, sf).collect()
+    cells = {(r["actual_label"], r["predicted_label"]): r for r in out}
+    assert cells[(0, 0)]["n"] == 8
+    assert cells[(0, 1)]["n"] == 1  # the flipped vector
+    assert cells[(1, 1)]["n"] == 8
+    assert (1, 0) not in cells
+    assert cells[(1, 1)]["cell_ppm"] == 1_000_000
+    # ppm cells of one actual label sum to ~1e6 (floor division slack)
+    s = cells[(0, 0)]["cell_ppm"] + cells[(0, 1)]["cell_ppm"]
+    assert 999_998 <= s <= 1_000_000
+    assert cells[(0, 0)]["actual_total"] == 9
+
+
+# --------------------------------------------- repeat-upsampling plan
+
+
+def test_repeat_upsampling_caps_and_deficits(spark, tmp_path):
+    """A dominant source donates quota to a tiny one; the tiny source's
+    epoch count hits the cap and reports its unmet deficit."""
+    big = [(i, " ".join(f"t{i}_{j}" for j in range(100)), "big") for i in range(64)]
+    tiny = [(1000, " ".join(f"u{j}" for j in range(10)), "tiny")]
+    sf = _write_docs(spark, tmp_path, big + tiny)
+    out = {r["source"]: r for r in sample_repeat_upsampling(spark, sf).collect()}
+    bigr, tinyr = out["big"], out["tiny"]
+    assert bigr["n_tokens"] == 6400 and tinyr["n_tokens"] == 10
+    # temperature flattening: big is capped below its raw share ...
+    assert bigr["quota_tokens"] < bigr["n_tokens"]
+    assert bigr["epochs_needed"] == 1 and bigr["deficit_tokens"] == 0
+    assert bigr["tokens_served"] == bigr["quota_tokens"]
+    # ... and tiny is upsampled past the epoch cap, leaving a deficit
+    assert tinyr["epochs_needed"] > REPEAT_MAX_EPOCHS
+    assert tinyr["epochs_planned"] == REPEAT_MAX_EPOCHS
+    assert tinyr["tokens_served"] == REPEAT_MAX_EPOCHS * tinyr["n_tokens"]
+    assert tinyr["deficit_tokens"] == tinyr["quota_tokens"] - tinyr["tokens_served"]
+    assert tinyr["upsample_ppm"] == REPEAT_MAX_EPOCHS * 1_000_000
+    # quotas never exceed the corpus-wide token budget
+    assert sum(r["quota_tokens"] for r in out.values()) <= 6410
