@@ -3293,3 +3293,197 @@ def sim_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual_label", "predicted_label")
     )
+
+
+# --------------------------------------------------- hybrid retrieval
+
+#: keyword for the hybrid-retrieval stage (a mid-frequency corpus token)
+HYBRID_KW = "spark"
+
+#: bounded list sizes: each modality contributes its top-N candidates
+HYBRID_LIST_N = 20
+
+#: reciprocal-rank-fusion smoothing constant (the standard k=60 of
+#: Cormack et al. 2009)
+RRF_K = 60
+
+
+@register(
+    "sim_hybrid_retrieval",
+    oracle=f"""
+WITH {_Q_CTE},
+kw AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t = '{HYBRID_KW}')) AS n_kw
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), t -> t = '{HYBRID_KW}')) > 0
+),
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+)
+SELECT k.doc_id, CAST(k.n_kw AS BIGINT) AS n_kw,
+       CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cosine
+FROM kw k
+JOIN qdot d ON d.vec_id = k.doc_id
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+ORDER BY cosine DESC, k.doc_id
+LIMIT 10
+""",
+    doc=(
+        "Hybrid keyword-filtered vector retrieval — the RAG-retriever "
+        f"composition: documents containing the keyword '{HYBRID_KW}' "
+        "form the candidate set (token-exact match on the split stream, "
+        "never a substring LIKE), candidates join their embeddings on the "
+        "shared id (vec_id = doc_id — the embeddings table IS the "
+        "document-embedding store; docs without a vector drop out), and "
+        "the query vector (vec 0) re-ranks survivors by exact quantized "
+        "cosine, top-10 with deterministic tie-break. Scale shape: the "
+        "keyword scan is column-pruned to (doc_id, text) and filters "
+        "BEFORE the join, the id equi-join co-partitions (bucketed by id "
+        "in a real deployment, zero-shuffle), the 1-row query broadcasts, "
+        "and the final top-10 is TakeOrdered — no global sort. The filter "
+        "composes with the sign-bucket/IVF candidate pruning for corpora "
+        "where even the filtered side is huge."
+    ),
+)
+def sim_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_kw = F.size(F.filter(F.split("text", " "), lambda t: t == F.lit(HYBRID_KW)))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", n_kw.alias("n_kw"))
+        .where(F.col("n_kw") > 0)
+    )
+    qv = _quantized(spark, sf_dir)
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cand = qv.where(F.col("vec_id") != 0).join(
+        docs, qv.vec_id == docs.doc_id
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select("doc_id", F.col("n_kw").cast("long").alias("n_kw"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_hybrid_rrf_fusion",
+    oracle=f"""
+WITH {_Q_CTE},
+kw AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t = '{HYBRID_KW}')) AS n_kw
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), t -> t = '{HYBRID_KW}')) > 0
+),
+kwtop AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_kw DESC, doc_id) AS kw_rank
+    FROM kw ORDER BY n_kw DESC, doc_id LIMIT {HYBRID_LIST_N}
+),
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0) qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+),
+cosv AS (
+    SELECT d.vec_id,
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) AS cos
+    FROM qdot d
+    JOIN norms n ON n.vec_id = d.vec_id
+    CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) qn
+),
+vtop AS (
+    SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS v_rank
+    FROM cosv ORDER BY cos DESC, vec_id LIMIT {HYBRID_LIST_N}
+),
+fused AS (
+    SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+           k.kw_rank, v.v_rank,
+           COALESCE(1.0 / ({RRF_K} + k.kw_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + v.v_rank), 0.0) AS rrf
+    FROM kwtop k FULL OUTER JOIN vtop v ON v.doc_id = k.doc_id
+)
+SELECT doc_id,
+       CAST(kw_rank AS BIGINT) AS kw_rank,
+       CAST(v_rank AS BIGINT) AS v_rank,
+       rrf AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+""",
+    doc=(
+        "Reciprocal-rank fusion of the keyword and vector retrieval lists "
+        f"(Cormack et al. 2009, k = {RRF_K}) — the standard hybrid-search "
+        "merge (Elasticsearch/Vespa shape): each modality contributes its "
+        f"top-{HYBRID_LIST_N} (keyword rank = occurrence count of "
+        f"'{HYBRID_KW}' desc, vector rank = exact quantized cosine to vec "
+        "0 desc, both with id tie-breaks), and a doc's fused score is the "
+        "sum of 1/(k + rank) over the lists it appears in (absent list "
+        "contributes 0). Scale shape: each list is a TakeOrdered head — "
+        "the rank windows run over ALREADY-BOUNDED "
+        f"{HYBRID_LIST_N}-row frames, never the corpus (the ranked-"
+        "before-collect rule from text_inverted_index); the fusion is a "
+        f"full-outer join of two {HYBRID_LIST_N}-row frames. The 1/(k+r) "
+        "divisions are single IEEE ops on integer ranks — bit-identical "
+        "across engines."
+    ),
+)
+def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n_kw = F.size(F.filter(F.split("text", " "), lambda t: t == F.lit(HYBRID_KW)))
+    kw = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", n_kw.alias("n_kw"))
+        .where(F.col("n_kw") > 0)
+        .orderBy(F.desc("n_kw"), F.asc("doc_id"))
+        .limit(HYBRID_LIST_N)
+    )
+    kwtop = kw.withColumn(
+        "kw_rank",
+        F.row_number().over(Window.orderBy(F.desc("n_kw"), F.asc("doc_id"))),
+    ).select("doc_id", "kw_rank")
+    qv = _quantized(spark, sf_dir)
+    query = qv.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_qe"), F.col("nsq").alias("q_nsq")
+    )
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    vlist = (
+        qv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(HYBRID_LIST_N)
+    )
+    vtop = vlist.withColumn(
+        "v_rank", F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+    ).select(F.col("vec_id").alias("doc_id"), "v_rank")
+    fused = kwtop.join(vtop, "doc_id", "full_outer").select(
+        "doc_id",
+        "kw_rank",
+        "v_rank",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("v_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+            F.col("v_rank").cast("long").alias("v_rank"),
+            "rrf_score",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -50,6 +50,13 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_hard_negative_mining",
     # 1-row cross-source totals broadcast onto the per-source aggregate
     "sample_temperature_mixture",
+    # same 1-row totals broadcast, over token counts (the repeat plan)
+    "sample_repeat_upsampling",
+    # O(labels)-row centroid-block broadcast (_assign_cells, kmeans shape)
+    "sim_centroid_classifier",
+    # 1-row query-vector broadcast (sim_ann_topk's shape) onto the
+    # keyword-filtered candidate join / the bounded modality heads
+    "sim_hybrid_retrieval", "sim_hybrid_rrf_fusion",
     # three 1-row conditional-sum aggregates assembled into the 6 bar rows
     "sim_semantic_threshold_sweep",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",

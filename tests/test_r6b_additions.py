@@ -122,3 +122,61 @@ def test_repeat_upsampling_caps_and_deficits(spark, tmp_path):
     assert tinyr["upsample_ppm"] == REPEAT_MAX_EPOCHS * 1_000_000
     # quotas never exceed the corpus-wide token budget
     assert sum(r["quota_tokens"] for r in out.values()) <= 6410
+
+
+# ------------------------------------------------- hybrid retrieval
+
+
+def _hybrid_fixture(spark, tmp_path):
+    kw = "spark"
+    docs = [
+        (0, "plain filler text", "s"),          # query doc, no keyword
+        (1, f"{kw} {kw} {kw} pad", "s"),        # kw x3, high cosine
+        (2, f"{kw} other words here", "s"),     # kw x1, orthogonal vector
+        (3, "no keyword at all", "s"),          # high cosine, filtered out
+        (4, f"{kw} {kw} pad pad", "s"),         # kw x2, NO vector
+        (5, f"{kw} tail tail tail", "s"),       # kw x1, mid cosine
+    ]
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.1, 0.0], 0),
+        (5, [0.9, 0.2, 0.0, 0.0], 0),
+    ]
+    _write_docs(spark, tmp_path, docs)
+    return _write_vecs(spark, tmp_path, vecs)
+
+
+def test_hybrid_retrieval_filters_then_ranks(spark, tmp_path):
+    from etl_financial_report_spark.operators.similarity import (
+        sim_hybrid_retrieval,
+    )
+
+    sf = _hybrid_fixture(spark, tmp_path)
+    out = sim_hybrid_retrieval(spark, sf).collect()
+    # only keyword docs WITH a vector survive (3 lacks the kw, 4 a vector),
+    # ranked by exact cosine to vec 0
+    assert [r["doc_id"] for r in out] == [1, 5, 2]
+    assert [r["n_kw"] for r in out] == [3, 1, 1]
+    assert out[0]["cosine"] > out[1]["cosine"] > out[2]["cosine"]
+
+
+def test_hybrid_rrf_both_lists_beat_one(spark, tmp_path):
+    from etl_financial_report_spark.operators.similarity import (
+        RRF_K,
+        sim_hybrid_rrf_fusion,
+    )
+
+    sf = _hybrid_fixture(spark, tmp_path)
+    rows = sim_hybrid_rrf_fusion(spark, sf).collect()
+    order = [r["doc_id"] for r in rows]
+    # doc1 leads (rank 1 in BOTH lists); docs 2 and 5 have mirrored ranks
+    # (kw 3/vec 4 vs kw 4/vec 3) -> equal scores, id tie-break; the
+    # single-list docs 3 (vector only) and 4 (keyword only) trail
+    assert order == [1, 2, 5, 3, 4]
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["rrf_score"] == 2 * (1.0 / (RRF_K + 1))
+    assert by_id[2]["rrf_score"] == by_id[5]["rrf_score"]
+    assert by_id[4]["kw_rank"] == 2 and by_id[4]["v_rank"] is None
+    assert by_id[3]["kw_rank"] is None and by_id[3]["v_rank"] == 2

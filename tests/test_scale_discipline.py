@@ -38,8 +38,10 @@ ALLOWED_GLOBAL_WINDOW = {
     "operators/windows.py": 1,  # interval sweep: per-day frame
     "operators/relational.py": 2,  # ntile band offsets + year/quarter frame
     # IVF probe ranking + residual-IVFPQ nprobe ranking: each orders the
-    # N_CELLS(=8) centroid cosines of ONE query vector — bounded frames
-    "operators/similarity.py": 2,
+    # N_CELLS(=8) centroid cosines of ONE query vector — bounded frames;
+    # RRF fusion: two rank windows over ALREADY-LIMITed
+    # HYBRID_LIST_N(=20)-row modality heads (TakeOrdered runs first)
+    "operators/similarity.py": 4,
 }
 
 
