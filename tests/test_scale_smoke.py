@@ -76,8 +76,17 @@ def _run(spark, name, make_df, record):
 def smoke_record():
     rec = {}
     yield rec
+    # merge into the existing artifact so a partial (-k / single-test)
+    # run refreshes only the queries it ran instead of clobbering the rest
+    merged = {}
+    try:
+        with open(ARTIFACT) as f:
+            merged = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    merged.update(rec)
     with open(ARTIFACT, "w") as f:
-        json.dump({"sf": "sf0.1 x 10", "queries": rec}, f, indent=1, sort_keys=True)
+        json.dump({"sf": "sf0.1 x 10", "queries": merged}, f, indent=1, sort_keys=True)
 
 
 def test_lsh_verified_finds_replica_pairs(spark, sf1_dir, smoke_record):
@@ -332,6 +341,36 @@ def test_span_scrub_at_scale(spark, sf1_dir, smoke_record):
         (F.col("n_tokens") < SPAN_N) & (F.col("n_dropped") > 0)
     ).count()
     assert short_touched == 0
+
+
+def test_span_spectrum_at_scale(spark, sf1_dir, smoke_record):
+    """r6 spectrum at the x10 corpus: identical replicas make EVERY span
+    at EVERY width a cross-document duplicate, so each width's dup_ppm
+    must be exactly 1e6, dup positions must equal total positions, and
+    the affected-doc count must equal the docs long enough to span —
+    the same adversarial hottest-key shape as the scrub smoke, times
+    four widths in one pass."""
+    from etl_financial_report_spark.operators.quality import SPECTRUM_WIDTHS
+
+    df, n = _run(
+        spark,
+        "dedup_span_spectrum",
+        lambda: registry.all_queries()["dedup_span_spectrum"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n == len(SPECTRUM_WIDTHS)
+    rows = {r["span_w"]: r for r in df.collect()}
+    lens = load_table(spark, sf1_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("nt")
+    )
+    for w in SPECTRUM_WIDTHS:
+        r = rows[w]
+        if r["n_spans"] == 0:
+            continue
+        assert r["dup_ppm"] == 1_000_000
+        assert r["dup_positions"] == r["n_spans"]
+        assert r["n_dup_spans"] == r["n_distinct_spans"]
+        assert r["affected_docs"] == lens.where(F.col("nt") >= w).count()
 
 
 def test_tokenize_ids_at_scale(spark, sf1_dir, smoke_record):

@@ -100,11 +100,25 @@ def smoke_record():
             x10 = json.load(f)["queries"]
     except (OSError, KeyError, json.JSONDecodeError):
         x10 = {}
-    ratios = {
-        name: round(rec[name]["sec"] / x10[name]["sec"], 2)
-        for name in rec
-        if name in x10 and x10[name].get("sec", 0) > 0
-    }
+    # merge into the existing artifact so a partial (-k / single-test)
+    # run refreshes only the queries it ran instead of clobbering the rest
+    try:
+        with open(ARTIFACT) as f:
+            prior = json.load(f)
+        merged_q = prior.get("queries", {})
+        merged_r = prior.get("time_ratio_vs_x10", {})
+    except (OSError, ValueError):
+        merged_q, merged_r = {}, {}
+    merged_q.update(rec)
+    rec = merged_q
+    merged_r.update(
+        {
+            name: round(rec[name]["sec"] / x10[name]["sec"], 2)
+            for name in rec
+            if name in x10 and x10[name].get("sec", 0) > 0
+        }
+    )
+    ratios = merged_r
     with open(ARTIFACT, "w") as f:
         json.dump(
             {

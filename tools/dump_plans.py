@@ -259,6 +259,34 @@ HEADLINERS = {
         "two-level topk; every pairwise estimate derives from K-bounded "
         "sketch frames — the corpus is read once."
     ),
+    "dedup_chunk_keep_first": (
+        "Chunk keep-first dedup (r6): two-phase groupBy(md5).min over one "
+        "packed position integer, kept text rebuilt doc-locally — the "
+        "shuffle carries 16-byte hashes + one long, never text."
+    ),
+    "dedup_winnowing_pairs": (
+        "Winnowing/MOSS pair report (r6): fingerprint frame materialized "
+        "BEFORE the explode so Catalyst cannot inline the nested gram "
+        "lambdas per reference site (measured 137s -> 3s); boilerplate "
+        "fingerprints df-capped before the self-join."
+    ),
+    "dedup_span_spectrum": (
+        "Duplication-length spectrum (r6): all four widths union into ONE "
+        "span stream before the explode — one token pass; the "
+        "(w, sh, doc_id) -> (w, sh) two-phase cascade keeps hot "
+        "boilerplate spans map-side combined."
+    ),
+    "sim_centroid_classifier": (
+        "Nearest-centroid eval (r6): label centroids as exact int64 "
+        "per-dim sums (two shuffles), then ONE broadcast of the "
+        "O(labels) centroid block scores the corpus — no corpus-side "
+        "shuffle in the scoring pass."
+    ),
+    "sim_hybrid_retrieval": (
+        "Hybrid retrieval (r6): keyword filter BEFORE the id equi-join "
+        "(column-pruned text scan), 1-row query vector broadcast, "
+        "TakeOrdered(10) — no global sort, join co-partitionable by id."
+    ),
 }
 
 
