@@ -136,12 +136,14 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signature_of(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_signature_sql() -> str:
+def _minhash_signature_sql(src: str = "documents") -> str:
+    """Signature CTE body over any (doc_id, text) relation ``src`` —
+    the funnel signs a survivor subset, everything else the full table."""
     hashes = ", ".join(f"{uminhash_agg_sql('hw', i)} AS h{i}" for i in range(N_HASHES))
     return f"""
     SELECT doc_id, {hashes}
     FROM (SELECT doc_id, {hash32_sql('w')} AS hw
-          FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents))
+          FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM {src}))
     GROUP BY doc_id
     """
 
@@ -3084,4 +3086,258 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("jaccard_ppm"),
         )
+    )
+
+
+# ------------------------------------------------------- dedup funnel
+
+from .similarity import (  # noqa: E402 — placed with its only consumer
+    SEMDEDUP_COSINE,
+    _Q_CTE as _SIM_Q_CTE,
+    _SPLIT_BUCKET_CTES as _SIM_SPLIT_CTES,
+)
+
+#: a doc is "chunk-heavy" when at least half its chunks are cross-doc dups
+FUNNEL_CHUNK_NUM = 2
+
+_FUNNEL_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig"
+    for bi, (_, h1, h2) in enumerate(_BANDS)
+)
+
+_FUNNEL_SQL = f"""
+WITH s0 AS (SELECT doc_id, text FROM documents),
+e AS (SELECT doc_id, text, md5(text) AS h FROM s0),
+k1 AS (SELECT h, MIN(doc_id) AS keep_id FROM e GROUP BY h),
+s1 AS (SELECT doc_id, text FROM e JOIN k1 USING (h) WHERE doc_id = keep_id),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM s1),
+cocc AS ({_chunk_occ_sql()}),
+dupch AS (
+    SELECT ch FROM (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM cocc GROUP BY ch)
+    WHERE nd >= 2
+),
+cstats AS (
+    SELECT cocc.doc_id, COUNT(*) AS n_chunks,
+           SUM(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+    FROM cocc LEFT JOIN dupch d ON d.ch = cocc.ch
+    GROUP BY cocc.doc_id
+),
+s2 AS (
+    SELECT s1.doc_id, s1.text FROM s1 JOIN cstats c ON c.doc_id = s1.doc_id
+    WHERE {FUNNEL_CHUNK_NUM} * c.n_dup < c.n_chunks
+),
+sig AS ({_minhash_signature_sql(src="s2")}),
+bands AS ({_FUNNEL_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+toks3 AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM s2
+),
+sizes3 AS (SELECT doc_id, COUNT(*) AS n FROM toks3 GROUP BY doc_id),
+inter3 AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM cand p
+    JOIN toks3 a ON a.doc_id = p.doc_a
+    JOIN toks3 b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY 1, 2
+),
+drop3 AS (
+    SELECT DISTINCT p.doc_b AS doc_id
+    FROM cand p
+    JOIN sizes3 sa ON sa.doc_id = p.doc_a
+    JOIN sizes3 sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter3 i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    WHERE CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+              / (sa.n + sb.n - COALESCE(i.n_shared, 0)) >= {VERIFY_JACCARD}
+),
+s3 AS (
+    SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drop3)
+),
+{_SIM_Q_CTE},
+{_SIM_SPLIT_CTES},
+dots4 AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM ex a
+    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    JOIN live ba ON ba.vec_id = a.vec_id
+    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+    JOIN s3 pa ON pa.doc_id = a.vec_id
+    JOIN s3 pb ON pb.doc_id = b.vec_id
+    GROUP BY 1, 2
+),
+drop4 AS (
+    SELECT DISTINCT d.vec_b AS doc_id
+    FROM dots4 d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= {SEMDEDUP_COSINE}
+),
+s4 AS (
+    SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
+),
+f AS (
+    SELECT 1 AS stage_idx, 'exact' AS stage,
+           (SELECT COUNT(*) FROM s0) AS n_in, (SELECT COUNT(*) FROM s1) AS n_out
+    UNION ALL
+    SELECT 2, 'chunk_heavy',
+           (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'lsh_near_dup',
+           (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+    UNION ALL
+    SELECT 4, 'semantic',
+           (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_in - n_out AS BIGINT) AS n_dropped,
+       CAST(n_out AS BIGINT) AS n_out,
+       CAST(((n_in - n_out) * 1000000) // n_in AS BIGINT) AS drop_ppm
+FROM f
+ORDER BY stage_idx
+"""
+
+
+@register(
+    "pipeline_dedup_funnel",
+    oracle=_FUNNEL_SQL,
+    doc=(
+        "End-to-end dedup REMOVAL FUNNEL — the per-stage attribution "
+        "table a corpus release publishes (the Dolma/RefinedWeb 'what "
+        "did each dedup stage remove' table): stages run cheapest-first "
+        "on the survivors of the previous stage, so expensive stages "
+        "only pay for what cheap stages could not kill. Stage 1 exact "
+        "(md5 keep-min, groupBy+join — never a content-keyed window); "
+        f"stage 2 chunk-heavy (>= 1/{FUNNEL_CHUNK_NUM} of a doc's "
+        f"{DEDUP_CHUNK_W}-token chunks duplicated across surviving docs, "
+        "dedup_chunk_keep_first's two-phase counting); stage 3 LSH "
+        "near-dup (minhash banding on survivors -> pair-driven exact-"
+        f"jaccard verify >= {VERIFY_JACCARD}); stage 4 semantic "
+        "(SemDeDup sign-bucket cosine pairs >= "
+        f"{SEMDEDUP_COSINE}, endpoints restricted to survivors with "
+        "vectors; vectorless docs pass through). Stages 3/4 use the "
+        "DOMINATED rule — drop a doc iff a surviving SMALLER-id "
+        "neighbor exists in the stage's pair graph — a deliberate "
+        "one-pass policy: unlike dedup_keep_list's full-component "
+        "canonicalization it needs no iterative closure, at the cost of "
+        "keeping both ends of a pair whose smaller end was itself "
+        "dropped by transitivity (the component twin measures that "
+        "residue). Output: per-stage n_in / n_dropped / n_out / "
+        "exact-integer drop_ppm. All counting rides five 1-row "
+        "aggregates crossJoined for the final 4-row artifact."
+    ),
+)
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import sim_bucketed_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage 1: exact content dedup, keep-min per hash
+    hashed = docs.select("doc_id", "text", F.md5("text").alias("h"))
+    keep1 = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    s1docs = (
+        hashed.join(keep1, "h")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+    )
+    # stage 2: chunk-heavy docs (half or more of their chunks duplicated)
+    cocc = _chunk_occurrences(
+        s1docs.select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    dupch = (
+        cocc.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("ch", F.lit(1).alias("isdup"))
+    )
+    cstats = (
+        cocc.join(dupch, "ch", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("isdup", F.lit(0))).alias("n_dup"),
+        )
+    )
+    s2docs = s1docs.join(
+        cstats.where(
+            FUNNEL_CHUNK_NUM * F.col("n_dup") < F.col("n_chunks")
+        ).select("doc_id"),
+        "doc_id",
+    )
+    # stage 3: LSH-banded candidates on survivors, exact-jaccard verified
+    bands = _band_keys(_minhash_signature_of(s2docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = exact_jaccard(cand, distinct_tokens(s2docs)).where(
+        F.col("jaccard") >= VERIFY_JACCARD
+    )
+    drop3 = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    s3 = s2docs.select("doc_id").join(drop3, "doc_id", "left_anti")
+    # stage 4: semantic pairs restricted to survivors with vectors
+    spairs = sim_bucketed_cosine_pairs(spark, sf_dir).where(
+        F.col("cosine") >= SEMDEDUP_COSINE
+    )
+    both = spairs.join(
+        s3.withColumnRenamed("doc_id", "vec_a"), "vec_a"
+    ).join(s3.withColumnRenamed("doc_id", "vec_b"), "vec_b")
+    drop4 = both.select(F.col("vec_b").alias("doc_id")).distinct()
+    s4 = s3.join(drop4, "doc_id", "left_anti")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    counts = (
+        cnt(docs, "n0")
+        .crossJoin(F.broadcast(cnt(s1docs, "n1")))
+        .crossJoin(F.broadcast(cnt(s2docs, "n2")))
+        .crossJoin(F.broadcast(cnt(s3, "n3")))
+        .crossJoin(F.broadcast(cnt(s4, "n4")))
+    )
+    stages = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("stage_idx"),
+                    F.lit(nm).alias("stage"),
+                    F.col(ci).alias("n_in"),
+                    F.col(co).alias("n_out"),
+                )
+                for i, (nm, ci, co) in enumerate(
+                    [
+                        ("exact", "n0", "n1"),
+                        ("chunk_heavy", "n1", "n2"),
+                        ("lsh_near_dup", "n2", "n3"),
+                        ("semantic", "n3", "n4"),
+                    ],
+                    start=1,
+                )
+            ]
+        )
+    )
+    return (
+        counts.select(stages.alias("s"))
+        .select(
+            F.col("s.stage_idx").alias("stage_idx"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_in").cast("long").alias("n_in"),
+            (F.col("s.n_in") - F.col("s.n_out")).cast("long").alias("n_dropped"),
+            F.col("s.n_out").cast("long").alias("n_out"),
+            F.expr("((s.n_in - s.n_out) * 1000000) div s.n_in")
+            .cast("long")
+            .alias("drop_ppm"),
+        )
+        .orderBy("stage_idx")
     )

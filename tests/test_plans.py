@@ -57,6 +57,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # 1-row query-vector broadcast (sim_ann_topk's shape) onto the
     # keyword-filtered candidate join / the bounded modality heads
     "sim_hybrid_retrieval", "sim_hybrid_rrf_fusion",
+    # five 1-row stage-count aggregates crossJoined into the 4-row funnel
+    "pipeline_dedup_funnel",
     # three 1-row conditional-sum aggregates assembled into the 6 bar rows
     "sim_semantic_threshold_sweep",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",

@@ -180,3 +180,54 @@ def test_hybrid_rrf_both_lists_beat_one(spark, tmp_path):
     assert by_id[2]["rrf_score"] == by_id[5]["rrf_score"]
     assert by_id[4]["kw_rank"] == 2 and by_id[4]["v_rank"] is None
     assert by_id[3]["kw_rank"] is None and by_id[3]["v_rank"] == 2
+
+
+# --------------------------------------------------- dedup funnel
+
+
+def test_dedup_funnel_attributes_each_stage(spark, tmp_path):
+    """One engineered casualty per stage: an exact copy, a chunk-heavy
+    doc, an LSH near-dup, and a semantic (embedding) dup — the funnel
+    must attribute exactly one drop to each stage, in order."""
+    from etl_financial_report_spark.operators.dedup import (
+        pipeline_dedup_funnel,
+    )
+
+    def soup(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    base = {i: soup(f"d{i}_", 40) for i in range(1, 6)}
+    d2 = soup("c2_", 48)                       # 3 chunks of 16
+    d2_first_chunk = " ".join(d2.split()[:16])
+    d3 = base[3].split()
+    mut = list(d3)
+    for c in range(3):                         # one token changed PER chunk
+        mut[c * 16 + 3] = f"mut{c}"
+    docs = [
+        (1, base[1], "s"),
+        (2, d2, "s"),
+        (3, base[3], "s"),
+        (4, base[4], "s"),
+        (5, base[5], "s"),
+        (10, base[1], "s"),                    # exact copy of 1
+        (20, d2_first_chunk + " " + soup("u20_", 16), "s"),  # 1 of 2 chunks dup
+        (30, " ".join(mut), "s"),              # near-dup of 3, no dup chunk
+        (40, soup("q40_", 40), "s"),
+        (41, soup("q41_", 40), "s"),
+    ]
+    vecs = [
+        (40, [5.0, 1.0, 0.5, 0.0], 0),
+        (41, [5.0, 1.1, 0.5, 0.0], 0),         # cosine ~1 with 40
+    ]
+    _write_docs(spark, tmp_path, docs)
+    sf = _write_vecs(spark, tmp_path, vecs)
+    rows = pipeline_dedup_funnel(spark, sf).collect()
+    got = [(r["stage"], r["n_in"], r["n_dropped"], r["n_out"]) for r in rows]
+    assert got == [
+        ("exact", 10, 1, 9),
+        ("chunk_heavy", 9, 1, 8),
+        ("lsh_near_dup", 8, 1, 7),
+        ("semantic", 7, 1, 6),
+    ]
+    ppm = {r["stage"]: r["drop_ppm"] for r in rows}
+    assert ppm["exact"] == 100_000 and ppm["semantic"] == 142_857
