@@ -3239,11 +3239,15 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: exact content dedup, keep-min per hash
     hashed = docs.select("doc_id", "text", F.md5("text").alias("h"))
     keep1 = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    # survivor frames feed 2-3 consumers each (chunk stream, signatures,
+    # token stream, stage counts): localCheckpoint cuts the re-derivation
+    # a DAG branch per consumer would otherwise pay (measured 16s -> 13s
+    # cold at sf0.1), same device as the threshold sweep's pair reuse
     s1docs = (
         hashed.join(keep1, "h")
         .where(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "text")
-    )
+    ).localCheckpoint()
     # stage 2: chunk-heavy docs (half or more of their chunks duplicated)
     cocc = _chunk_occurrences(
         s1docs.select("doc_id", F.split("text", " ").alias("toks"))
@@ -3267,7 +3271,7 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             FUNNEL_CHUNK_NUM * F.col("n_dup") < F.col("n_chunks")
         ).select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint()
     # stage 3: LSH-banded candidates on survivors, exact-jaccard verified
     bands = _band_keys(_minhash_signature_of(s2docs))
     a, b = bands.alias("a"), bands.alias("b")
@@ -3285,7 +3289,9 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= VERIFY_JACCARD
     )
     drop3 = verified.select(F.col("doc_b").alias("doc_id")).distinct()
-    s3 = s2docs.select("doc_id").join(drop3, "doc_id", "left_anti")
+    s3 = (
+        s2docs.select("doc_id").join(drop3, "doc_id", "left_anti")
+    ).localCheckpoint()
     # stage 4: semantic pairs restricted to survivors with vectors
     spairs = sim_bucketed_cosine_pairs(spark, sf_dir).where(
         F.col("cosine") >= SEMDEDUP_COSINE

@@ -440,3 +440,40 @@ def test_sq8_topk_at_scale(spark, sf1_dir, smoke_record):
     # vec 0 has 9 identical replicas; SQ8 reconstruction error is far
     # below the 1-vs-replica cosine gap, so the top hit is essentially 1.0
     assert df.agg(F.max("cosine_sq8")).collect()[0][0] >= 0.99
+
+
+def test_dedup_funnel_at_scale(spark, sf1_dir, smoke_record):
+    """r6 funnel at the x10 corpus: stage 1 (exact, keep-min) must
+    collapse the 10 identical replicas to exactly the corpus's distinct
+    texts (>= 90% dropped), and because keep-min keeps the ORIGINAL ids,
+    stages 2-4 must then report numbers IDENTICAL to the plain sf0.1
+    funnel — the replica-collapse invariant."""
+    df, n = _run(
+        spark,
+        "pipeline_dedup_funnel",
+        lambda: registry.all_queries()["pipeline_dedup_funnel"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n == 4
+    rows = {r["stage"]: r for r in df.collect()}
+    docs = load_table(spark, sf1_dir, "documents")
+    n_docs = docs.count()
+    n_texts = docs.select("text").distinct().count()
+    assert rows["exact"]["n_in"] == n_docs
+    assert rows["exact"]["n_out"] == n_texts
+    assert rows["exact"]["drop_ppm"] >= 900_000
+    base = {
+        r["stage"]: r
+        for r in registry.all_queries()["pipeline_dedup_funnel"]
+        .fn(spark, SRC_SF)
+        .collect()
+    }
+    for stage in ("chunk_heavy", "lsh_near_dup"):
+        assert rows[stage]["n_in"] == base[stage]["n_in"]
+        assert rows[stage]["n_dropped"] == base[stage]["n_dropped"]
+    # the semantic stage is NOT invariant: x10 occupancy engages the
+    # sign-bucket split policy, and sub-bucketing can only REMOVE pairs
+    # among the surviving original ids (never add) — so its drop count
+    # is a nonzero subset of the base run's
+    assert rows["semantic"]["n_in"] == base["semantic"]["n_in"]
+    assert 0 < rows["semantic"]["n_dropped"] <= base["semantic"]["n_dropped"]
