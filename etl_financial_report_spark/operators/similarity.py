@@ -3487,3 +3487,206 @@ def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ------------------------------------------------ IVF nprobe recall sweep
+
+#: probe widths swept against the trained IVF index
+IVF_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_sql() -> str:
+    per_np = ",\n".join(
+        f"""r{np} AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        FROM cand WHERE cell_rank <= {np}
+    ) WHERE rk <= 10
+),
+o{np} AS (
+    SELECT COALESCE(SUM(1), 0) AS n_overlap
+    FROM truth t JOIN r{np} l ON l.qid = t.qid AND l.vec_id = t.vec_id
+)"""
+        for np in IVF_NPROBE_SWEEP
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({np} AS BIGINT) AS nprobe,
+       CAST((SELECT COUNT(*) FROM qs) AS BIGINT) AS n_queries,
+       CAST((SELECT n_overlap FROM o{np}) AS BIGINT) AS n_overlap,
+       CAST((SELECT n_overlap FROM o{np}) AS DOUBLE)
+           / ((SELECT COUNT(*) FROM qs) * 10) AS mean_recall_at_10"""
+        for np in IVF_NPROBE_SWEEP
+    )
+    return f"""
+WITH {_Q_CTE},
+{_KMEANS_R1_CTES},
+qs AS (SELECT vec_id AS qid FROM q WHERE vec_id < {SIM_EVAL_NQ}),
+qex AS (SELECT e.vec_id AS qid, e.i, e.v FROM ex e JOIN qs ON qs.qid = e.vec_id),
+cvec AS (SELECT vec_id FROM q WHERE vec_id >= {SIM_EVAL_NQ}),
+adots AS (
+    SELECT qx.qid, e.vec_id, SUM(e.v * qx.v) AS dot
+    FROM ex e JOIN cvec c ON c.vec_id = e.vec_id
+    JOIN qex qx ON qx.i = e.i
+    GROUP BY 1, 2
+),
+acos AS (
+    SELECT d.qid, d.vec_id,
+           CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nv.nsq AS DOUBLE))) AS cos
+    FROM adots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nv ON nv.vec_id = d.vec_id
+),
+truth AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        FROM acos
+    ) WHERE rk <= 10
+),
+cdots AS (
+    SELECT e.vec_id, x.cid, SUM(e.v * x.cv) AS dot
+    FROM ex e JOIN cvec c ON c.vec_id = e.vec_id
+    JOIN cex1 x ON x.i = e.i
+    GROUP BY 1, 2
+),
+ccos AS (
+    SELECT d.vec_id, d.cid,
+           CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cn.cnsq AS DOUBLE))) AS cos
+    FROM cdots d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cn1 cn ON cn.cid = d.cid
+    WHERE cn.cnsq > 0
+),
+assignc AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+        FROM ccos
+    ) WHERE rk = 1
+),
+qdots AS (
+    SELECT qx.qid, x.cid, SUM(qx.v * x.cv) AS dot
+    FROM qex qx JOIN cex1 x ON x.i = qx.i GROUP BY 1, 2
+),
+qcos AS (
+    SELECT d.qid, d.cid,
+           CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cn.cnsq AS DOUBLE))) AS cos
+    FROM qdots d
+    JOIN norms n ON n.vec_id = d.qid
+    JOIN cn1 cn ON cn.cid = d.cid
+    WHERE cn.cnsq > 0
+),
+qrank AS (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS cell_rank
+    FROM qcos
+),
+cand AS (
+    SELECT a.qid, a.vec_id, qr.cell_rank, a.cos
+    FROM acos a
+    JOIN assignc s ON s.vec_id = a.vec_id
+    JOIN qrank qr ON qr.qid = a.qid AND qr.cid = s.cell
+),
+{per_np}
+SELECT * FROM ({rows}) ORDER BY nprobe
+"""
+
+
+@register(
+    "sim_ann_ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_sql(),
+    doc=(
+        "IVF nprobe-recall tuning curve — the FAISS operating-point sweep: "
+        f"recall@10 of the TRAINED one-Lloyd-round IVF index at nprobe in "
+        f"{IVF_NPROBE_SWEEP}, averaged over {SIM_EVAL_NQ} query vectors "
+        "against per-query exact ground truth. The measured curve that "
+        "picks the candidate-volume/recall trade BEFORE committing an "
+        "index config — the IVF twin of dedup_banding_sweep, and the "
+        "multi-point generalization of the fixed nprobe=2 baked into the "
+        "residual stack. ONE shared scoring pass: exact query-corpus "
+        "cosines, the corpus cell assignment, and the per-query centroid "
+        "ranking are each computed once; every nprobe row is a filter "
+        "(cell_rank <= np) + bounded re-rank over the SAME candidate "
+        f"frame, so the sweep costs one batch-eval, not "
+        f"{len(IVF_NPROBE_SWEEP)}. At nprobe = {N_CELLS} the filter "
+        "passes everything and recall must hit 1.0 exactly — asserted in "
+        "tests as the self-check that candidates were never lost."
+    ),
+)
+def sim_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    qv = _quantized(spark, sf_dir)
+    allv = qv.select("vec_id", "qe", "nsq")
+    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("c_qe"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    cents = _update_centroids(allv, _assign_cells(allv, seeds))
+    queries = qv.where(F.col("vec_id") < SIM_EVAL_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    corpus = qv.where(F.col("vec_id") >= SIM_EVAL_NQ)
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id", "vec_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 10")
+        .select("q_id", "vec_id")
+    ).localCheckpoint()
+    assignc = _assign_cells(corpus.select("vec_id", "qe", "nsq"), cents)
+    qcos = cosine_q(
+        dot_q(F.col("q_qe"), F.col("c_qe")), F.col("q_nsq"), F.col("c_nsq")
+    )
+    qrank = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("q_id", "cid", qcos.alias("qc"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("qc"), F.asc("cid"))
+            ),
+        )
+        .select("q_id", F.col("cid").alias("cell"), "cell_rank")
+    )
+    # one shared candidate frame; each nprobe row filters + re-ranks it
+    cand = (
+        scored.join(assignc, "vec_id").join(qrank, ["q_id", "cell"])
+    ).localCheckpoint()
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    rows = []
+    for np in IVF_NPROBE_SWEEP:
+        hit = (
+            cand.where(F.col("cell_rank") <= np)
+            .withColumn("rk", F.row_number().over(w))
+            .where("rk <= 10")
+            .select("q_id", "vec_id")
+        )
+        ovl = truth.join(hit, ["q_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("n_overlap")
+        )
+        rows.append(
+            nq.crossJoin(F.broadcast(ovl)).select(
+                F.lit(np).cast("long").alias("nprobe"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                (
+                    F.col("n_overlap").cast("double")
+                    / (F.col("n_queries") * 10)
+                ).alias("mean_recall_at_10"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("nprobe")

@@ -59,6 +59,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_hybrid_retrieval", "sim_hybrid_rrf_fusion",
     # five 1-row stage-count aggregates crossJoined into the 4-row funnel
     "pipeline_dedup_funnel",
+    # 16-row query block + 8-row centroid block + 1-row overlap aggregates
+    # (batch-recall-eval shape, once per swept nprobe)
+    "sim_ann_ivf_nprobe_sweep",
     # three 1-row conditional-sum aggregates assembled into the 6 bar rows
     "sim_semantic_threshold_sweep",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",

@@ -231,3 +231,28 @@ def test_dedup_funnel_attributes_each_stage(spark, tmp_path):
     ]
     ppm = {r["stage"]: r["drop_ppm"] for r in rows}
     assert ppm["exact"] == 100_000 and ppm["semantic"] == 142_857
+
+
+# --------------------------------------------- IVF nprobe recall sweep
+
+
+def test_nprobe_sweep_monotone_and_exhaustive_at_full_width(spark, sf_dir):
+    """Recall@10 must be non-decreasing in nprobe, and probing all
+    N_CELLS cells must recover the exact top-10 (recall exactly 1.0) —
+    the self-check that the cell partition never loses a candidate."""
+    from etl_financial_report_spark.operators.similarity import (
+        IVF_NPROBE_SWEEP,
+        N_CELLS,
+        sim_ann_ivf_nprobe_sweep,
+    )
+
+    rows = sim_ann_ivf_nprobe_sweep(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == list(IVF_NPROBE_SWEEP)
+    recalls = [r["mean_recall_at_10"] for r in rows]
+    assert recalls == sorted(recalls)
+    by_np = {r["nprobe"]: r for r in rows}
+    assert N_CELLS in by_np
+    assert by_np[N_CELLS]["mean_recall_at_10"] == 1.0
+    assert by_np[N_CELLS]["n_overlap"] == by_np[N_CELLS]["n_queries"] * 10
+    # a narrow probe must actually prune (otherwise the sweep is vacuous)
+    assert by_np[IVF_NPROBE_SWEEP[0]]["mean_recall_at_10"] < 1.0
