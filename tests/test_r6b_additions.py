@@ -256,3 +256,66 @@ def test_nprobe_sweep_monotone_and_exhaustive_at_full_width(spark, sf_dir):
     assert by_np[N_CELLS]["n_overlap"] == by_np[N_CELLS]["n_queries"] * 10
     # a narrow probe must actually prune (otherwise the sweep is vacuous)
     assert by_np[IVF_NPROBE_SWEEP[0]]["mean_recall_at_10"] < 1.0
+
+
+# ----------------------------------------------- constraint report
+
+
+def test_constraint_report_every_rule_binds(spark, tmp_path):
+    """Engineer exactly ONE violation per constraint on top of the clean
+    sf0.001 tables: every rule must fire with count 1 (a rule that can't
+    fire is untested), and on the pristine tables all must pass."""
+    import os
+
+    from etl_financial_report_spark.io import load_table
+    from etl_financial_report_spark.operators.pipelines import (
+        pipeline_constraint_report,
+    )
+
+    src = "/root/testdata/sf0.001"
+    clean = {
+        r["constraint_name"]: r
+        for r in pipeline_constraint_report(spark, src).collect()
+    }
+    assert all(r["passed"] and r["n_violations"] == 0 for r in clean.values())
+    assert len(clean) == 12
+
+    def first_mut(name, **changes):
+        row = load_table(spark, src, name).limit(1)
+        for col, val in changes.items():
+            row = row.withColumn(col, F.lit(val).cast(dict(row.dtypes)[col]))
+        return row
+
+    def write(name, extra_rows):
+        df = load_table(spark, src, name)
+        for r in extra_rows:
+            df = df.unionByName(r)
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+
+    write("nation", [first_mut("nation", n_nationkey=9000, n_regionkey=9999)])
+    write("customer", [
+        first_mut("customer"),                                   # dup key
+        first_mut("customer", c_custkey=8999, c_nationkey=8888), # bad fk
+    ])
+    write("orders", [first_mut("orders", o_orderkey=555555, o_custkey=7777)])
+    write("lineitem", [
+        first_mut("lineitem", l_orderkey=666666),
+        first_mut("lineitem", l_partkey=666666),
+        first_mut("lineitem", l_suppkey=666666),
+        first_mut("lineitem", l_quantity=0.0),
+        first_mut("lineitem", l_discount=0.9),
+    ])
+    write("documents", [first_mut("documents")])                 # dup doc_id
+    write("embeddings", [first_mut("embeddings", vec_id=999999)])
+    write("events", [first_mut("events", user_id=None)])
+    for name in ("region", "part", "supplier"):
+        os.symlink(f"{src}/{name}.parquet", str(tmp_path / f"{name}.parquet"))
+
+    dirty = {
+        r["constraint_name"]: r
+        for r in pipeline_constraint_report(spark, str(tmp_path)).collect()
+    }
+    assert len(dirty) == 12
+    for name, r in dirty.items():
+        assert r["n_violations"] == 1, (name, r)
+        assert not r["passed"]

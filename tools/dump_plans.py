@@ -287,6 +287,16 @@ HEADLINERS = {
         "(column-pruned text scan), 1-row query vector broadcast, "
         "TakeOrdered(10) — no global sort, join co-partitionable by id."
     ),
+    "pipeline_dedup_funnel": (
+        "Dedup removal funnel (r6): four stages cheapest-first over "
+        "checkpointed survivor frames; every count is a 1-row aggregate "
+        "crossJoined into the 4-row artifact — no driver-side counting."
+    ),
+    "sim_ann_ivf_nprobe_sweep": (
+        "IVF nprobe sweep (r6): one shared scoring pass (checkpointed "
+        "candidate frame); each swept operating point is a filter + "
+        "bounded per-query re-rank, not a fresh corpus scan."
+    ),
 }
 
 
