@@ -31,6 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query; non-SQL-expressible ops are
-    intentionally absent (driver records a rows-only check)."""
+    """DuckDB-runnable ANSI SQL per query — 100% coverage of queries():
+    the driver records an ERROR (not a rows-only check) for any
+    registered query without an oracle, so engine-specific sketch values
+    are reshaped to oracle-expressible projections instead of omitted
+    (enforced by tests/test_scale_discipline.py)."""
     return registry.oracle_sql()

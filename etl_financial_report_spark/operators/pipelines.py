@@ -841,11 +841,14 @@ SELECT 'embeddings_documents_fk', 'embeddings',
              WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS BIGINT)
 UNION ALL
 SELECT 'lineitem_quantity_positive', 'lineitem',
-       CAST((SELECT COUNT(*) FROM lineitem WHERE NOT (l_quantity > 0)) AS BIGINT)
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_quantity IS NULL OR isnan(l_quantity)
+                OR NOT (l_quantity > 0)) AS BIGINT)
 UNION ALL
 SELECT 'lineitem_discount_range', 'lineitem',
        CAST((SELECT COUNT(*) FROM lineitem
-             WHERE NOT (l_discount >= 0 AND l_discount <= 0.5)) AS BIGINT)
+             WHERE l_discount IS NULL OR isnan(l_discount)
+                OR NOT (l_discount >= 0 AND l_discount <= 0.5)) AS BIGINT)
 UNION ALL
 SELECT 'events_user_not_null', 'events',
        CAST((SELECT COUNT(*) FROM events WHERE user_id IS NULL) AS BIGINT)
@@ -858,8 +861,11 @@ ORDER BY constraint_name
         "One row per constraint with its violation count and pass bit; a "
         "release gate greps for passed = false. Every check is either a "
         "two-column aggregate (uniqueness = count minus count-distinct, "
-        "domain rules = a negated-predicate count with NULL-hostile NOT "
-        "(x > 0) semantics so null values VIOLATE rather than vanish) or "
+        "domain rules = a negated-predicate count with EXPLICIT null/NaN "
+        "hostility: `x IS NULL OR isnan(x) OR NOT <rule>` — a bare "
+        "NOT (x > 0) silently drops nulls under three-valued logic and "
+        "NaN compares greater than everything, so both are spelled out "
+        "to VIOLATE) or "
         "a left-anti join on the key (referential integrity) — dimension "
         "sides broadcast, fact-fact anti-joins shuffle on the key and "
         "AQE-split; the report itself is a union of 1-row aggregates. "
@@ -901,10 +907,18 @@ def pipeline_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk("nation_region_fk", "nation", "n_regionkey", "region", "r_regionkey"),
         fk("customer_nation_fk", "customer", "c_nationkey", "nation", "n_nationkey"),
         fk("embeddings_documents_fk", "embeddings", "vec_id", "documents", "doc_id"),
+        # domain rules are explicitly NULL- and NaN-hostile: under
+        # three-valued logic a bare NOT (x > 0) filter DROPS null rows
+        # (and NaN compares greater than everything in both engines), so
+        # both degenerate values must be spelled out to VIOLATE
         rule("lineitem_quantity_positive", "lineitem",
-             ~(F.col("l_quantity") > 0)),
+             F.col("l_quantity").isNull()
+             | F.isnan("l_quantity")
+             | ~(F.col("l_quantity") > 0)),
         rule("lineitem_discount_range", "lineitem",
-             ~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.5))),
+             F.col("l_discount").isNull()
+             | F.isnan("l_discount")
+             | ~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.5))),
         rule("events_user_not_null", "events", F.col("user_id").isNull()),
     ]
     rows = [

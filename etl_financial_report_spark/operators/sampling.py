@@ -8,7 +8,7 @@ results are reproducible, cluster-size-independent, and oracle-checkable
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash32, hash32_sql
@@ -704,8 +704,8 @@ seq AS (
 SELECT CAST(seq_id AS BIGINT) AS seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_segments,
        CAST(SUM(n_ids) AS BIGINT) AS n_tokens,
-       flatten(list(ids ORDER BY doc_id)) AS packed_ids,
-       list(CAST(n_ids AS BIGINT) ORDER BY doc_id) AS seg_lens
+       COALESCE(array_to_string(flatten(list(ids ORDER BY doc_id)), ','), '') AS packed_ids,
+       COALESCE(array_to_string(list(CAST(n_ids AS BIGINT) ORDER BY doc_id), ','), '') AS seg_lens
 FROM seq GROUP BY seq_id
 """
 
@@ -744,9 +744,9 @@ WITH {BPE_DOC_IDS_CTES},
     ),
 )
 def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .textops import text_tokenize_ids
+    from .textops import tokenize_ids_frame
 
-    base = text_tokenize_ids(spark, sf_dir).select(
+    base = tokenize_ids_frame(spark, sf_dir).select(
         "doc_id", F.size("ids").cast("long").alias("n_ids"), "ids"
     )
     return _pack_ids(base)
@@ -767,9 +767,9 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .textops import text_bpe_doc_ids
+    from .textops import bpe_doc_ids_frame
 
-    base = text_bpe_doc_ids(spark, sf_dir).select(
+    base = bpe_doc_ids_frame(spark, sf_dir).select(
         "doc_id", F.size("ids").cast("long").alias("n_ids"), "ids"
     )
     return _pack_ids(base)
@@ -804,12 +804,17 @@ def _pack_ids(base: DataFrame) -> DataFrame:
             F.expr(f"(cum_in + offset - 1) DIV {SEQ_PACK_TOKENS}").alias("seq_id"),
         )
     )
+    from ..functions.canon import csv_longs
+
     ordered = F.sort_array(F.collect_list(F.struct("doc_id", "n_ids", "ids")))
+    # id arrays serialize comma-joined at the output boundary (the driver
+    # canonicalizer cannot sort array columns); a trainer-facing sink would
+    # keep the arrays — budget-bounded either way
     return seq.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("n_ids").alias("n_tokens"),
-        F.flatten(F.transform(ordered, lambda s: s["ids"])).alias("packed_ids"),
-        F.transform(ordered, lambda s: s["n_ids"]).alias("seg_lens"),
+        csv_longs(F.flatten(F.transform(ordered, lambda s: s["ids"]))).alias("packed_ids"),
+        csv_longs(F.transform(ordered, lambda s: s["n_ids"])).alias("seg_lens"),
     )
 
 
@@ -1001,7 +1006,8 @@ ORDER BY source
         "integers riding a broadcast 1-row total, one corpus pass. At "
         "extreme corpus sizes the total_tokens x isqrt product needs the "
         "same rescale-to-ppm guard as the kmeans centroid sums "
-        "(int64 headroom ~1e18)."
+        "(int64 headroom ~1e18); the guard below raises loudly at that "
+        "boundary instead of wrapping."
     ),
 )
 def sample_repeat_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,7 +1030,7 @@ def sample_repeat_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = s.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        F.expr("(total_tokens * isqrt) div total_isqrt").alias("quota_tokens"),
+        repeat_quota_guarded().alias("quota_tokens"),
     )
     ep = plan.withColumn(
         "epochs_needed", F.expr("(quota_tokens + n_tokens - 1) div n_tokens")
@@ -1048,3 +1054,26 @@ def sample_repeat_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("upsample_ppm"),
     ).orderBy("source")
+
+
+def repeat_quota_guarded() -> Column:
+    """quota_tokens = (total_tokens * isqrt) div total_isqrt, with an
+    explicit int64-overflow guard (ADVICE r6): past ~1e18 the product
+    would silently WRAP; the guard raises loudly instead (checked as
+    total_tokens <= MAX_I64 div isqrt — exact, overflow-free). The fix at
+    that scale is the rescale-to-ppm device the kmeans centroid sums
+    cite; keeping the exact product below it preserves bit-identical
+    oracle parity. The guard rides inside the quota expression itself so
+    column pruning can never elide it."""
+    max_i64 = (1 << 63) - 1
+    safe = (F.col("isqrt") == 0) | (
+        F.col("total_tokens") <= F.expr(f"{max_i64} div isqrt")
+    )
+    return F.when(safe, F.expr("(total_tokens * isqrt) div total_isqrt")).otherwise(
+        F.raise_error(
+            F.lit(
+                "sample_repeat_upsampling: total_tokens * isqrt exceeds "
+                "int64 — rescale isqrt weights to ppm before the multiply"
+            )
+        ).cast("long")
+    )

@@ -261,7 +261,7 @@ def f_date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_array_surface",
     oracle="""
 SELECT p_partkey,
-       list_sort(string_split(p_name, ' ')) AS sorted_tokens,
+       COALESCE(array_to_string(list_sort(string_split(p_name, ' ')), ' '), '') AS sorted_tokens,
        len(string_split(p_name, ' ')) AS n_tokens,
        list_contains(string_split(p_name, ' '), 'green') AS has_green,
        list_sort(string_split(p_name, ' '))[1] AS first_token,
@@ -272,15 +272,20 @@ WHERE p_partkey < 500
 """,
     doc=(
         "Array surface (north-star §2.7 addition): sort/size/contains/"
-        "element_at/distinct-join/higher-order filter — native list exprs."
+        "element_at/distinct-join/higher-order filter — native list exprs. "
+        "sorted_tokens serializes space-joined at the output boundary "
+        "(p_name tokens are space-split, so the join is lossless): the "
+        "driver canonicalizer cannot sort array-typed columns."
     ),
 )
 def f_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.canon import joined_strings
+
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
     toks = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        F.array_sort(toks).alias("sorted_tokens"),
+        joined_strings(F.array_sort(toks), " ").alias("sorted_tokens"),
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "green").alias("has_green"),
         F.element_at(F.array_sort(toks), 1).alias("first_token"),

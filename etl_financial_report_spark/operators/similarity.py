@@ -478,7 +478,7 @@ per_dim AS (
 )
 SELECT label,
        MAX(n) AS n_vectors,
-       list(CAST(s AS DOUBLE) / (n * {10_000}) ORDER BY dim) AS centroid
+       string_agg(CAST(s AS VARCHAR), ',' ORDER BY dim) AS centroid_sums
 FROM per_dim
 GROUP BY label
 ORDER BY label
@@ -486,20 +486,23 @@ ORDER BY label
     doc=(
         "Per-label embedding centroid via a GROUPED_AGG pandas UDAF "
         "(SURVEY.md §2.9's named example): Arrow ships each label's "
-        "quantized vectors to one numpy sum — exact int64, so the "
-        "centroid is bit-stable regardless of row order; the divide "
-        "back to float space happens once in double."
+        "quantized vectors to one numpy sum — exact int64, so the output "
+        "is bit-stable regardless of row order. The canonical artifact is "
+        "the comma-serialized EXACT per-dim sum vector plus n_vectors "
+        "(the float centroid is sums/(n*scale), one lossless divide away; "
+        "a double array would defeat the driver canonicalizer and float "
+        "formatting differs across engines)."
     ),
 )
 def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
-    from ..functions.vectors import QUANT_SCALE
+    from ..functions.canon import csv_longs
 
-    @pandas_udf("array<double>")
-    def centroid_q(vecs: pd.Series) -> list[float]:
+    @pandas_udf("array<long>")
+    def centroid_sums_q(vecs: pd.Series) -> list[int]:
         m = np.array(vecs.tolist(), dtype=np.int64)  # (n_rows, dim), exact
-        return (m.sum(axis=0) / (len(m) * QUANT_SCALE)).tolist()
+        return m.sum(axis=0).tolist()
 
     # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates,
     # so the row count is a pandas agg too
@@ -510,7 +513,10 @@ def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _quantized(spark, sf_dir)
     return (
         emb.groupBy("label")
-        .agg(n_rows(F.col("qe")).alias("n_vectors"), centroid_q(F.col("qe")).alias("centroid"))
+        .agg(
+            n_rows(F.col("qe")).alias("n_vectors"),
+            csv_longs(centroid_sums_q(F.col("qe"))).alias("centroid_sums"),
+        )
         .orderBy("label")
     )
 
@@ -1271,7 +1277,7 @@ assign1 AS (
     ) WHERE rk = 1
 ),
 counts AS (SELECT cell, COUNT(*) AS n_members FROM assign1 GROUP BY 1),
-carr AS (SELECT cid AS cell, array_agg(cv ORDER BY i) AS centroid_sum FROM cex1 GROUP BY cid)
+carr AS (SELECT cid AS cell, string_agg(CAST(cv AS VARCHAR), ',' ORDER BY i) AS centroid_sum FROM cex1 GROUP BY cid)
 SELECT c.cell,
        CAST(COALESCE(t.n_members, 0) AS BIGINT) AS n_members,
        c.centroid_sum
@@ -1292,12 +1298,24 @@ FROM carr c LEFT JOIN counts t ON t.cell = c.cell
         "the same stage. At 100 TB the centroid sums need periodic "
         "rescaling to dodge int64 dot overflow past ~1e5-member cells at "
         "this quantization — the standard renormalize step; the oracle "
-        "unrolls the identical round as CTEs."
+        "unrolls the identical round as CTEs. The sum vector serializes "
+        "comma-joined (exact int64 text, driver-canonical); "
+        "kmeans_train_frame is the array-typed composition surface."
     ),
 )
-def sim_ann_kmeans_train(
+def sim_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.canon import csv_longs
+
+    return kmeans_train_frame(spark, sf_dir).select(
+        "cell", "n_members", csv_longs("centroid_sum").alias("centroid_sum")
+    )
+
+
+def kmeans_train_frame(
     spark: SparkSession, sf_dir: str, n_rounds: int = 1
 ) -> DataFrame:
+    """(cell, n_members, centroid_sum array<long>) — the array-typed
+    training loop; the registered query serializes the sum vector."""
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
     cents = (
         qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0))
@@ -1726,7 +1744,7 @@ WITH {_Q_CTE},
 {", ".join(_pq_sub_sql(m) for m in range(PQ_M))}
 {" UNION ALL ".join(
     f"SELECT {m} AS m, s.cid AS cell, CAST(c.cnt AS BIGINT) AS n_members, s.centroid_sum "
-    f"FROM (SELECT cid, array_agg(cv ORDER BY i) AS centroid_sum FROM cx{m}1 GROUP BY cid) s "
+    f"FROM (SELECT cid, string_agg(CAST(cv AS VARCHAR), ',' ORDER BY i) AS centroid_sum FROM cx{m}1 GROUP BY cid) s "
     f"JOIN cc{m} c ON c.cid = s.cid"
     for m in range(PQ_M))}
 """,
@@ -1736,16 +1754,19 @@ WITH {_Q_CTE},
         "codebooks as exact integer centroid sums with member counts, the "
         "PQ twin of sim_ann_kmeans_train's output. Same deterministic "
         "spherical Lloyd round; the oracle unrolls the identical training "
-        "per subspace and unions the books."
+        "per subspace and unions the books. Sum vectors serialize "
+        "comma-joined (exact int64 text, driver-canonical)."
     ),
 )
 def sim_ann_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.canon import csv_longs
+
     _subs, book = _pq_train(spark, sf_dir)
     return book.select(
         "m",
         F.col("cid").alias("cell"),
         F.col("cnt").cast("long").alias("n_members"),
-        F.col("c_qe").alias("centroid_sum"),
+        csv_longs("c_qe").alias("centroid_sum"),
     )
 
 

@@ -319,7 +319,7 @@ WITH toks AS (
 )
 SELECT token,
        COUNT(*) AS df,
-       (list_sort(list(doc_id)))[1:{POSTINGS_CAP}] AS postings,
+       COALESCE(array_to_string((list_sort(list(doc_id)))[1:{POSTINGS_CAP}], ','), '') AS postings,
        COUNT(*) > {POSTINGS_CAP} AS truncated
 FROM toks
 GROUP BY token
@@ -361,9 +361,14 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=POSTINGS_CAP,
         tiebreak=F.col("doc_id"),
     )
+    from ..functions.canon import csv_longs
+
+    # posting list serializes comma-joined at the output boundary (the
+    # driver canonicalizer cannot sort array columns); it is cap-bounded,
+    # so the string stays tiny
     return (
         capped.groupBy("token", "df")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .agg(csv_longs(F.sort_array(F.collect_list("doc_id"))).alias("postings"))
         .select("token", "df", "postings", (F.col("df") > POSTINGS_CAP).alias("truncated"))
     )
 
@@ -674,28 +679,10 @@ tok_docs AS (
 )"""
 
 
-@register(
-    "text_tokenize_ids",
-    oracle=f"""
-WITH {TOKENIZE_IDS_CTES}
-SELECT doc_id, n_tokens, n_unk, ids FROM tok_docs
-""",
-    doc=(
-        "Tokenizer encoding — the step that turns cleaned text into the "
-        "integer id arrays a trainer consumes: a corpus-derived vocabulary "
-        f"(top-{TOKENIZE_VOCAB_K} by frequency, deterministic count-then-"
-        "token order, ids dense from 1; everything else maps to UNK=0) "
-        f"applied per token, sequences truncated to {MAX_SEQ_LEN}. The "
-        "vocabulary head is bounded EXACTLY like text_token_rarity's "
-        "broadcast (orderBy+limit is a distributed TakeOrdered, never a "
-        "global window); id assignment happens by position on the <=K-row "
-        "head via a bounded sort_array, and the token stream joins the "
-        "broadcast vocab — the big side never shuffles on token. Per-doc "
-        "id order is recovered with a doc_id-partitioned collect over "
-        "(pos, id) structs — an entity-bounded group."
-    ),
-)
-def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenize_ids_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_unk, ids array<long>) — the composition form
+    pack_token_sequences consumes. The registered query serializes the id
+    array (the driver canonicalizer cannot sort array columns)."""
     docs = load_table(spark, sf_dir, "documents")
     tokpos = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
@@ -726,6 +713,39 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             MAX_SEQ_LEN,
         ).alias("ids"),
+    )
+
+
+@register(
+    "text_tokenize_ids",
+    oracle=f"""
+WITH {TOKENIZE_IDS_CTES}
+SELECT doc_id, n_tokens, n_unk,
+       COALESCE(array_to_string(ids, ','), '') AS ids
+FROM tok_docs
+""",
+    doc=(
+        "Tokenizer encoding — the step that turns cleaned text into the "
+        "integer id arrays a trainer consumes: a corpus-derived vocabulary "
+        f"(top-{TOKENIZE_VOCAB_K} by frequency, deterministic count-then-"
+        "token order, ids dense from 1; everything else maps to UNK=0) "
+        f"applied per token, sequences truncated to {MAX_SEQ_LEN}. The "
+        "vocabulary head is bounded EXACTLY like text_token_rarity's "
+        "broadcast (orderBy+limit is a distributed TakeOrdered, never a "
+        "global window); id assignment happens by position on the <=K-row "
+        "head via a bounded sort_array, and the token stream joins the "
+        "broadcast vocab — the big side never shuffles on token. Per-doc "
+        "id order is recovered with a doc_id-partitioned collect over "
+        "(pos, id) structs — an entity-bounded group. Output ids are the "
+        "comma-serialized form (driver-canonical); tokenize_ids_frame is "
+        "the array-typed composition surface."
+    ),
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.canon import csv_longs
+
+    return tokenize_ids_frame(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_unk", csv_longs("ids").alias("ids")
     )
 
 
@@ -1141,7 +1161,7 @@ def _bpe_encode_oracle() -> str:
     return f"""WITH {_bpe_ctes()}
 SELECT tok,
        CAST(n AS BIGINT) AS n_occurrences,
-       string_split(trim(seq), '  ') AS subwords,
+       COALESCE(array_to_string(string_split(trim(seq), '  '), ' '), '') AS subwords,
        CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_subwords
 FROM seq{BPE_ROUNDS}
 """
@@ -1158,10 +1178,14 @@ FROM seq{BPE_ROUNDS}
         "merge table is the persisted artifact and only the replace chain "
         "runs). Output is vocabulary-bounded — one row per distinct word "
         "with its occurrence weight, subword list, and subword count (the "
-        "corpus fertility statistic: total subwords = sum n * n_subwords)."
+        "corpus fertility statistic: total subwords = sum n * n_subwords). "
+        "Subwords serialize space-joined (tokens are whitespace-split, so "
+        "no subword contains a space — lossless; driver-canonical)."
     ),
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.canon import joined_strings
+
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
@@ -1173,7 +1197,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "tok",
         F.col("n").cast("long").alias("n_occurrences"),
-        subwords.alias("subwords"),
+        joined_strings(subwords, " ").alias("subwords"),
         F.size(subwords).cast("long").alias("n_subwords"),
     )
 
@@ -1252,25 +1276,9 @@ def bpe_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bpe_doc_ids",
-    oracle=f"""WITH {BPE_DOC_IDS_CTES}
-SELECT doc_id, n_subword_tokens, ids FROM bpe_docs
-""",
-    doc=(
-        "Document-level BPE encoding — the VERDICT r4 bridge from trainer "
-        "to trainer-ready data: every document's token stream maps through "
-        "the per-word subword segmentations the SAME merge chain as "
-        "text_bpe_merges produces (one shared training pass; at serving "
-        "time the merge table is the persisted artifact), yielding the "
-        "subword-id arrays a real tokenizer emits — not the word-level "
-        f"top-{TOKENIZE_VOCAB_K} vocab ids. The corpus-sized side only "
-        "ever joins the broadcast (vocabulary-bounded) word->ids table "
-        "and regroups per doc_id (entity-bounded); sequences truncate to "
-        f"{MAX_SEQ_LEN} like text_tokenize_ids."
-    ),
-)
-def text_bpe_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_doc_ids_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_subword_tokens, ids array<long>) — the composition form
+    pack_bpe_sequences consumes; the registered query serializes ids."""
     docs = load_table(spark, sf_dir, "documents")
     tokpos = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
@@ -1291,6 +1299,36 @@ def text_bpe_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("all_ids").cast("long").alias("n_subword_tokens"),
         F.slice("all_ids", 1, MAX_SEQ_LEN).alias("ids"),
+    )
+
+
+@register(
+    "text_bpe_doc_ids",
+    oracle=f"""WITH {BPE_DOC_IDS_CTES}
+SELECT doc_id, n_subword_tokens,
+       COALESCE(array_to_string(ids, ','), '') AS ids
+FROM bpe_docs
+""",
+    doc=(
+        "Document-level BPE encoding — the VERDICT r4 bridge from trainer "
+        "to trainer-ready data: every document's token stream maps through "
+        "the per-word subword segmentations the SAME merge chain as "
+        "text_bpe_merges produces (one shared training pass; at serving "
+        "time the merge table is the persisted artifact), yielding the "
+        "subword-id arrays a real tokenizer emits — not the word-level "
+        f"top-{TOKENIZE_VOCAB_K} vocab ids. The corpus-sized side only "
+        "ever joins the broadcast (vocabulary-bounded) word->ids table "
+        "and regroups per doc_id (entity-bounded); sequences truncate to "
+        f"{MAX_SEQ_LEN} like text_tokenize_ids. Output ids serialize "
+        "comma-joined (driver-canonical); bpe_doc_ids_frame is the "
+        "array-typed composition surface."
+    ),
+)
+def text_bpe_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.canon import csv_longs
+
+    return bpe_doc_ids_frame(spark, sf_dir).select(
+        "doc_id", "n_subword_tokens", csv_longs("ids").alias("ids")
     )
 
 

@@ -39,8 +39,13 @@ _REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
-    """Register an operator query. ``oracle=None`` marks a genuinely
-    non-SQL-expressible op (the driver then records a rows-only check)."""
+    """Register an operator query. Every registered query MUST carry an
+    oracle: the driver records an ERROR row for oracle-less queries
+    (CORRECTNESS_r06 falsified the old rows-only assumption), so
+    engine-specific outputs are reshaped to oracle-expressible
+    projections (exact twins + literal-expected gate booleans). The
+    ``None`` default remains only so the discipline net in
+    tests/test_scale_discipline.py can catch violations loudly."""
 
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)

@@ -95,7 +95,7 @@ def test_native_verdicts_agree_with_demo_at_sf01(spark):
     REQUIRES the one-sided half, and pins any fp that does occur to be
     accounted."""
     sf = "/root/testdata/sf0.1"
-    native = {r.doc_id: r for r in D.dedup_bloom_native(spark, sf).collect()}
+    native = {r.doc_id: r for r in D.bloom_native_frame(spark, sf).collect()}
     demo = {r.doc_id: r for r in D.dedup_bloom_prefilter(spark, sf).collect()}
     assert set(native) == set(demo) and native
     for doc_id, r in native.items():
@@ -103,3 +103,9 @@ def test_native_verdicts_agree_with_demo_at_sf01(spark):
         if r.exact_dup:
             assert r.bloom_maybe  # one-sided: no false negatives
         assert r.false_positive == (r.bloom_maybe and not r.exact_dup)
+    # the registered (oracle-checked) projection carries the guarantee
+    reg = {r.doc_id: r for r in D.dedup_bloom_native(spark, sf).collect()}
+    assert set(reg) == set(native)
+    for doc_id, r in reg.items():
+        assert r.exact_dup == native[doc_id].exact_dup
+        assert r.guarantee_ok

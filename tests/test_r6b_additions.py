@@ -124,6 +124,30 @@ def test_repeat_upsampling_caps_and_deficits(spark, tmp_path):
     assert sum(r["quota_tokens"] for r in out.values()) <= 6410
 
 
+def test_repeat_quota_overflow_guard_fires(spark):
+    """ADVICE r6: past ~1e18 the total_tokens * isqrt product would
+    silently WRAP in int64 — the quota expression must raise loudly
+    instead. Drive the guarded expression directly with literals just
+    past the boundary (and prove an in-range frame is untouched)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from etl_financial_report_spark.operators.sampling import repeat_quota_guarded
+
+    over = spark.createDataFrame(
+        [(2**62, 4, 10)], "total_tokens long, isqrt long, total_isqrt long"
+    )
+    with pytest.raises(SparkRuntimeException, match="rescale isqrt"):
+        over.select(repeat_quota_guarded().alias("q")).collect()
+
+    ok = spark.createDataFrame(
+        [(2**40, 1000, 2000), (123, 0, 2000)],
+        "total_tokens long, isqrt long, total_isqrt long",
+    )
+    got = [r.q for r in ok.select(repeat_quota_guarded().alias("q")).collect()]
+    assert got == [(2**40) * 1000 // 2000, 0]
+
+
 # ------------------------------------------------- hybrid retrieval
 
 
@@ -304,6 +328,13 @@ def test_constraint_report_every_rule_binds(spark, tmp_path):
         first_mut("lineitem", l_suppkey=666666),
         first_mut("lineitem", l_quantity=0.0),
         first_mut("lineitem", l_discount=0.9),
+        # ADVICE r6: three-valued logic drops NULLs from a bare
+        # NOT (x > 0) and NaN compares greater than 0 — both must
+        # VIOLATE under the explicit null/NaN-hostile rules
+        first_mut("lineitem", l_quantity=None),
+        first_mut("lineitem", l_quantity=float("nan")),
+        first_mut("lineitem", l_discount=None),
+        first_mut("lineitem", l_discount=float("nan")),
     ])
     write("documents", [first_mut("documents")])                 # dup doc_id
     write("embeddings", [first_mut("embeddings", vec_id=999999)])
@@ -316,6 +347,9 @@ def test_constraint_report_every_rule_binds(spark, tmp_path):
         for r in pipeline_constraint_report(spark, str(tmp_path)).collect()
     }
     assert len(dirty) == 12
+    # the domain rules fire once per engineered bad value (0.0/NULL/NaN
+    # for quantity; 0.9/NULL/NaN for discount); everything else once
+    expected = {"lineitem_quantity_positive": 3, "lineitem_discount_range": 3}
     for name, r in dirty.items():
-        assert r["n_violations"] == 1, (name, r)
+        assert r["n_violations"] == expected.get(name, 1), (name, r)
         assert not r["passed"]

@@ -176,3 +176,47 @@ def test_no_unguarded_cartesian_cross_joins():
             f"{rel} has a crossJoin without F.broadcast — an unguarded "
             "cartesian over two corpus-sized sides"
         )
+
+
+def test_registry_oracle_coverage():
+    """CORRECTNESS_r06's third red row: the driver records `err:
+    no_oracle` for any queries() entry missing an oracle_sql() entry —
+    the old rows-only assumption is falsified. 100% coverage, no
+    exceptions: engine-specific sketch outputs reshape to exact twins +
+    literal-expected gate booleans instead (agg_approx_distinct,
+    dedup_bloom_native et al.)."""
+    from etl_financial_report_spark import registry
+
+    missing = [n for n, q in registry.all_queries().items() if q.oracle is None]
+    assert not missing, (
+        f"registered queries without an oracle (each is a red driver row "
+        f"when sampled): {missing} — reshape the output to "
+        "oracle-expressible values or move the query to the pytest-only "
+        "surface"
+    )
+
+
+def test_registry_outputs_driver_canonical(spark):
+    """CORRECTNESS_r06's other two red rows: the driver canonicalizer
+    does a pandas sort over raw output columns and dies with
+    `TypeError: unhashable type: 'numpy.ndarray'` on ANY top-level
+    array/map/struct column. Walk every registered query's analyzed
+    schema at sf0.001 and fail on non-atomic output types — this class
+    of red row must be structurally impossible, like the collect() and
+    global-window nets above."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from etl_financial_report_spark import registry
+
+    bad = []
+    for name, q in sorted(registry.all_queries().items()):
+        df = q.fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, (
+        f"registered queries with non-atomic output columns (driver "
+        f"canonicalizer breaks on these): {bad} — serialize via "
+        "functions/canon.py (csv_longs / joined_strings) and mirror in "
+        "the oracle SQL"
+    )

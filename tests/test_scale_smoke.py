@@ -407,7 +407,9 @@ def test_pack_token_sequences_at_scale(spark, sf1_dir, smoke_record):
         F.sum("n_segments").alias("segs"),
         F.sum("n_tokens").alias("toks"),
         F.max("n_tokens").alias("max_seq"),
-        F.sum(F.size("packed_ids")).alias("packed"),
+        # packed_ids is the comma-serialized form (driver-canonical);
+        # element count = commas + 1 (n_tokens >= 1 per sequence)
+        F.sum(F.size(F.split("packed_ids", ","))).alias("packed"),
     ).collect()[0]
     n_docs = load_table(spark, sf1_dir, "documents").count()
     assert totals.segs == n_docs
@@ -477,3 +479,25 @@ def test_dedup_funnel_at_scale(spark, sf1_dir, smoke_record):
     # is a nonzero subset of the base run's
     assert rows["semantic"]["n_in"] == base["semantic"]["n_in"]
     assert 0 < rows["semantic"]["n_dropped"] <= base["semantic"]["n_dropped"]
+
+
+def test_winnowing_pairs_at_scale(spark, sf1_dir, smoke_record):
+    """r6 winnowing/MOSS pair report at the x10 corpus (added r7 so the
+    x100 run has an x10 ratio base). Identical replicas share their FULL
+    fingerprint set, so every surviving same-base pair must report
+    set-jaccard exactly 1e6; the df cap (32) deliberately drops any
+    fingerprint seen in >32 docs — base fingerprints with df >= 4 hit
+    40+ at x10 — which is the boilerplate defense engaging, not a bug."""
+    df, n = _run(
+        spark,
+        "dedup_winnowing_pairs",
+        lambda: registry.all_queries()["dedup_winnowing_pairs"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n > 0
+    same_base = df.where(
+        (F.col("doc_a") % ID_OFFSET) == (F.col("doc_b") % ID_OFFSET)
+    )
+    n_same = same_base.count()
+    assert n_same > 0
+    assert same_base.where(F.col("jaccard_ppm") != 1_000_000).count() == 0

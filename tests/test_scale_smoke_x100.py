@@ -109,8 +109,11 @@ def smoke_record():
         merged_r = prior.get("time_ratio_vs_x10", {})
     except (OSError, ValueError):
         merged_q, merged_r = {}, {}
+    # ADVICE r6: recompute ratios ONLY for queries this run actually
+    # re-timed — pairing a prior-run x100 timing with the current x10
+    # artifact would present mixed-provenance numbers as fresh; untouched
+    # names keep their previously computed ratios
     merged_q.update(rec)
-    rec = merged_q
     merged_r.update(
         {
             name: round(rec[name]["sec"] / x10[name]["sec"], 2)
@@ -118,6 +121,7 @@ def smoke_record():
             if name in x10 and x10[name].get("sec", 0) > 0
         }
     )
+    rec = merged_q
     ratios = merged_r
     with open(ARTIFACT, "w") as f:
         json.dump(
@@ -353,9 +357,114 @@ def test_pack_token_sequences_x100(spark, sf10_dir, smoke_record):
         F.sum("n_segments").alias("segs"),
         F.sum("n_tokens").alias("toks"),
         F.max("n_tokens").alias("max_seq"),
-        F.sum(F.size("packed_ids")).alias("packed"),
+        # packed_ids is the comma-serialized form (driver-canonical);
+        # element count = commas + 1 (n_tokens >= 1 per sequence)
+        F.sum(F.size(F.split("packed_ids", ","))).alias("packed"),
     ).collect()[0]
     n_docs = load_table(spark, sf10_dir, "documents").count()
     assert totals.segs == n_docs
     assert totals.packed == totals.toks
     assert totals.max_seq <= SEQ_PACK_TOKENS + MAX_SEQ_LEN
+
+
+def test_winnowing_pairs_x100(spark, sf10_dir, smoke_record):
+    """VERDICT r6 item 4: the winnowing pair report at half a million
+    docs. Identical replicas (0-9) share their FULL fingerprint set —
+    every surviving same-base pair must report set-jaccard exactly 1e6 —
+    while the 90 mutated replicas have per-replica token suffixes, so
+    their fingerprints never collide across replicas and the pair volume
+    grows linearly in replicas, never quadratically. The df cap (32) is
+    the boilerplate defense: identical-cluster fingerprints carry df =
+    10 x base-df exactly as at x10, so the surviving same-base pair set
+    is x10-identical by construction."""
+    df, n = _run(
+        spark,
+        "dedup_winnowing_pairs",
+        lambda: registry.all_queries()["dedup_winnowing_pairs"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    assert n > 0
+    same_base = df.where(
+        ((F.col("doc_a") % ID_OFFSET) == (F.col("doc_b") % ID_OFFSET))
+        & (F.col("doc_a") < IDENTICAL * ID_OFFSET)
+        & (F.col("doc_b") < IDENTICAL * ID_OFFSET)
+    )
+    assert same_base.count() > 0
+    assert same_base.where(F.col("jaccard_ppm") != 1_000_000).count() == 0
+
+
+def test_span_spectrum_x100(spark, sf10_dir, smoke_record):
+    """VERDICT r6 item 4: the 4-width duplication spectrum at 500k docs
+    from ONE token pass. The replica algebra gives EXACT expectations
+    from a single base (sf0.1) run: identical replicas (10 copies) make
+    every base span a duplicate; each mutated replica reproduces the
+    base corpus's internal dup structure verbatim (suffixed tokens never
+    collide across replicas). Per width:
+      n_spans        = 100 x base positions
+      dup_positions  = 10 x base positions + 90 x base dup positions
+      n_distinct     = 91 x base distinct        (1 identical + 90 mutated)
+      n_dup_spans    = base distinct + 90 x base dup-distinct
+      affected_docs  = 10 x docs long enough + 90 x base affected."""
+    from etl_financial_report_spark.operators.quality import SPECTRUM_WIDTHS
+
+    base = {
+        r["span_w"]: r
+        for r in registry.all_queries()["dedup_span_spectrum"].fn(spark, SRC_SF).collect()
+    }
+    df, n = _run(
+        spark,
+        "dedup_span_spectrum",
+        lambda: registry.all_queries()["dedup_span_spectrum"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    assert n == len(SPECTRUM_WIDTHS)
+    lens = load_table(spark, SRC_SF, "documents").select(
+        F.size(F.split("text", " ")).alias("nt")
+    )
+    mut = REPLICAS - IDENTICAL
+    rows = {r["span_w"]: r for r in df.collect()}
+    for w in SPECTRUM_WIDTHS:
+        b, r = base[w], rows[w]
+        if b["n_spans"] == 0:
+            assert r["n_spans"] == 0
+            continue
+        long_docs = lens.where(F.col("nt") >= w).count()
+        assert r["n_spans"] == REPLICAS * b["n_spans"]
+        assert r["dup_positions"] == IDENTICAL * b["n_spans"] + mut * b["dup_positions"]
+        assert r["n_distinct_spans"] == (mut + 1) * b["n_distinct_spans"]
+        assert r["n_dup_spans"] == b["n_distinct_spans"] + mut * b["n_dup_spans"]
+        assert r["affected_docs"] == IDENTICAL * long_docs + mut * b["affected_docs"]
+
+
+def test_dedup_funnel_x100(spark, sf10_dir, smoke_record):
+    """VERDICT r6 item 4: the 4-stage removal funnel at 500k docs. The
+    replica algebra again gives exact expectations from one base run:
+    stage 1 collapses the identical cluster to the base's distinct texts
+    and keeps every mutated replica's distinct texts (91 x base
+    survivors); mutated replicas are token-disjoint sub-corpora, so the
+    chunk and LSH stages each drop exactly 91 x the base drops (LSH
+    candidates are exact-jaccard verified, killing any cross-replica
+    band-key noise). The semantic stage engages the sign-bucket split at
+    this occupancy, which can only REMOVE candidate pairs — its drops
+    are a nonzero subset of 91 x base."""
+    base = {
+        r["stage"]: r
+        for r in registry.all_queries()["pipeline_dedup_funnel"].fn(spark, SRC_SF).collect()
+    }
+    df, n = _run(
+        spark,
+        "pipeline_dedup_funnel",
+        lambda: registry.all_queries()["pipeline_dedup_funnel"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    assert n == 4
+    rows = {r["stage"]: r for r in df.collect()}
+    docs = load_table(spark, sf10_dir, "documents")
+    reps = REPLICAS - IDENTICAL + 1  # 90 mutated sub-corpora + 1 collapsed
+    assert rows["exact"]["n_in"] == docs.count()
+    assert rows["exact"]["n_out"] == reps * base["exact"]["n_out"]
+    for stage in ("chunk_heavy", "lsh_near_dup"):
+        assert rows[stage]["n_in"] == reps * base[stage]["n_in"]
+        assert rows[stage]["n_dropped"] == reps * base[stage]["n_dropped"]
+    assert rows["semantic"]["n_in"] == reps * base["semantic"]["n_in"]
+    assert 0 < rows["semantic"]["n_dropped"] <= reps * base["semantic"]["n_dropped"]

@@ -1,4 +1,4 @@
-"""Grammar fuzzing for the CALK sectionizer (VERDICT r5 item 5): random
+r"""Grammar fuzzing for the CALK sectionizer (VERDICT r5 item 5): random
 heading grammars — numeric / letter / double-letter nesting per the
 reference's state machine (mainTesting.py:542-621), heading continuation
 lines, bilingual-ish noise, whitespace mutations — checked against an

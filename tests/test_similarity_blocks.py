@@ -46,13 +46,13 @@ def test_kmeans_train_multi_round_invariants(spark):
     rounds, and k-means admits 2-cycles in general — determinism per
     round count is what the operator guarantees, and what the oracle
     checks for n_rounds=1.)"""
-    from etl_financial_report_spark.operators.similarity import sim_ann_kmeans_train
+    from etl_financial_report_spark.operators.similarity import kmeans_train_frame
 
     sf = "/root/testdata/sf0.001"
     n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     by_round = {}
     for r in (1, 2, 3):
-        rows = sim_ann_kmeans_train(spark, sf, n_rounds=r).collect()
+        rows = kmeans_train_frame(spark, sf, n_rounds=r).collect()
         assert sum(x.n_members for x in rows) == n_vecs
         assert all(len(x.centroid_sum) == 64 for x in rows)
         by_round[r] = {(x.cell, tuple(x.centroid_sum)) for x in rows}
@@ -60,7 +60,7 @@ def test_kmeans_train_multi_round_invariants(spark):
     # rerun determinism at a fixed round count
     again = {
         (x.cell, tuple(x.centroid_sum))
-        for x in sim_ann_kmeans_train(spark, sf, n_rounds=2).collect()
+        for x in kmeans_train_frame(spark, sf, n_rounds=2).collect()
     }
     assert again == by_round[2]
 

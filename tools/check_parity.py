@@ -5,6 +5,11 @@ same parquet tables, then compares row count, sorted column names, and an
 order-insensitive value comparison that is STRICTER than any sane driver
 hash (floats compared bit-for-bit via repr, timestamps via isoformat).
 
+STRICT by default (r7): replicates the driver's `_canon`, which dies on
+any array-typed column and records `err: no_oracle` for oracle-less
+queries — both count as FAIL here, exactly as they'd be red driver rows.
+`--lenient-arrays` restores the old tuple-converting compare.
+
 Usage:
     python tools/check_parity.py [--sf-dir /root/testdata/sf0.01] [name ...]
 """
@@ -36,7 +41,15 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def norm_val(v):
+class DriverCanonError(TypeError):
+    """Raised (strict mode, the default) on any value the DRIVER's
+    canonicalizer cannot handle: its pandas sort_values over raw column
+    values dies with `TypeError: unhashable type: 'numpy.ndarray'` on any
+    array-typed column (CORRECTNESS_r06's two red rows), so a query that
+    'passes' here via tuple conversion would still be driver-red."""
+
+
+def norm_val(v, strict: bool = True):
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
@@ -53,16 +66,25 @@ def norm_val(v):
         return v.isoformat()
     if isinstance(v, (datetime, date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(norm_val(x) for x in v)
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        if strict:
+            raise DriverCanonError(
+                f"non-scalar cell of type {type(v).__name__} — the driver "
+                "canonicalizer cannot sort this; serialize the column "
+                "(functions/canon.py) before registering"
+            )
+        return tuple(norm_val(x, strict=False) for x in v)
     if isinstance(v, bytes):
         return v.hex()
     return v
 
 
-def normalize(df: pd.DataFrame):
+def normalize(df: pd.DataFrame, strict: bool = True):
     cols = sorted(df.columns)
-    rows = [tuple(norm_val(v) for v in t) for t in df[cols].itertuples(index=False, name=None)]
+    rows = [
+        tuple(norm_val(v, strict) for v in t)
+        for t in df[cols].itertuples(index=False, name=None)
+    ]
     rows.sort(key=repr)
     return cols, rows
 
@@ -80,8 +102,18 @@ def main() -> int:
             "query by the registry wrapper) may be relied on"
         ),
     )
+    ap.add_argument(
+        "--lenient-arrays",
+        action="store_true",
+        help=(
+            "tuple-convert array cells instead of failing them (the pre-r7 "
+            "behavior). Default is STRICT — the driver's canonicalizer "
+            "errors on array columns, so strict is what actually ships"
+        ),
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    strict = not args.lenient_arrays
 
     all_q = registry.all_queries()
     names = args.names or sorted(all_q)
@@ -110,8 +142,13 @@ def main() -> int:
             n_fail += 1
             continue
         if q.oracle is None:
-            print(f"rows  {name}: {len(sdf)} rows (rows-only check, no oracle) [{time.time()-t0:.1f}s]")
-            n_rows_only += 1
+            if strict:
+                # the driver records `err: no_oracle` for these — a red row
+                print(f"FAIL  {name}: no oracle (driver records err: no_oracle)")
+                n_fail += 1
+            else:
+                print(f"rows  {name}: {len(sdf)} rows (rows-only check, no oracle) [{time.time()-t0:.1f}s]")
+                n_rows_only += 1
             continue
         try:
             odf = con.sql(q.oracle).df()
@@ -119,8 +156,13 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        s_cols, s_rows = normalize(sdf)
-        o_cols, o_rows = normalize(odf)
+        try:
+            s_cols, s_rows = normalize(sdf, strict)
+            o_cols, o_rows = normalize(odf, strict)
+        except DriverCanonError as e:
+            print(f"FAIL  {name}: {e}")
+            n_fail += 1
+            continue
         if s_cols != o_cols:
             print(f"FAIL  {name}: columns differ spark={s_cols} oracle={o_cols}")
             n_fail += 1
