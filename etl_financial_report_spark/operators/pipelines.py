@@ -934,3 +934,64 @@ def pipeline_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("constraint_name")
+
+
+# ------------------------------------------------------ shard checksums
+
+#: manifest shard count — at 100 TB this is thousands; 16 keeps every
+#: shard populated at the test SFs
+N_MANIFEST_SHARDS = 16
+
+#: per-doc 60-bit content hash (15 md5 hex chars — fits int64 with room,
+#: identical text -> identical contribution in both engines)
+_DOC_H60 = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)"
+
+
+@register(
+    "pipeline_shard_checksums",
+    oracle=f"""
+SELECT {hash32_sql("CAST(doc_id AS VARCHAR)")} % {N_MANIFEST_SHARDS} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       bit_xor({_DOC_H60}) AS content_xor60
+FROM documents
+GROUP BY 1
+""",
+    doc=(
+        "Shard CHECKSUM MANIFEST — the integrity artifact a corpus "
+        "release publishes next to its shards (what table-format "
+        "manifests and content-addressed stores record): per shard a doc "
+        "count, char volume, id range, and a content checksum that is the "
+        "XOR of per-doc 60-bit md5-prefix hashes. XOR is the scale move: "
+        "it is commutative/associative (partial-aggregates map-side, no "
+        "ordered concat of a corpus-sized shard — the naive "
+        "md5-of-sorted-concat is a single-reducer OOM at 100 TB), "
+        "constant state per group, and any single-doc corruption, drop, "
+        "or duplicate-injection flips the checksum. Two manifests diff "
+        "shard-by-shard without touching data. Portable end-to-end: "
+        "md5-derived shard keys and doc hashes, bit_xor in both engines."
+    ),
+)
+def pipeline_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(
+            (hash32(F.col("doc_id").cast("string")) % N_MANIFEST_SHARDS).alias("shard"),
+            "doc_id",
+            "n_chars",
+            h60.alias("h60"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.bit_xor("h60").alias("content_xor60"),
+        )
+    )

@@ -1595,3 +1595,82 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ttr_ppm"),
         )
     )
+
+
+# ------------------------------------------------ BPE round-trip contract
+
+
+@register(
+    "text_bpe_roundtrip_check",
+    oracle=f"""WITH {_bpe_ctes()},
+wseg AS (SELECT tok, string_split(trim(seq), '  ') AS subs FROM seq{BPE_ROUNDS})
+SELECT tok,
+       CAST(len(subs) AS BIGINT) AS n_subwords,
+       TRUE AS roundtrip_ok
+FROM wseg
+""",
+    doc=(
+        "Tokenizer ROUND-TRIP contract — the invariant a serving stack "
+        "must never break: every distinct word encodes to subword ids "
+        "(the SAME broadcast id table text_bpe_doc_ids uses) and the ids "
+        "DECODE back through the inverse table to exactly the original "
+        "word (concat subwords, strip the </w> end marker). The Spark "
+        "side performs the real encode->decode->compare; the oracle "
+        "supplies the expected verdict as a literal TRUE plus the "
+        "independently derived subword count — the same "
+        "contract-as-literal grammar as the sketch accuracy gates. "
+        "Vocabulary-bounded end to end: one trainer chain, two broadcast "
+        "joins, per-word groups."
+    ),
+)
+def text_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wseg = bpe_final_sequences(words).select(
+        "tok", F.split(F.trim(F.col("seq")), "  ").alias("subs")
+    )
+    subvocab = (
+        wseg.select(F.explode("subs").alias("sub"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("sub")).alias("va"))
+        .select(F.posexplode("va").alias("p", "sub"))
+        .select("sub", (F.col("p") + 1).cast("long").alias("id"))
+    ).localCheckpoint()  # one id table feeds BOTH directions below
+    # encode: word -> ordered subword ids (text_bpe_doc_ids' exact shape)
+    wids = (
+        wseg.select("tok", F.posexplode("subs").alias("i", "sub"))
+        .join(F.broadcast(subvocab), "sub")
+        .groupBy("tok")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "id"))), lambda s: s["id"]
+            ).alias("wid")
+        )
+    )
+    # decode: ids -> subwords via the INVERSE broadcast, reassemble, strip
+    decoded = (
+        wids.select("tok", F.posexplode("wid").alias("i", "id"))
+        .join(F.broadcast(subvocab), "id")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_subwords"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "sub"))),
+                    lambda s: s["sub"],
+                ),
+                "",
+            ).alias("joined"),
+        )
+    )
+    return decoded.select(
+        "tok",
+        "n_subwords",
+        (F.replace(F.col("joined"), F.lit("</w>"), F.lit("")) == F.col("tok")).alias(
+            "roundtrip_ok"
+        ),
+    )

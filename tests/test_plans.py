@@ -65,9 +65,10 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # three 1-row conditional-sum aggregates assembled into the 6 bar rows
     "sim_semantic_threshold_sweep",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
-    # both ride the BPE chain's 1-row best-pair broadcasts (same as
-    # text_bpe_encode); packing adds only the tiny group-offset broadcast
-    "text_bpe_doc_ids", "pack_bpe_sequences",
+    # all ride the BPE chain's 1-row best-pair broadcasts (same as
+    # text_bpe_encode); packing adds only the tiny group-offset broadcast,
+    # the roundtrip check only the vocabulary-bounded inverse id table
+    "text_bpe_doc_ids", "pack_bpe_sequences", "text_bpe_roundtrip_check",
     # 1-row per-prefix totals broadcast onto the 1-row first-seen counts
     "text_vocab_growth",
     "text_token_rarity", "tpch_q11_important_stock",
@@ -319,3 +320,29 @@ def test_global_sort_is_range_partitioned(spark):
     plan = plan_of(spark, "o_global_sort")
     assert "rangepartitioning" in plan.lower()
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_pii_ops_are_map_only(spark):
+    """text_pii_report / text_pii_redact must stay pure projections over
+    the scan — zero exchanges, no joins: at 100 TB their cost is the read
+    itself. A shuffle appearing here means someone broke the map-only
+    privacy-scan contract."""
+    for name in ("text_pii_report", "text_pii_redact"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_shard_checksums_single_shuffle_partial_agg(spark):
+    """pipeline_shard_checksums must plan exactly one shuffle (the shard
+    groupBy) with map-side partial aggregation — the commutative XOR
+    checksum exists precisely so no ordered corpus-sized concat or second
+    exchange is ever needed."""
+    plan = plan_of(spark, "pipeline_shard_checksums")
+    # formatted plans name every node twice (tree + detail section) —
+    # count the detail headers, which appear exactly once per node
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    assert "partial_bit_xor" in plan  # map-side combine of the checksum
