@@ -6,6 +6,8 @@ to exercise each rule."""
 
 from pyspark.sql import functions as F
 
+from etl_financial_report_spark import registry
+
 from etl_financial_report_spark.operators.quality import (
     SPECTRUM_WIDTHS,
     dedup_span_spectrum,
@@ -353,3 +355,69 @@ def test_constraint_report_every_rule_binds(spark, tmp_path):
     for name, r in dirty.items():
         assert r["n_violations"] == expected.get(name, 1), (name, r)
         assert not r["passed"]
+
+
+# ------------------------------------------------- shard manifests
+
+
+def test_manifest_drift_flags_exactly_the_batch_shards(spark):
+    """A shard's checksum must move iff the daily batch slice
+    (doc_id % 10 == 7) touched it — computed independently here with
+    hashlib over the raw parquet, so the operator's portable shard hash
+    and XOR accounting are both cross-checked outside Spark and DuckDB."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from etl_financial_report_spark.operators.pipelines import N_MANIFEST_SHARDS
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    shard_of = lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % N_MANIFEST_SHARDS  # noqa: E731
+    batch_shards = {shard_of(d) for d in t.doc_id if d % 10 == 7}
+
+    rows = {
+        r.shard: r
+        for r in registry.all_queries()["pipeline_manifest_drift"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert set(rows) == {shard_of(d) for d in t.doc_id}
+    for shard, r in rows.items():
+        assert r.changed == (shard in batch_shards), (shard, r)
+        assert (r.verdict != "unchanged") == (shard in batch_shards)
+        assert r.added_docs == sum(
+            1 for d in t.doc_id if d % 10 == 7 and shard_of(d) == shard
+        )
+
+
+def test_shard_checksum_flips_on_any_single_doc_mutation(spark, tmp_path):
+    """The integrity contract: corrupt ONE doc's text and exactly its
+    shard's content_xor60 (and nothing else) must change."""
+    import hashlib
+
+    from etl_financial_report_spark.io import load_table
+    from etl_financial_report_spark.operators.pipelines import N_MANIFEST_SHARDS
+
+    src = "/root/testdata/sf0.001"
+    docs = load_table(spark, src, "documents")
+    victim = docs.orderBy("doc_id").first()
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim.doc_id, F.concat("text", F.lit(" CORRUPT")))
+        .otherwise(F.col("text")),
+    )
+    mutated.write.parquet(str(tmp_path / "documents.parquet"))
+
+    q = registry.all_queries()["pipeline_shard_checksums"].fn
+    clean = {r.shard: r for r in q(spark, src).collect()}
+    dirty = {r.shard: r for r in q(spark, str(tmp_path)).collect()}
+    assert set(clean) == set(dirty)
+    vshard = (
+        int(hashlib.md5(str(victim.doc_id).encode()).hexdigest()[:8], 16)
+        % N_MANIFEST_SHARDS
+    )
+    for shard in clean:
+        same = clean[shard].content_xor60 == dirty[shard].content_xor60
+        assert same == (shard != vshard), shard
+        assert clean[shard].n_docs == dirty[shard].n_docs
