@@ -1077,3 +1077,75 @@ def repeat_quota_guarded() -> Column:
             )
         ).cast("long")
     )
+
+
+# -------------------------------------------------- per-source doc cap
+
+#: per-source document cap (the C4/CCNet "domain cap": no single domain
+#: may dominate the mixture). Low enough to BIND on several synthetic
+#: sources at every SF; production sets this per corpus
+DOMAIN_CAP_DOCS = 20
+
+
+@register(
+    "sample_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {hash32_sql("'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS source_docs
+    FROM documents
+)
+SELECT doc_id, source,
+       CAST(CASE WHEN rk <= {DOMAIN_CAP_DOCS} THEN rk END AS BIGINT) AS rk,
+       CAST(source_docs AS BIGINT) AS source_docs,
+       rk <= {DOMAIN_CAP_DOCS} AS keep,
+       source_docs > {DOMAIN_CAP_DOCS} AS cap_bound
+FROM ranked
+""",
+    doc=(
+        "Per-source document cap (C4/CCNet 'domain cap'): every source "
+        f"keeps at most {DOMAIN_CAP_DOCS} docs, selected by a seeded "
+        "content-independent hash rank (deterministic, no RNG — the "
+        "sample_deterministic_split contract) with doc_id as the total-"
+        "order tiebreak, so reruns and cluster sizes never change the "
+        "kept set. Per-doc verdict with the source's total and whether "
+        "the cap actually bound. The rank runs through the salted "
+        "two-level top-k (functions/topk.py) — a mega-source ranks in "
+        "n_salt parallel cells, never one window task holding the whole "
+        "domain (the hot-domain skew is exactly why production caps "
+        "exist). Rows above the cap still emit (keep=false) so the drop "
+        "accounting is auditable; a build pipeline filters on keep."
+    ),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rank_key = hash32(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("source_docs"))
+    base = docs.select("doc_id", "source", rank_key.alias("hk"))
+    # the salted helper ranks only the cap head — exactly its contract;
+    # rows past the cap join back as keep=false with a NULL rank (a full
+    # tail rank would need the unbounded per-source window this operator
+    # exists to avoid, and no consumer needs a drop-row's position)
+    head = topk_per_key(
+        base,
+        keys=["source"],
+        order=[F.asc("hk"), F.asc("doc_id")],
+        k=DOMAIN_CAP_DOCS,
+        tiebreak=F.col("doc_id"),
+    ).select("doc_id", F.col("rk").cast("long").alias("rk"))
+    return (
+        base.join(F.broadcast(totals), "source")
+        .join(head, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            F.col("source_docs").cast("long").alias("source_docs"),
+            F.col("rk").isNotNull().alias("keep"),
+            (F.col("source_docs") > DOMAIN_CAP_DOCS).alias("cap_bound"),
+        )
+    )

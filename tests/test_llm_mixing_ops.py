@@ -219,3 +219,34 @@ def test_winnowing_guarantee_and_density(spark, tmp_path):
         assert 0 < r.density_ppm <= 1_000_000
     # ~2/(W+1) density on random-ish text, loosely bounded
     assert stats[3].n_selected < stats[3].n_grams
+
+
+def test_domain_cap_binds_only_on_mega_sources(spark, tmp_path):
+    """The C4-style per-source cap: a 100-doc source keeps exactly
+    DOMAIN_CAP_DOCS (deterministically — rerun keeps the same set), a
+    5-doc source keeps everything uncapped, and per-source rank heads
+    are dense 1..cap with NULL ranks past the cap."""
+    from etl_financial_report_spark.operators.sampling import (
+        DOMAIN_CAP_DOCS,
+        sample_domain_cap,
+    )
+
+    rows = [(i, f"mega doc {i}", "mega") for i in range(100)]
+    rows += [(1000 + i, f"small doc {i}", "small") for i in range(5)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = sample_domain_cap(spark, sf).collect()
+    mega = [r for r in out if r.source == "mega"]
+    small = [r for r in out if r.source == "small"]
+    assert len(mega) == 100 and len(small) == 5  # drop rows still emit
+    kept_mega = {r.doc_id for r in mega if r.keep}
+    assert len(kept_mega) == DOMAIN_CAP_DOCS
+    assert sorted(r.rk for r in mega if r.keep) == list(
+        range(1, DOMAIN_CAP_DOCS + 1)
+    )
+    assert all(r.rk is None for r in mega if not r.keep)
+    assert all(r.cap_bound for r in mega)
+    assert all(r.keep and not r.cap_bound for r in small)
+    assert {r.source_docs for r in mega} == {100}
+    # no-RNG determinism: the kept set is identical on a rerun
+    again = {r.doc_id for r in sample_domain_cap(spark, sf).collect() if r.keep}
+    assert kept_mega | {r.doc_id for r in small} == again

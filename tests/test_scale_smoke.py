@@ -384,7 +384,9 @@ def test_tokenize_ids_at_scale(spark, sf1_dir, smoke_record):
     )
     n_docs = load_table(spark, sf1_dir, "documents").count()
     assert n == n_docs
-    assert df.where(F.size("ids") > MAX_SEQ_LEN).count() == 0
+    # ids is the comma-serialized form (driver-canonical): element count
+    # = commas + 1 (every doc has >= 1 token)
+    assert df.where(F.size(F.split("ids", ",")) > MAX_SEQ_LEN).count() == 0
     # the 31-word synthetic vocabulary fits the head with room to spare:
     # nothing should map to UNK at any replication factor
     assert df.where(F.col("n_unk") > 0).count() == 0
