@@ -994,3 +994,77 @@ def run_cms_report_stream(
         .withColumn("base", hash32(F.col("tok")))
     )
     return textops.cms_probe_report(toks, merged_sketch, textops.CMS_W)
+
+
+def run_manifest_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of pipeline_shard_checksums — the payoff of the
+    XOR checksum's commutativity in Structured Streaming: each
+    micro-batch lands its per-(source-file, shard) partial manifest
+    (doc count, char sum, id range, hash XOR) idempotently, and the
+    final manifest is a pure merge — counts/chars SUM, ranges MIN/MAX,
+    checksums XOR — so the stream needs NO per-doc state and the landed
+    partials stay a few rows per file. An ordered-concat digest could
+    not stream at all (order arrives per trigger). Pinned row-for-row
+    against the batch operator, replay no-op included, in
+    tests/test_streaming.py."""
+    from ..operators.pipelines import N_MANIFEST_SHARDS
+    from ..functions.hashing import hash32
+    from ..sources.sinks import ParquetSink
+
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(f"{out_dir}/partials", partition_cols=())
+
+    def manifest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = F.coalesce(
+            F.nullif(F.input_file_name(), F.lit("")), F.lit(f"batch-{batch_id}")
+        )
+        h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+        part = (
+            batch_df.select(
+                F.md5(src).alias("src"),
+                (hash32(F.col("doc_id").cast("string")) % N_MANIFEST_SHARDS).alias(
+                    "shard"
+                ),
+                "doc_id",
+                "n_chars",
+                h60.alias("h60"),
+            )
+            .groupBy("src", "shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("n_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+                F.bit_xor("h60").alias("content_xor60"),
+            )
+        )
+        sink.append_idempotent(part, key_cols=["src", "shard"])
+
+    q = (
+        stream.writeStream.foreachBatch(manifest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        sink.read(spark)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("min_doc_id").alias("min_doc_id"),
+            F.max("max_doc_id").alias("max_doc_id"),
+            F.bit_xor("content_xor60").alias("content_xor60"),
+        )
+    )

@@ -514,3 +514,33 @@ def test_chunk_dedup_stream_matches_batch_operator(spark, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert got2.count() == len(g)
+
+
+def test_manifest_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming manifest lands per-(file, shard) partials over two
+    file chunks; the merged result must EXACTLY equal the batch
+    pipeline_shard_checksums rows (the XOR/sum/min/max merge is the
+    whole design), and a lost-checkpoint replay must not double-count."""
+    from etl_financial_report_spark.operators.pipelines import (
+        pipeline_shard_checksums,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    docs_dir = str(tmp_path / "docs")
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(docs_dir)
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    got = runtime.run_manifest_stream(
+        spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    want = pipeline_shard_checksums(spark, SMOKE_SF_DIR)
+    g = {tuple(r) for r in got.select(*want.columns).collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and g
+
+    # replay with a fresh checkpoint against the already-landed partials:
+    # the idempotent (src, shard) key must make it a no-op
+    got2 = runtime.run_manifest_stream(
+        spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    )
+    assert {tuple(r) for r in got2.select(*want.columns).collect()} == w
