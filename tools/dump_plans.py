@@ -297,6 +297,26 @@ HEADLINERS = {
         "candidate frame); each swept operating point is a filter + "
         "bounded per-query re-rank, not a fresh corpus scan."
     ),
+    "text_pii_report": (
+        "PII audit (r7): pure projection over the scan — zero exchanges, "
+        "no joins; at 100 TB the cost is the read itself (pinned in "
+        "tests/test_plans.py)."
+    ),
+    "pipeline_shard_checksums": (
+        "Shard checksum manifest (r7): exactly ONE exchange with "
+        "partial_bit_xor map-side — the commutative-checksum design; an "
+        "ordered-concat digest would need a single-reducer shard sort."
+    ),
+    "pipeline_manifest_drift": (
+        "Manifest drift (r7): two aggregate passes + a broadcast join of "
+        "the O(shards)-row manifests — the gate that keeps the row-level "
+        "snapshot diff off unchanged shards."
+    ),
+    "sample_domain_cap": (
+        "Per-source doc cap (r7): salted two-level top-k head (no "
+        "unbounded per-domain window) + broadcast per-source totals; "
+        "drop rows rejoin with NULL rank."
+    ),
 }
 
 
