@@ -319,3 +319,76 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (containment >= FRAME_DUP_CONTAINMENT).alias("is_dup"),
         )
     )
+
+
+# ------------------------------------------------------ format sniffing
+
+#: magic-number registry (hex, uppercase — both engines' hex() agree):
+#: the REAL detection bytes of each container format
+MAGIC_PNG = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n (8 bytes)
+MAGIC_JPEG = "FFD8FF"  # SOI + marker prefix (3 bytes)
+MAGIC_GIF87 = "474946383761"  # GIF87a
+MAGIC_GIF89 = "474946383961"  # GIF89a
+
+
+@register(
+    "multimodal_format_sniff",
+    oracle=f"""
+WITH payload AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN '\\x89PNG\\x0d\\x0a\\x1a\\x0a'::BLOB || encode(text)
+               WHEN 1 THEN '\\xff\\xd8\\xff'::BLOB || encode(text)
+               WHEN 2 THEN 'GIF89a'::BLOB || encode(text)
+               ELSE encode(text)
+           END AS media
+    FROM documents
+)
+SELECT doc_id,
+       CAST(octet_length(media) AS BIGINT) AS byte_len,
+       CASE WHEN left(hex(media), 16) = '{MAGIC_PNG}' THEN 'png'
+            WHEN left(hex(media), 6) = '{MAGIC_JPEG}' THEN 'jpeg'
+            WHEN left(hex(media), 12) IN ('{MAGIC_GIF87}', '{MAGIC_GIF89}') THEN 'gif'
+            ELSE 'unknown' END AS format,
+       CASE WHEN left(hex(media), 16) = '{MAGIC_PNG}' THEN 'png'
+            WHEN left(hex(media), 6) = '{MAGIC_JPEG}' THEN 'jpeg'
+            WHEN left(hex(media), 12) IN ('{MAGIC_GIF87}', '{MAGIC_GIF89}') THEN 'gif'
+            ELSE 'unknown' END <> 'unknown' AS is_known
+FROM payload
+""",
+    doc=(
+        "Container-format SNIFFING over binary media columns — the one "
+        "media operation that needs NO decode library: real magic-number "
+        "detection (PNG/JPEG/GIF87a/GIF89a) as pure JVM-side byte-prefix "
+        "expressions, zero UDFs, zero shuffles — the dispatch step that "
+        "routes each blob to the right decoder and quarantines unknowns "
+        "BEFORE any expensive Python stage runs (filter-before-decode "
+        "discipline). Payloads plant real headers by doc_id % 4 (one "
+        "class deliberately headerless), so the sniff's negative path is "
+        "exercised too; BOTH engines run the actual prefix test on the "
+        "actual bytes — the oracle does not shortcut through the planted "
+        "class."
+    ),
+)
+def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes.fromhex(MAGIC_PNG)))
+        .when(F.col("doc_id") % 4 == 1, F.lit(bytes.fromhex(MAGIC_JPEG)))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"GIF89a"))
+        .otherwise(F.lit(b""))
+    )
+    media = F.concat(header, F.encode("text", "utf-8"))
+    hx = F.hex(media)
+    fmt = (
+        F.when(F.substring(hx, 1, 16) == MAGIC_PNG, "png")
+        .when(F.substring(hx, 1, 6) == MAGIC_JPEG, "jpeg")
+        .when(F.substring(hx, 1, 12).isin(MAGIC_GIF87, MAGIC_GIF89), "gif")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        F.length(media).cast("long").alias("byte_len"),
+        fmt.alias("format"),
+        (fmt != "unknown").alias("is_known"),
+    )

@@ -45,3 +45,37 @@ def test_frame_sample_fanout(spark):
     frames = frame_sample(_media(spark), every_n_bytes=100)
     counts = {r.doc_id: r.n for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
     assert counts == {1: 1, 2: 5, 3: 1}  # 500 bytes -> 5 frames of 100
+
+
+def test_format_sniff_detects_bytes_not_classes(spark, tmp_path):
+    """The sniff must be honest byte detection: planted headers classify
+    by their BYTES (a doc whose TEXT happens to begin with 'GIF89a' in
+    the headerless class still sniffs as gif), and the headerless class
+    otherwise lands in 'unknown'."""
+    from etl_financial_report_spark import registry
+
+    rows = [
+        (0, "png payload body"),       # %4==0 -> planted PNG header
+        (1, "jpeg payload body"),      # %4==1 -> planted JPEG header
+        (2, "gif payload body"),       # %4==2 -> planted GIF89a header
+        (3, "plain unknown body"),     # %4==3 -> headerless
+        (7, "GIF89a lookalike text"),  # headerless, but bytes sniff as gif
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in registry.all_queries()["multimodal_format_sniff"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[0].format == "png" and got[0].is_known
+    assert got[1].format == "jpeg"
+    assert got[2].format == "gif"
+    assert got[3].format == "unknown" and not got[3].is_known
+    assert got[7].format == "gif"  # bytes win over the planted class
+    # byte accounting: header length + utf-8 text length
+    assert got[0].byte_len == 8 + len("png payload body")
+    assert got[3].byte_len == len("plain unknown body")
