@@ -875,3 +875,105 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", redacted.alias("redacted"), total.alias("n_redactions")
     )
+
+
+# --------------------------------------------- quality x duplication
+
+
+@register(
+    "pipeline_quality_dup_matrix",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, h,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum') AS DOUBLE)
+               / len(toks) AS mean_word_len,
+           len(list_intersect(list_distinct(toks), {_GOPHER_STOP_SQL})) AS n_stopwords
+    FROM t
+),
+gated AS (
+    SELECT doc_id, h, n_tokens,
+           (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+            AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+            AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS quality_keep
+    FROM m
+),
+hc AS (SELECT h, COUNT(*) AS c FROM gated GROUP BY h),
+cells AS (
+    SELECT g.quality_keep, (hc.c >= 2) AS is_exact_dup,
+           COUNT(*) AS n_docs, SUM(g.n_tokens) AS cell_tokens
+    FROM gated g JOIN hc ON hc.h = g.h
+    GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_docs) AS total FROM cells)
+SELECT quality_keep, is_exact_dup,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(cell_tokens AS BIGINT) AS cell_tokens,
+       CAST((n_docs * 1000000) // total AS BIGINT) AS share_ppm
+FROM cells, tot
+""",
+    doc=(
+        "Quality x duplication INTERACTION matrix — the curation ablation "
+        "table (the RefinedWeb/Gopher question 'is low-quality text also "
+        "the duplicated text?'): corpus cells by (Gopher-gate verdict, "
+        "exact-dup membership) with doc counts, token volume, and corpus "
+        "share in exact ppm. If the dup mass concentrates in the "
+        "quality-fail cell, dedup and the gate are redundant; if it "
+        "spreads across quality-pass docs, both stages earn their cost — "
+        "the decision this table feeds. One map for the gate signals "
+        "(text_gopher_gate's exact expressions inline), one two-phase "
+        "canonical-hash count for dup membership (dedup_exact's key), a 4-row aggregate, and a 1-row "
+        "total broadcast for the shares."
+    ),
+)
+def pipeline_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    keep = (
+        n.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    # canonical content key — the dedup family's exact-dup definition
+    ck = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    gated = docs.select(
+        "doc_id",
+        ck.alias("h"),
+        n.cast("long").alias("n_tokens"),
+        keep.alias("quality_keep"),
+    )
+    hc = gated.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        gated.join(hc, "h")
+        .groupBy("quality_keep", (F.col("c") >= 2).alias("is_exact_dup"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("cell_tokens"),
+        )
+    )
+    tot = cells.agg(F.sum("n_docs").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "quality_keep",
+        "is_exact_dup",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("cell_tokens").cast("long").alias("cell_tokens"),
+        F.expr("(n_docs * 1000000) DIV total").alias("share_ppm"),
+    )

