@@ -59,6 +59,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_hybrid_retrieval", "sim_hybrid_rrf_fusion",
     # five 1-row stage-count aggregates crossJoined into the 4-row funnel
     "pipeline_dedup_funnel",
+    # 1-row corpus-total broadcast onto the 4-row quality x dup cells
+    "pipeline_quality_dup_matrix",
     # 16-row query block + 8-row centroid block + 1-row overlap aggregates
     # (batch-recall-eval shape, once per swept nprobe)
     "sim_ann_ivf_nprobe_sweep",
