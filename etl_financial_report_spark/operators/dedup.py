@@ -3382,3 +3382,134 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_idx")
     )
+
+
+# ------------------------------------------------------- b-bit minhash
+
+
+@register(
+    "dedup_minhash_bbit",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.w = a.w
+    GROUP BY p.doc_a, p.doc_b
+),
+scored AS (
+    SELECT p.doc_a, p.doc_b,
+           ({" + ".join(
+               f"CASE WHEN sa.h{i} % 2 = sb.h{i} % 2 THEN 1 ELSE 0 END"
+               for i in range(N_HASHES))}) AS n_bit_match,
+           ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))}) AS n_agree,
+           CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+           za.n + zb.n - COALESCE(i.n_shared, 0) AS n_union
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_bit_match AS BIGINT) AS n_bit_match,
+       CAST(greatest(0, (2 * n_bit_match - {N_HASHES}) * 1000000 // {N_HASHES}) AS BIGINT)
+           AS bbit_est_ppm,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_agree * 1000000 // {N_HASHES} AS BIGINT) AS full_est_ppm,
+       CAST(n_shared * 1000000 // n_union AS BIGINT) AS exact_jaccard_ppm
+FROM scored
+""",
+    doc=(
+        "b-bit minhash (Li & Konig, WWW 2010) at b=1: keep only the "
+        "LOWEST BIT of each of the 8 minhash values — 1 byte of sketch "
+        "per document instead of 96 — and estimate resemblance per LSH "
+        "candidate pair with the collision-corrected estimator "
+        "R = 2*P_match - 1 (a non-matching min pair still agrees on its "
+        "low bit half the time, so raw bit agreement overestimates; the "
+        "2P-1 form inverts E[P] = 1/2 + R/2, clamped at 0). Emitted next "
+        "to the full-width agreement estimate AND the exact shingle "
+        "jaccard on the same pairs, all in exact integer ppm — the "
+        "storage/variance tradeoff table a 100 TB dedup index consults "
+        "before choosing its sketch width (32x smaller signatures buy "
+        "~2x estimator variance at b=1). Same bounded pair-driven plan "
+        "as dedup_minhash_calibration: exact intersections only for LSH "
+        "candidates, bit math off the already-built signatures."
+    ),
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    sig = _minhash_signature(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.alias("a")
+    b_sh = sh.alias("b")
+    inter = (
+        pairs.join(a_sh, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b_sh, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.w") == F.col("a.w")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+
+    def low_bit(side: str, i: int) -> F.Column:
+        # signatures are numeric (affine universal hashes): b=1 IS h % 2
+        return F.col(f"{side}.h{i}") % 2
+
+    n_bit_match = sum(
+        F.when(low_bit("sa", i) == low_bit("sb", i), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    n_agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    base = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_bit_match.cast("long").alias("n_bit_match"),
+            n_agree.cast("long").alias("n_agree"),
+            shared.cast("long").alias("n_shared"),
+            (F.col("za.n") + F.col("zb.n") - shared).cast("long").alias("n_union"),
+        )
+    )
+    return base.select(
+        "doc_a",
+        "doc_b",
+        "n_bit_match",
+        # Li-Konig b=1 estimator R = 2P - 1 in exact integer ppm, clamped
+        # at 0 (negative estimates are noise below random agreement)
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(f"(2 * n_bit_match - {N_HASHES}) * 1000000 DIV {N_HASHES}"),
+        ).alias("bbit_est_ppm"),
+        "n_agree",
+        F.expr(f"n_agree * 1000000 DIV {N_HASHES}").alias("full_est_ppm"),
+        F.expr("n_shared * 1000000 DIV n_union").alias("exact_jaccard_ppm"),
+    )

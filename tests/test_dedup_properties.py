@@ -154,3 +154,44 @@ def test_semantic_aware_split_has_zero_embedding_leakage(spark):
     ]
     assert pairs, "the corpus must contain semantic pairs"
     assert all(split[a] == split[b] for a, b in pairs)
+
+
+def test_bbit_minhash_estimator_invariants(spark, tmp_path):
+    """b=1 minhash invariants: full-hash agreement IMPLIES low-bit
+    agreement (n_bit_match >= n_agree, corpus-wide), identical docs hit
+    the ceiling on every estimator, and the 2P-1 correction never goes
+    below zero. Engineered identical pair pins the ceiling exactly."""
+    from etl_financial_report_spark import registry
+
+    text = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"w{i}" for i in range(15)) + " " + " ".join(
+        f"z{i}" for i in range(15)
+    )
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text)), (1, text, "en", "s", len(text)),
+         (2, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = (
+        registry.all_queries()["dedup_minhash_bbit"].fn(spark, str(tmp_path)).collect()
+    )
+    assert rows
+    ident = [r for r in rows if (r.doc_a, r.doc_b) == (0, 1)]
+    assert len(ident) == 1
+    r = ident[0]
+    assert r.n_bit_match == 8 and r.bbit_est_ppm == 1_000_000
+    assert r.n_agree == 8 and r.full_est_ppm == 1_000_000
+    assert r.exact_jaccard_ppm == 1_000_000
+    for r in rows:
+        assert r.n_bit_match >= r.n_agree  # hash equal => low bit equal
+        assert 0 <= r.bbit_est_ppm <= 1_000_000
+
+    # corpus-wide at sf0.01: the implication and clamp hold on real pairs
+    big = (
+        registry.all_queries()["dedup_minhash_bbit"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert big
+    assert all(r.n_bit_match >= r.n_agree for r in big)
+    assert all(0 <= r.bbit_est_ppm <= 1_000_000 for r in big)
