@@ -3711,3 +3711,119 @@ def sim_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("nprobe")
+
+
+# ------------------------------------------- Matryoshka prefix recall
+
+#: prefix widths swept by the truncated-dimension recall curve — the
+#: Matryoshka (Kusupati et al. 2022) serving question: how many leading
+#: dimensions does retrieval actually need? The full width is the sanity
+#: row (recall exactly 1.0 by construction).
+MRL_PREFIX_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_prefix_sql(d: int) -> str:
+    return f"""
+    SELECT {d} AS prefix_dim, vec_id FROM (
+        SELECT c.vec_id,
+               CAST(SUM(c.v * qq.v) AS DOUBLE)
+                   / (sqrt(CAST(SUM(c.v * c.v) AS DOUBLE))
+                      * sqrt(CAST((SELECT SUM(v * v) FROM ex WHERE vec_id = 0 AND i <= {d}) AS DOUBLE)))
+                   AS cos
+        FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0 AND i <= {d}) qq ON c.i = qq.i
+        WHERE c.vec_id <> 0 AND c.i <= {d}
+        GROUP BY c.vec_id
+        ORDER BY cos DESC, c.vec_id
+        LIMIT 10
+    )"""
+
+
+@register(
+    "sim_mrl_prefix_recall",
+    oracle=f"""
+WITH {_Q_CTE},
+qq AS (SELECT i, v FROM ex WHERE vec_id = 0),
+qn AS (SELECT nsq FROM norms WHERE vec_id = 0),
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+),
+true_topk AS (
+    SELECT d.vec_id
+    FROM qdot d JOIN norms n ON n.vec_id = d.vec_id CROSS JOIN qn
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) DESC,
+             d.vec_id
+    LIMIT 10
+),
+pref AS ({" UNION ALL ".join(_mrl_prefix_sql(d) for d in MRL_PREFIX_DIMS)})
+SELECT p.prefix_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // 10 AS BIGINT) AS recall_ppm
+FROM pref p LEFT JOIN true_topk t ON t.vec_id = p.vec_id
+GROUP BY p.prefix_dim
+ORDER BY p.prefix_dim
+""",
+    doc=(
+        "Matryoshka-style truncated-dimension recall curve (Kusupati et "
+        "al. 2022 MRL; the 'how many leading dims does serving need?' "
+        "sizing question): for each prefix width, rank the corpus by "
+        "cosine computed on ONLY the first d quantized dimensions and "
+        "measure top-10 overlap against the full-width exact truth — in "
+        "exact integer ppm. Prefix dots/norms are exact int64 over "
+        "sliced arrays from ONE quantized frame (checkpointed, four "
+        "TakeOrdered passes — never four corpus rescans of raw "
+        "embeddings); the full-width row is the built-in sanity check "
+        "(recall exactly 1e6). At 100 TB this decides the stored vector "
+        "width for the first-stage retriever; the refine stage re-ranks "
+        "at full width, exactly the sim_ann_ivfpq_refine_topk shape."
+    ),
+)
+def sim_mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe").localCheckpoint()
+    out = None
+    truth = None
+    for d in MRL_PREFIX_DIMS:
+        pe = F.slice("qe", 1, d)
+        scored = (
+            qv.select("vec_id", pe.alias("pe"))
+            .withColumn("pnsq", norm_sq_q(F.col("pe")))
+            .where(F.col("pnsq") > 0)
+        )
+        query = scored.where(F.col("vec_id") == 0).select(
+            F.col("pe").alias("q_pe"), F.col("pnsq").alias("q_pnsq")
+        )
+        cos = cosine_q(
+            dot_q(F.col("pe"), F.col("q_pe")), F.col("pnsq"), F.col("q_pnsq")
+        )
+        topk = (
+            scored.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(query))
+            .select("vec_id", cos.alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(10)
+            .select(F.lit(d).alias("prefix_dim"), "vec_id")
+        )
+        if d == max(MRL_PREFIX_DIMS):
+            truth = topk.select("vec_id").localCheckpoint()
+        out = topk if out is None else out.unionByName(topk)
+    hits = out.join(
+        truth.withColumn("hit", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        hits.groupBy("prefix_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "prefix_dim",
+            "n_retrieved",
+            "n_overlap",
+            F.expr("n_overlap * 1000000 DIV 10").alias("recall_ppm"),
+        )
+        .orderBy("prefix_dim")
+    )

@@ -99,3 +99,25 @@ def test_ivfpq_batch_recall_ordering(spark):
     assert row.mean_recall_at_10_refined > row.mean_recall_at_10_residual
     assert 0 < row.n_overlap_refined <= row.n_true
     assert 0 <= row.worst_recall_at_10_refined <= row.mean_recall_at_10_refined
+
+
+def test_mrl_prefix_recall_curve_properties(spark):
+    """The truncated-dim curve's structural guarantees: the full-width
+    row recalls exactly 1.0 by construction, every row retrieves a full
+    top-10, and recall is weakly informative (some prefix below full
+    width loses recall on real data — otherwise the sweep says nothing)."""
+    from etl_financial_report_spark import registry
+    from etl_financial_report_spark.operators.similarity import MRL_PREFIX_DIMS
+
+    rows = {
+        r.prefix_dim: r
+        for r in registry.all_queries()["sim_mrl_prefix_recall"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert set(rows) == set(MRL_PREFIX_DIMS)
+    full = max(MRL_PREFIX_DIMS)
+    assert rows[full].recall_ppm == 1_000_000
+    assert rows[full].n_overlap == 10
+    assert all(r.n_retrieved == 10 for r in rows.values())
+    assert any(rows[d].recall_ppm < 1_000_000 for d in MRL_PREFIX_DIMS if d != full)
