@@ -3827,3 +3827,125 @@ def sim_mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_dim")
     )
+
+
+#: MRL funnel-retrieval geometry: shortlist width at the cheap prefix
+#: dimension, then exact full-width re-rank of the shortlist only
+MRL_FUNNEL_DIM = 8
+MRL_FUNNEL_SHORTLIST = 50
+
+
+@register(
+    "sim_mrl_funnel_retrieval",
+    oracle=f"""
+WITH {_Q_CTE},
+qq AS (SELECT i, v FROM ex WHERE vec_id = 0),
+qn AS (SELECT nsq FROM norms WHERE vec_id = 0),
+qdot AS (
+    SELECT c.vec_id, SUM(c.v * qq.v) AS dot
+    FROM ex c JOIN qq ON c.i = qq.i
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+),
+true_topk AS (
+    SELECT d.vec_id
+    FROM qdot d JOIN norms n ON n.vec_id = d.vec_id CROSS JOIN qn
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) DESC,
+             d.vec_id
+    LIMIT 10
+),
+shortlist AS (
+    SELECT c.vec_id,
+           CAST(SUM(c.v * q.v) AS DOUBLE)
+               / (sqrt(CAST(SUM(c.v * c.v) AS DOUBLE))
+                  * sqrt(CAST((SELECT SUM(v * v) FROM ex WHERE vec_id = 0 AND i <= {MRL_FUNNEL_DIM}) AS DOUBLE)))
+               AS pcos
+    FROM ex c JOIN (SELECT i, v FROM ex WHERE vec_id = 0 AND i <= {MRL_FUNNEL_DIM}) q ON c.i = q.i
+    WHERE c.vec_id <> 0 AND c.i <= {MRL_FUNNEL_DIM}
+    GROUP BY c.vec_id
+    ORDER BY pcos DESC, c.vec_id
+    LIMIT {MRL_FUNNEL_SHORTLIST}
+),
+reranked AS (
+    SELECT d.vec_id
+    FROM qdot d
+    JOIN shortlist s ON s.vec_id = d.vec_id
+    JOIN norms n ON n.vec_id = d.vec_id
+    CROSS JOIN qn
+    ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(qn.nsq AS DOUBLE))) DESC,
+             d.vec_id
+    LIMIT 10
+)
+SELECT CAST((SELECT COUNT(*) FROM true_topk) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM reranked) AS BIGINT) AS n_retrieved,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN reranked r ON t.vec_id = r.vec_id) AS BIGINT)
+           AS n_overlap,
+       CAST((SELECT COUNT(*) FROM true_topk t JOIN reranked r ON t.vec_id = r.vec_id) * 1000000
+            // 10 AS BIGINT) AS recall_ppm
+""",
+    doc=(
+        "Matryoshka FUNNEL retrieval (the MRL paper's adaptive-retrieval "
+        f"serving pattern): shortlist the corpus by cosine over only the "
+        f"first {MRL_FUNNEL_DIM} quantized dims (cheap — {MRL_FUNNEL_DIM}/64 "
+        "of the dot-product work and of the scanned vector bytes in a "
+        f"dimension-ordered layout), then re-rank ONLY the top-"
+        f"{MRL_FUNNEL_SHORTLIST} shortlist at full width and take 10. "
+        "Output is the recall eval vs exact full-width truth in exact "
+        "integer ppm. The composition recovers most of what the raw "
+        f"{MRL_FUNNEL_DIM}-dim ranking loses (sim_mrl_prefix_recall's "
+        "curve) at a fraction of full-width scan cost — the same "
+        "shortlist->refine shape as sim_ann_ivfpq_refine_topk, with "
+        "prefix dimensions instead of a coarse quantizer. PROVABLE "
+        "dominance: any truth member captured by the shortlist re-ranks "
+        "into the final 10 (it is globally top-10 by the exact cosine "
+        "the re-rank uses), so funnel recall >= raw prefix@10 recall "
+        "ALWAYS — pinned in tests. Honesty note: the synthetic "
+        "embeddings are not Matryoshka-TRAINED, so leading dims carry no "
+        "privileged signal and absolute funnel recall decays with corpus "
+        "size (0.6 at 200 vectors, 0 at 2000 with a 50-wide shortlist) — "
+        "the operator measures exactly the property MRL training buys; "
+        "production sizes the shortlist as a corpus fraction. Exact "
+        "int64 dots, one checkpointed quantized frame, two TakeOrdered "
+        "passes."
+    ),
+)
+def sim_mrl_funnel_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq").localCheckpoint()
+    pe = F.slice("qe", 1, MRL_FUNNEL_DIM)
+    scored = qv.select("vec_id", "qe", "nsq", pe.alias("pe")).withColumn(
+        "pnsq", norm_sq_q(F.col("pe"))
+    )
+    corpus = scored.where((F.col("vec_id") != 0) & (F.col("pnsq") > 0))
+    query = scored.where(F.col("vec_id") == 0).select(
+        F.col("pe").alias("q_pe"),
+        F.col("pnsq").alias("q_pnsq"),
+        F.col("qe").alias("q_qe"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pcos = cosine_q(dot_q(F.col("pe"), F.col("q_pe")), F.col("pnsq"), F.col("q_pnsq"))
+    shortlist = (
+        corpus.crossJoin(F.broadcast(query))
+        .select("vec_id", "qe", "nsq", "q_qe", "q_nsq", pcos.alias("pcos"))
+        .orderBy(F.desc("pcos"), F.asc("vec_id"))
+        .limit(MRL_FUNNEL_SHORTLIST)
+    )
+    fcos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    reranked = (
+        shortlist.select("vec_id", fcos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    truth = sim_ann_topk(spark, sf_dir).select("vec_id")
+    overlap = truth.join(reranked, "vec_id")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .join(F.broadcast(reranked.agg(F.count(F.lit(1)).alias("n_retrieved"))))
+        .join(F.broadcast(overlap.agg(F.count(F.lit(1)).alias("n_overlap"))))
+        .select(
+            "n_true",
+            "n_retrieved",
+            "n_overlap",
+            F.expr("n_overlap * 1000000 DIV 10").alias("recall_ppm"),
+        )
+    )

@@ -43,8 +43,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # ivfpq variant adds only 1-row per-stage recall aggregates on top
     "sim_ann_batch_recall_eval", "sim_ann_ivfpq_batch_recall_eval",
     "sim_ann_recall_eval", "sim_ann_sq8_recall_eval", "sim_ann_sq8_topk",
-    # 1-row prefix-query broadcast per swept width (sim_ann_topk shape x4)
-    "sim_mrl_prefix_recall",
+    # 1-row prefix-query broadcast per swept width (sim_ann_topk shape x4);
+    # the funnel adds only the 1-row query + 50-row shortlist broadcasts
+    "sim_mrl_prefix_recall", "sim_mrl_funnel_retrieval",
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
     # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg
     "sim_bucket_occupancy_stats",

@@ -121,3 +121,29 @@ def test_mrl_prefix_recall_curve_properties(spark):
     assert rows[full].n_overlap == 10
     assert all(r.n_retrieved == 10 for r in rows.values())
     assert any(rows[d].recall_ppm < 1_000_000 for d in MRL_PREFIX_DIMS if d != full)
+
+
+def test_mrl_funnel_dominates_raw_prefix_ranking(spark):
+    """The funnel's provable invariant: every truth member the prefix
+    shortlist captures re-ranks into the final 10 (it is globally top-10
+    by the exact cosine the re-rank uses), so funnel recall >= the raw
+    prefix@10 recall at the same prefix width — at EVERY corpus size,
+    trained embeddings or not."""
+    from etl_financial_report_spark import registry
+    from etl_financial_report_spark.operators.similarity import MRL_FUNNEL_DIM
+
+    q = registry.all_queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        funnel = q["sim_mrl_funnel_retrieval"].fn(spark, sf).first()
+        prefix = {
+            r.prefix_dim: r for r in q["sim_mrl_prefix_recall"].fn(spark, sf).collect()
+        }
+        assert funnel.n_retrieved == 10 and funnel.n_true == 10
+        assert funnel.recall_ppm >= prefix[MRL_FUNNEL_DIM].recall_ppm
+    # on the sf0.01 corpus the composition strictly beats raw prefix@10
+    f = q["sim_mrl_funnel_retrieval"].fn(spark, "/root/testdata/sf0.01").first()
+    p = {
+        r.prefix_dim: r
+        for r in q["sim_mrl_prefix_recall"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert f.recall_ppm > p[MRL_FUNNEL_DIM].recall_ppm
