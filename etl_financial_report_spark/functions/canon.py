@@ -22,9 +22,14 @@ from pyspark.sql import functions as F
 
 def csv_longs(col: Column | str) -> Column:
     """array<integral> -> '1,2,3' (element-wise cast, comma-joined).
-    Empty array -> ''. Mirrors :func:`csv_longs_sql`."""
+    Empty array -> ''; NULL array -> '' (coalesced, so the Spark side and
+    the COALESCE'd DuckDB twin agree on NULL input as well as empty — a
+    NULL cell would otherwise serialize as NULL here vs '' there and fail
+    parity with a confusing diff). Mirrors :func:`csv_longs_sql`."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+    return F.coalesce(
+        F.array_join(F.transform(c, lambda x: x.cast("string")), ","), F.lit("")
+    )
 
 
 def csv_longs_sql(expr: str) -> str:
@@ -38,7 +43,7 @@ def joined_strings(col: Column | str, sep: str = " ") -> Column:
     that cannot appear inside elements (tokens/subwords are whitespace-split,
     so ' ' is lossless for them)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_join(c, sep)
+    return F.coalesce(F.array_join(c, sep), F.lit(""))
 
 
 def joined_strings_sql(expr: str, sep: str = " ") -> str:

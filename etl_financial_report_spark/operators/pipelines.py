@@ -1012,15 +1012,17 @@ GROUP BY 1
 WITH prev AS ({_MANIFEST_SHARDS_SQL.format(
     src=f"(SELECT * FROM documents WHERE doc_id % 10 <> 7)")}),
 cur AS ({_MANIFEST_SHARDS_SQL.format(src="documents")})
-SELECT c.shard,
+SELECT COALESCE(c.shard, p.shard) AS shard,
        COALESCE(p.n_docs, 0) AS prev_docs,
-       c.n_docs AS cur_docs,
-       c.n_docs - COALESCE(p.n_docs, 0) AS added_docs,
-       (p.shard IS NULL OR p.content_xor60 <> c.content_xor60) AS changed,
+       COALESCE(c.n_docs, 0) AS cur_docs,
+       COALESCE(c.n_docs, 0) - COALESCE(p.n_docs, 0) AS added_docs,
+       (p.shard IS NULL OR c.shard IS NULL
+        OR p.content_xor60 <> c.content_xor60) AS changed,
        CASE WHEN p.shard IS NULL THEN 'new_shard'
+            WHEN c.shard IS NULL THEN 'shard_dropped'
             WHEN p.content_xor60 <> c.content_xor60 THEN 'content_changed'
             ELSE 'unchanged' END AS verdict
-FROM cur c LEFT JOIN prev p ON p.shard = c.shard
+FROM cur c FULL OUTER JOIN prev p ON p.shard = c.shard
 """,
     doc=(
         "Manifest DRIFT detection — the payoff of pipeline_shard_"
@@ -1031,9 +1033,13 @@ FROM cur c LEFT JOIN prev p ON p.shard = c.shard
         "shards whose checksum moved instead of full-outer-joining two "
         "100 TB corpora (corpus_snapshot_diff's row-level shape, which "
         "this gates: run the expensive diff only on changed shards). "
-        "Verdict per shard: new_shard / content_changed / unchanged; any "
-        "added, dropped, or mutated doc flips its shard's XOR. Two "
-        "aggregate passes + a 16-row join."
+        "Verdict per shard: new_shard / shard_dropped / content_changed "
+        "/ unchanged; any added, dropped, or mutated doc flips its "
+        "shard's XOR, and the FULL OUTER join means a shard whose docs "
+        "ALL disappeared still surfaces (as shard_dropped with "
+        "cur_docs=0) rather than vanishing from the report. Two "
+        "aggregate passes + a 16-row join (both sides O(shards) "
+        "aggregates, so the unbroadcastable full-outer is free)."
     ),
 )
 def pipeline_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,16 +1063,47 @@ def pipeline_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("prev_docs"),
         F.col("content_xor60").alias("prev_xor"),
     )
-    cur = manifest(docs)
-    changed = F.col("prev_docs").isNull() | (F.col("prev_xor") != F.col("content_xor60"))
-    return cur.join(F.broadcast(prev), "shard", "left").select(
-        "shard",
+    return manifest_drift_frames(
+        prev, manifest(docs)
+    )
+
+
+def manifest_drift_frames(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """FULL OUTER shard-by-shard diff of two checksum manifests.
+
+    ``prev`` carries (shard, prev_docs, prev_xor); ``cur`` carries
+    (shard, n_docs, content_xor60). The full-outer join is what makes a
+    shard that lost ALL its docs (cur-side absent) surface as
+    ``shard_dropped`` with cur_docs=0 instead of silently vanishing —
+    unreachable from pipeline_manifest_drift's prev⊆cur construction but
+    the live case for a real yesterday/today manifest pair; unit-pinned
+    in tests/test_scale_discipline.py.
+    """
+    cur = cur.select(
+        F.col("shard").alias("cur_shard"),
+        F.col("n_docs").alias("cur_n_docs"),
+        F.col("content_xor60").alias("cur_xor"),
+    )
+    prev = prev.select(
+        F.col("shard").alias("prev_shard"), "prev_docs", "prev_xor"
+    )
+    joined = cur.join(prev, cur["cur_shard"] == prev["prev_shard"], "full_outer")
+    changed = (
+        F.col("prev_shard").isNull()
+        | F.col("cur_shard").isNull()
+        | (F.col("prev_xor") != F.col("cur_xor"))
+    )
+    return joined.select(
+        F.coalesce("cur_shard", "prev_shard").alias("shard"),
         F.coalesce("prev_docs", F.lit(0)).alias("prev_docs"),
-        F.col("n_docs").alias("cur_docs"),
-        (F.col("n_docs") - F.coalesce("prev_docs", F.lit(0))).alias("added_docs"),
+        F.coalesce("cur_n_docs", F.lit(0)).alias("cur_docs"),
+        (F.coalesce("cur_n_docs", F.lit(0)) - F.coalesce("prev_docs", F.lit(0))).alias(
+            "added_docs"
+        ),
         changed.alias("changed"),
-        F.when(F.col("prev_docs").isNull(), "new_shard")
-        .when(F.col("prev_xor") != F.col("content_xor60"), "content_changed")
+        F.when(F.col("prev_shard").isNull(), "new_shard")
+        .when(F.col("cur_shard").isNull(), "shard_dropped")
+        .when(F.col("prev_xor") != F.col("cur_xor"), "content_changed")
         .otherwise("unchanged")
         .alias("verdict"),
     )

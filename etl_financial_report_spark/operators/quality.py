@@ -783,15 +783,17 @@ def text_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ PII scrubbing
 
-#: PII pattern classes (detection + redaction). The four shapes are kept
-#: MUTUALLY DISJOINT by construction (an IPv4 needs four dot-separated
-#: number groups, a phone three with 3-3-4 digits, an SSN 3-2-4), so
-#: per-class counts on the original text always equal the redactions the
-#: sequential replace chain performs. The regex subset used (character
-#: classes, bounded repetition, ASCII \b) behaves identically under
-#: Java regex (Spark) and RE2 (DuckDB) — pinned both-engine in
-#: tests/test_pii.py. Order: email before ipv4 (an email's host part
-#: could contain a dotted quad) then ssn then phone.
+#: PII pattern classes (detection + redaction). The four shapes are NOT
+#: mutually disjoint: an email's local/host part can itself contain an
+#: IPv4/SSN/phone-shaped substring ('123.456.7890@example.com' matches
+#: both email and phone), so raw per-class match counts on the original
+#: text (text_pii_report) can exceed the replacements the sequential
+#: redact chain performs — text_pii_redact therefore counts each class on
+#: the PROGRESSIVELY-redacted text, mirroring the replace chain. The
+#: regex subset used (character classes, bounded repetition, ASCII \b)
+#: behaves identically under Java regex (Spark) and RE2 (DuckDB) — pinned
+#: both-engine in tests/test_pii.py. Order: email before ipv4 (an email's
+#: host part could contain a dotted quad) then ssn then phone.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
@@ -818,9 +820,11 @@ FROM documents
 """,
     doc=(
         "PII detection report — the per-document audit a privacy-gated "
-        "corpus release runs before anything ships: per-class counts "
-        "(email / IPv4 / SSN-shape / phone-shape) and a has_pii release "
-        "gate bit. Pure projection over the scan (no shuffle, fully "
+        "corpus release runs before anything ships: per-class RAW MATCH "
+        "counts on the original text (email / IPv4 / SSN-shape / "
+        "phone-shape — classes can overlap, e.g. a phone-shaped email "
+        "local part counts under both; text_pii_redact is the "
+        "replacement-exact variant) and a has_pii release gate bit. Pure projection over the scan (no shuffle, fully "
         "codegen'd regexes) — at 100 TB this is a map-only pass whose "
         "cost is the read itself. The synthetic corpus is clean (all "
         "zeros — itself the release-gate assertion); every pattern is "
@@ -838,19 +842,23 @@ def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *counts, (total > 0).alias("has_pii"))
 
 
-def _pii_redact_sql(expr: str) -> str:
+def _pii_redact_chain_sql(expr: str) -> tuple[str, list[str]]:
+    """Nested redact chain plus the per-stage match counts, each count
+    taken on the text AS REDACTED SO FAR (mirrors the Spark chain)."""
+    counts = []
     out = expr
     for _, pat, token in PII_PATTERNS:
+        counts.append(_pii_count_sql(out, pat))
         out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
-    return out
+    return out, counts
 
 
 @register(
     "text_pii_redact",
     oracle=f"""
 SELECT doc_id,
-       {_pii_redact_sql("text")} AS redacted,
-       ({" + ".join(_pii_count_sql("text", p) for _, p, _ in PII_PATTERNS)}) AS n_redactions
+       {_pii_redact_chain_sql("text")[0]} AS redacted,
+       ({" + ".join(_pii_redact_chain_sql("text")[1])}) AS n_redactions
 FROM documents
 """,
     doc=(
@@ -858,22 +866,25 @@ FROM documents
         "placeholder tokens (<EMAIL>/<IP>/<SSN>/<PHONE>), emitting the "
         "scrubbed text plus the total redaction count. The replace chain "
         "runs in the documented order (email first — its host part could "
-        "contain a dotted quad) and the classes are disjoint, so counting "
-        "on the ORIGINAL text equals the replacements performed. Same "
-        "map-only scan shape as the report; redaction and audit share one "
-        "read in a production pipeline."
+        "contain a dotted quad); because the classes can OVERLAP (a "
+        "phone-shaped local part inside an email), each class is counted "
+        "on the text as redacted by the PRECEDING stages, so n_redactions "
+        "equals exactly the replacements the chain performs (pinned "
+        "against the <TOKEN> count of the output in tests/test_pii.py). "
+        "Same map-only scan shape as the report; redaction and audit "
+        "share one read in a production pipeline."
     ),
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    redacted = F.col("text")
+    cur = F.col("text")
     total = None
     for _, pat, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, token)
-        c = _pii_count("text", pat)
+        c = F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
         total = c if total is None else total + c
+        cur = F.regexp_replace(cur, pat, token)
     return docs.select(
-        "doc_id", redacted.alias("redacted"), total.alias("n_redactions")
+        "doc_id", cur.alias("redacted"), total.alias("n_redactions")
     )
 
 

@@ -30,6 +30,7 @@ ENGINEERED = [
     (5, "email at quad host user@1.2.3.4.example.com stays one email"),
     (6, "no pii here at all"),
     (7, "almost: 1234-56-7890 12.34 555-12-34567 not matches"),
+    (8, "reach me at 123.456.7890@example.com asap"),  # phone INSIDE email
 ]
 
 
@@ -59,10 +60,22 @@ def test_every_pii_class_fires_and_engines_agree(spark, tmp_path):
     assert got_redact[3]["redacted"].count("<PHONE>") == 2
     assert got_redact[4]["n_redactions"] == 3
     assert got_redact[6]["redacted"] == "no pii here at all"
-    # counts on original text == replacements performed (disjoint classes)
-    for d, r in got_redact.items():
+    # The classes OVERLAP: PII nested inside an email is counted by the
+    # report (raw matches on the original text) but redacted only once by
+    # the chain — n_redactions counts on the progressively-redacted text,
+    # so it equals the replacements performed, NOT the report sum.
+    for d in (5, 8):
         rep = got_report[d]
-        assert r["n_redactions"] == sum(rep[f"n_{n}"] for n, _, _ in PII_PATTERNS)
+        assert sum(rep[f"n_{n}"] for n, _, _ in PII_PATTERNS) == 2, d  # overlap
+        assert got_redact[d]["n_redactions"] == 1, d                   # one replace
+        assert got_redact[d]["redacted"].count("<EMAIL>") == 1
+        assert "<IP>" not in got_redact[d]["redacted"]
+        assert "<PHONE>" not in got_redact[d]["redacted"]
+    assert got_report[5]["n_ipv4"] == 1 and got_report[8]["n_phone"] == 1
+    # invariant for EVERY doc: n_redactions == placeholder tokens emitted
+    for d, r in got_redact.items():
+        emitted = sum(r["redacted"].count(tok) for _, _, tok in PII_PATTERNS)
+        assert r["n_redactions"] == emitted, d
 
     # Java-regex vs RE2 agreement: run the registered oracles on the SAME
     # engineered corpus and compare every cell

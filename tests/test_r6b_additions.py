@@ -391,6 +391,30 @@ def test_manifest_drift_flags_exactly_the_batch_shards(spark):
         )
 
 
+def test_manifest_drift_surfaces_fully_dropped_shards(spark):
+    """A shard present in the previous manifest but entirely absent from
+    the current one (all its docs dropped) must surface as
+    'shard_dropped' with cur_docs=0 — the full-outer contract; with a
+    cur-LEFT-join it would silently vanish from the report."""
+    from etl_financial_report_spark.operators.pipelines import manifest_drift_frames
+
+    prev = spark.createDataFrame(
+        [(0, 5, 111), (1, 3, 222), (2, 4, 333)],
+        "shard int, prev_docs long, prev_xor long",
+    )
+    cur = spark.createDataFrame(
+        [(0, 5, 111), (1, 4, 999), (3, 2, 444)],
+        "shard int, n_docs long, content_xor60 long",
+    )
+    rows = {r.shard: r for r in manifest_drift_frames(prev, cur).collect()}
+    assert set(rows) == {0, 1, 2, 3}  # prev-only shard 2 is NOT dropped
+    assert rows[2].verdict == "shard_dropped"
+    assert rows[2].cur_docs == 0 and rows[2].added_docs == -4 and rows[2].changed
+    assert rows[0].verdict == "unchanged" and not rows[0].changed
+    assert rows[1].verdict == "content_changed"
+    assert rows[3].verdict == "new_shard" and rows[3].prev_docs == 0
+
+
 def test_shard_checksum_flips_on_any_single_doc_mutation(spark, tmp_path):
     """The integrity contract: corrupt ONE doc's text and exactly its
     shard's content_xor60 (and nothing else) must change."""
