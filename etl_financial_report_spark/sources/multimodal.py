@@ -392,3 +392,235 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt.alias("format"),
         (fmt != "unknown").alias("is_known"),
     )
+
+
+# ------------------------------------------------ header dimension parsing
+
+#: planted-dimension arithmetic for the engineered corpus (shared by the
+#: Spark builder, the DuckDB twin, and the independent pytest builder)
+PLANT_W_MOD, PLANT_H_MOD = 2048, 1536
+
+
+def _hexbe(col, nchars: int):
+    """int column -> fixed-width big-endian uppercase hex (Spark conv is
+    uppercase; DuckDB to_hex is uppercase — the engines agree)."""
+    return F.lpad(F.conv(col.cast("string"), 10, 16), nchars, "0")
+
+
+def plant_image_media() -> F.Column:
+    """Engineered media payload over the documents table: REAL image
+    headers with real dimension encodings planted by doc_id % 4 —
+    PNG (IHDR, 4-byte big-endian dims), JPEG (variable-length APP0 then
+    an SOF0 frame header, 2-byte big-endian dims — the APP0 pad length
+    varies by doc_id so the SOF marker sits at a NON-fixed offset and a
+    parser must actually scan), GIF89a (logical screen descriptor,
+    2-byte little-endian dims), and one deliberately headerless class.
+    Widths 1..2048, heights 1..1536. PNG CRC bytes are zeros (header
+    parsers do not validate CRC; documented stand-in)."""
+    did = F.col("doc_id")
+    pw, ph = 1 + did % PLANT_W_MOD, 1 + (did * 3) % PLANT_H_MOD
+    app0 = (16 + did % 8).cast("int")
+    w4, h4 = _hexbe(pw, 8), _hexbe(ph, 8)
+    w2, h2 = _hexbe(pw, 4), _hexbe(ph, 4)
+    w2le = F.concat(F.substring(w2, 3, 2), F.substring(w2, 1, 2))
+    h2le = F.concat(F.substring(h2, 3, 2), F.substring(h2, 1, 2))
+    header_hex = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(MAGIC_PNG + "0000000D49484452"), w4, h4,
+                F.lit("080200000000000000"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("FFD8FFE0"), _hexbe(app0, 4), F.lit("4A46494600"),
+                F.repeat(F.lit("4A"), (app0 - 7).cast("int")),
+                F.lit("FFC0001108"), h2, w2, F.lit("03011100021101031101"),
+            ),
+        )
+        .when(did % 4 == 2, F.concat(F.lit(MAGIC_GIF89), w2le, h2le, F.lit("000000")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.unhex(header_hex), F.encode("text", "utf-8"))
+
+
+def image_dimension_cols(media: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    """(format, width, height) parsed from a binary media column as pure
+    JVM byte expressions — zero UDFs, zero shuffles: the metadata pass a
+    100 TB media pipeline runs BEFORE routing anything to a decoder.
+
+    PNG: IHDR bytes 17-24, two 4-byte big-endian ints. GIF: logical
+    screen descriptor bytes 7-10, two 2-byte little-endian ints. JPEG:
+    scan for an SOF0/SOF2 marker (FFC0/FFC2 — baseline/progressive),
+    then height/width as 2-byte big-endian ints at marker+5/+7; the
+    byte-aligned guard (odd hex position) rejects matches that straddle
+    two bytes. Truncated or marker-less blobs parse to NULL dims rather
+    than erroring (negative-path tested in tests/test_multimodal_dims.py).
+    A production scanner walks segment lengths instead of string-searching
+    for the marker; the search form is exact for payloads whose pre-SOF
+    segments contain no 0xFFC0/0xFFC2 byte pairs (true of JFIF headers +
+    ASCII data, and of this corpus by construction)."""
+    hx = F.hex(media)
+    blen = F.length(media).cast("long")
+
+    def h2i(s):
+        return F.conv(s, 16, 10).cast("long")
+
+    fmt = (
+        F.when(F.substring(hx, 1, 16) == MAGIC_PNG, "png")
+        .when(F.substring(hx, 1, 6) == MAGIC_JPEG, "jpeg")
+        .when(F.substring(hx, 1, 12).isin(MAGIC_GIF87, MAGIC_GIF89), "gif")
+        .otherwise("unknown")
+    )
+    p0, p2 = F.locate("FFC0", hx, 3), F.locate("FFC2", hx, 3)
+    sof = (
+        F.when(p0 == 0, p2).when(p2 == 0, p0).otherwise(F.least(p0, p2))
+    )
+    png_ok = blen >= 24
+    gif_ok = blen >= 10
+    jpeg_ok = (sof > 0) & (sof % 2 == 1) & (blen * 2 >= sof + 17)
+    width = (
+        F.when((fmt == "png") & png_ok, h2i(F.substring(hx, 33, 8)))
+        .when(
+            (fmt == "gif") & gif_ok,
+            h2i(F.concat(F.substring(hx, 15, 2), F.substring(hx, 13, 2))),
+        )
+        .when((fmt == "jpeg") & jpeg_ok, h2i(F.substring(hx, sof + 14, 4)))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    height = (
+        F.when((fmt == "png") & png_ok, h2i(F.substring(hx, 41, 8)))
+        .when(
+            (fmt == "gif") & gif_ok,
+            h2i(F.concat(F.substring(hx, 19, 2), F.substring(hx, 17, 2))),
+        )
+        .when((fmt == "jpeg") & jpeg_ok, h2i(F.substring(hx, sof + 10, 4)))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return fmt, width, height
+
+
+def _dims_sql() -> str:
+    """DuckDB twin: constructs the SAME engineered payload and parses it
+    back with the SAME byte arithmetic (hex-string offsets, TRY_CAST
+    hex->int) — the oracle re-derives dimensions from the bytes, it does
+    not shortcut through the planted values."""
+    h2i = lambda s: f"TRY_CAST('0x' || {s} AS BIGINT)"  # noqa: E731
+    return f"""
+WITH payload AS (
+    SELECT doc_id,
+           1 + doc_id % {PLANT_W_MOD} AS pw,
+           1 + (doc_id * 3) % {PLANT_H_MOD} AS ph,
+           CASE doc_id % 4
+               WHEN 0 THEN unhex('{MAGIC_PNG}' || '0000000D49484452'
+                        || lpad(to_hex(1 + doc_id % {PLANT_W_MOD}), 8, '0')
+                        || lpad(to_hex(1 + (doc_id * 3) % {PLANT_H_MOD}), 8, '0')
+                        || '080200000000000000') || encode(text)
+               WHEN 1 THEN unhex('FFD8FFE0'
+                        || lpad(to_hex(16 + doc_id % 8), 4, '0') || '4A46494600'
+                        || repeat('4A', CAST(9 + doc_id % 8 AS INT))
+                        || 'FFC0001108'
+                        || lpad(to_hex(1 + (doc_id * 3) % {PLANT_H_MOD}), 4, '0')
+                        || lpad(to_hex(1 + doc_id % {PLANT_W_MOD}), 4, '0')
+                        || '03011100021101031101') || encode(text)
+               WHEN 2 THEN unhex('{MAGIC_GIF89}'
+                        || substr(lpad(to_hex(1 + doc_id % {PLANT_W_MOD}), 4, '0'), 3, 2)
+                        || substr(lpad(to_hex(1 + doc_id % {PLANT_W_MOD}), 4, '0'), 1, 2)
+                        || substr(lpad(to_hex(1 + (doc_id * 3) % {PLANT_H_MOD}), 4, '0'), 3, 2)
+                        || substr(lpad(to_hex(1 + (doc_id * 3) % {PLANT_H_MOD}), 4, '0'), 1, 2)
+                        || '000000') || encode(text)
+               ELSE encode(text)
+           END AS media
+    FROM documents
+),
+parsed AS (
+    SELECT doc_id, pw, ph,
+           hex(media) AS hx,
+           CAST(octet_length(media) AS BIGINT) AS blen,
+           CASE WHEN left(hex(media), 16) = '{MAGIC_PNG}' THEN 'png'
+                WHEN left(hex(media), 6) = '{MAGIC_JPEG}' THEN 'jpeg'
+                WHEN left(hex(media), 12) IN ('{MAGIC_GIF87}', '{MAGIC_GIF89}') THEN 'gif'
+                ELSE 'unknown' END AS format,
+           CASE WHEN position('FFC0' IN substr(hex(media), 3)) = 0
+                     THEN position('FFC2' IN substr(hex(media), 3))
+                WHEN position('FFC2' IN substr(hex(media), 3)) = 0
+                     THEN position('FFC0' IN substr(hex(media), 3))
+                ELSE least(position('FFC0' IN substr(hex(media), 3)),
+                           position('FFC2' IN substr(hex(media), 3)))
+           END AS sof0
+    FROM payload
+),
+dims AS (
+    SELECT doc_id, pw, ph, blen, format,
+           CASE WHEN sof0 = 0 THEN 0 ELSE sof0 + 2 END AS sof
+    FROM parsed
+),
+out AS (
+    SELECT d.doc_id, d.format, d.blen AS byte_len, d.pw, d.ph,
+           CASE WHEN d.format = 'png' AND d.blen >= 24
+                     THEN {h2i("substr(p.hx, 33, 8)")}
+                WHEN d.format = 'gif' AND d.blen >= 10
+                     THEN {h2i("substr(p.hx, 15, 2) || substr(p.hx, 13, 2)")}
+                WHEN d.format = 'jpeg' AND d.sof > 0 AND d.sof % 2 = 1
+                     AND d.blen * 2 >= d.sof + 17
+                     THEN {h2i("substr(p.hx, d.sof + 14, 4)")}
+                ELSE NULL END AS width,
+           CASE WHEN d.format = 'png' AND d.blen >= 24
+                     THEN {h2i("substr(p.hx, 41, 8)")}
+                WHEN d.format = 'gif' AND d.blen >= 10
+                     THEN {h2i("substr(p.hx, 19, 2) || substr(p.hx, 17, 2)")}
+                WHEN d.format = 'jpeg' AND d.sof > 0 AND d.sof % 2 = 1
+                     AND d.blen * 2 >= d.sof + 17
+                     THEN {h2i("substr(p.hx, d.sof + 10, 4)")}
+                ELSE NULL END AS height
+    FROM dims d JOIN parsed p USING (doc_id)
+)
+SELECT doc_id, format, byte_len, width, height,
+       CASE WHEN format = 'unknown' THEN width IS NULL AND height IS NULL
+            ELSE width = pw AND height = ph END AS parse_ok
+FROM out
+"""
+
+
+@register(
+    "multimodal_dimensions",
+    oracle=_dims_sql(),
+    doc=(
+        "Image DIMENSION extraction from raw headers — no decoder, no "
+        "Python: PNG IHDR (bytes 17-24, big-endian), GIF logical screen "
+        "descriptor (bytes 7-10, little-endian), JPEG SOF0/SOF2 marker "
+        "scan (2-byte big-endian dims at marker+5/+7, byte-alignment "
+        "guarded) as pure JVM hex/substring/conv expressions over the "
+        "binary column. This is the metadata stage a 100 TB media "
+        "pipeline runs BEFORE any decode (resolution filtering, aspect "
+        "buckets, thumbnail routing) — map-only, zero shuffle, the cost "
+        "is the scan itself. Payloads plant REAL headers with REAL "
+        "dimension encodings (JPEG's SOF offset varies per row via a "
+        "variable-length APP0, so the scan is exercised, not a fixed "
+        "offset); parse_ok pins parsed == planted per row, and the "
+        "DuckDB oracle re-parses the same bytes with the same "
+        "arithmetic. Truncated/corrupt headers -> NULL dims "
+        "(tests/test_multimodal_dims.py)."
+    ),
+)
+def multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pw = (1 + did % PLANT_W_MOD).cast("long")
+    ph = (1 + (did * 3) % PLANT_H_MOD).cast("long")
+    media = plant_image_media()
+    staged = docs.select("doc_id", pw.alias("pw"), ph.alias("ph"), media.alias("media"))
+    fmt, width, height = image_dimension_cols(F.col("media"))
+    parse_ok = F.when(
+        fmt == "unknown", width.isNull() & height.isNull()
+    ).otherwise((width == F.col("pw")) & (height == F.col("ph")))
+    return staged.select(
+        "doc_id",
+        fmt.alias("format"),
+        F.length("media").cast("long").alias("byte_len"),
+        width.alias("width"),
+        height.alias("height"),
+        parse_ok.alias("parse_ok"),
+    )

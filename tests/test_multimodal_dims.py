@@ -1,0 +1,99 @@
+"""Header dimension parsing: the parser must recover width/height from
+REAL image header bytes constructed INDEPENDENTLY here with struct.pack
+(not via the operator's own Spark builder — errors can't cancel), and
+must degrade to NULL dims (never error) on truncated or marker-less
+blobs."""
+
+import struct
+
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark import registry
+from etl_financial_report_spark.sources.multimodal import image_dimension_cols
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def gif_bytes(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def jpeg_bytes(w: int, h: int, app0_pad: int = 9, marker: bytes = b"\xff\xc0") -> bytes:
+    app0 = b"JFIF\x00" + b"J" * app0_pad
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0"
+        + struct.pack(">H", len(app0) + 2)
+        + app0
+        + marker
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+
+
+def _parse(spark, blobs):
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "i long, media binary"
+    )
+    fmt, w, h = image_dimension_cols(F.col("media"))
+    rows = df.select("i", fmt.alias("f"), w.alias("w"), h.alias("h")).collect()
+    return {r.i: (r.f, r.w, r.h) for r in rows}
+
+
+def test_parser_recovers_struct_packed_dimensions(spark):
+    cases = [
+        (png_bytes(1, 1), ("png", 1, 1)),
+        (png_bytes(1920, 1080), ("png", 1920, 1080)),
+        (png_bytes(65535, 3), ("png", 65535, 3)),
+        (gif_bytes(640, 480), ("gif", 640, 480)),
+        (gif_bytes(1, 65535), ("gif", 1, 65535)),
+        (jpeg_bytes(800, 600), ("jpeg", 800, 600)),
+        (jpeg_bytes(31, 7, app0_pad=16), ("jpeg", 31, 7)),  # shifted SOF
+        (jpeg_bytes(256, 512, marker=b"\xff\xc2"), ("jpeg", 256, 512)),  # SOF2
+        (png_bytes(300, 200) + b"trailing pixel data", ("png", 300, 200)),
+    ]
+    got = _parse(spark, [b for b, _ in cases])
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, i
+
+
+def test_truncated_and_corrupt_headers_parse_to_null(spark):
+    cases = [
+        png_bytes(10, 10)[:12],          # PNG cut inside the IHDR length
+        png_bytes(10, 10)[:20],          # PNG cut inside the width field
+        gif_bytes(5, 5)[:8],             # GIF cut inside the height field
+        b"\xff\xd8\xff\xe0\x00\x04JF",   # JPEG with no SOF marker at all
+        jpeg_bytes(9, 9)[:14],           # JPEG cut before the SOF segment
+        b"",                              # empty blob
+        b"plain text, no header",
+    ]
+    got = _parse(spark, cases)
+    for i, blob in enumerate(cases):
+        f, w, h = got[i]
+        assert w is None and h is None, (i, got[i])
+    # format sniff still classifies the truncated-but-signed prefixes
+    assert got[0][0] == "png" and got[2][0] == "gif" and got[3][0] == "jpeg"
+    assert got[5][0] == "unknown" and got[6][0] == "unknown"
+
+
+def test_registered_query_parse_ok_everywhere(spark):
+    q = registry.all_queries()["multimodal_dimensions"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(r.parse_ok for r in rows)
+    by_fmt = {r.doc_id % 4: r.format for r in rows}
+    assert by_fmt == {0: "png", 1: "jpeg", 2: "gif", 3: "unknown"}
+    known = [r for r in rows if r.format != "unknown"]
+    assert all(1 <= r.width <= 2048 and 1 <= r.height <= 1536 for r in known)
+    assert all(r.width is None and r.height is None for r in rows if r.format == "unknown")
