@@ -18,6 +18,7 @@ from . import similarity  # noqa: F401
 from . import textops  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import tpch  # noqa: F401
+from . import unigram  # noqa: F401
 from . import windows  # noqa: F401
 from ..sources import layout  # noqa: F401
 from ..sources import multimodal  # noqa: F401

@@ -1,0 +1,429 @@
+"""Unigram-LM (SentencePiece-family) tokenizer: the OTHER production
+tokenizer beside BPE (Kudo 2018 — seed a large candidate vocabulary,
+iteratively re-segment the corpus and prune low-utility pieces).
+
+Deterministic exact-integer variant (the text_bpe_merges discipline: no
+floats anywhere, every tiebreak a total order, so Spark, DuckDB, and the
+pure-Python property reference agree bit-for-bit):
+
+* **Seed**: all substrings (length 1..UNIGRAM_MAX_PIECE) of the DISTINCT
+  words, frequency-weighted by word count; every single character is
+  kept unconditionally (coverage guarantee), multi-char candidates are
+  capped to the top UNIGRAM_SEED_K by (freq DESC, piece ASC).
+* **Segment (E-step)**: per distinct word, a Viterbi dynamic program
+  over character positions picks the best piece sequence under the
+  total order (fewest pieces, then highest total piece score, then
+  lexicographically smallest sequence). Production SentencePiece
+  maximizes the sum of log piece probabilities — float-ordered and
+  engine-divergent in the last ulp; this integer order keeps the same
+  "prefer probable pieces" shape while staying exactly replayable. The
+  DP state is ONE fixed-width sortable string
+  ``lpad(n_pieces,2) || lpad(INV0 - score,12) || seq`` so each step is
+  a plain min(string) — identical byte order in every engine.
+* **Prune (M-step)**: piece usage counts from the segmentation replace
+  the seed scores; multi-char pieces outside the top UNIGRAM_KEEP_K by
+  (usage DESC, piece ASC) are dropped, characters always survive; one
+  more segment pass under the pruned vocabulary yields the final usage.
+
+Scale shape: the corpus is touched ONCE (the word-frequency groupBy);
+everything after runs on the vocabulary-bounded distinct-word table —
+the exact cost model of text_bpe_merges. The Spark DP is ONE
+whole-stage-codegen expression per word (F.aggregate over character
+positions, the vocabulary a broadcast map literal — zero shuffles, zero
+extra stages); the DuckDB oracle unrolls the same DP one MATERIALIZED
+CTE stage per position (UNIGRAM_MAX_WORD of them per round). Words longer than
+UNIGRAM_MAX_WORD are excluded from training and count as OOV at encode
+time in BOTH engines (production SentencePiece similarly caps input
+length). The 12-char inverted-score pad bounds piece scores below 1e11
+— wide enough for ~1e10 corpus tokens; widen INV0 alongside a larger
+corpus.
+
+Reference parity note: the reference GUI scripts (mainTesting.py) have
+no tokenizer; this is north-star LLM-pipeline surface (the brief's
+"token counting / BPE-ish" family), property-tested like
+tests/test_bpe_property.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+UNIGRAM_MAX_WORD = 12
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_SEED_K = 64
+UNIGRAM_KEEP_K = 40
+_INV0 = 10**11  # inverted-score base: key carries lpad(INV0 - score, 12)
+
+
+# --------------------------------------------------------------- Spark side
+
+
+def unigram_words(docs: DataFrame) -> DataFrame:
+    """(tok, n) distinct-word frequency table, length-capped."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok").between(1, UNIGRAM_MAX_WORD))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def unigram_seed_vocab(words: DataFrame) -> DataFrame:
+    """(piece, score): every char + top-K multi-char substrings by
+    frequency. Substring enumeration is per DISTINCT word (vocabulary-
+    bounded), weighted by word count; each occurrence counts."""
+    subs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok")),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNIGRAM_MAX_PIECE), F.length("tok") - s + 1),
+                ),
+                lambda l: F.col("tok").substr(s, l),
+            ),
+        )
+    )
+    subs = (
+        words.select("n", F.explode(subs_arr).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("score"))
+    )
+    chars = subs.where(F.length("piece") == 1)
+    multi = (
+        subs.where(F.length("piece") > 1)
+        .orderBy(F.desc("score"), F.asc("piece"))
+        .limit(UNIGRAM_SEED_K)
+    )
+    return chars.unionByName(multi)
+
+
+def _combine_key(key: F.Column, piece: F.Column, score: F.Column) -> F.Column:
+    """Extend a DP state key by one piece — parse, add, re-encode.
+    NULL key (unreachable position) or NULL score (piece not in
+    vocabulary) propagates to a NULL candidate through concat."""
+    return F.concat(
+        F.lpad((F.substring(key, 1, 2).cast("int") + 1).cast("string"), 2, "0"),
+        F.lpad(
+            (F.substring(key, 3, 12).cast("long") - score).cast("string"), 12, "0"
+        ),
+        F.substring(key, 15, 1_000_000),
+        piece,
+        F.lit(" "),
+    )
+
+
+def unigram_segment(words: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """Viterbi segmentation of every distinct word under a (bounded)
+    piece->score vocabulary: (tok, n, n_pieces, score, seq). The whole DP
+    runs as ONE whole-stage-codegen expression per word — F.aggregate
+    over character positions carries the array of best state keys, each
+    step an array_min over the <=UNIGRAM_MAX_PIECE candidate extensions,
+    with the vocabulary as a broadcast map literal. Zero extra stages,
+    zero shuffles: the segmentation pass costs exactly the scan of the
+    (vocabulary-bounded) distinct-word table, the same cost model as a
+    broadcast codebook in similarity.py. Words with an unreachable final
+    position (possible only under adversarial vocabularies in the
+    property test — trained vocabularies always contain every char)
+    yield NULL n_pieces/score/seq."""
+    if vocab:
+        m = F.create_map(
+            *[F.lit(x) for kv in sorted(vocab.items()) for x in kv]
+        )
+    else:
+        m = F.create_map().cast("map<string,bigint>")
+
+    def best_j(acc, j):
+        cands = []
+        for k in range(1, UNIGRAM_MAX_PIECE + 1):
+            piece = F.col("tok").substr(j - F.lit(k - 1), F.lit(k))
+            score = F.element_at(m, piece).cast("long")
+            prev = F.element_at(acc, F.greatest(j - F.lit(k) + 1, F.lit(1)).cast("int"))
+            # prev.isNotNull() is load-bearing beyond semantics: codegen
+            # calls substringSQL on the raw accumulator slot, which NPEs
+            # on a NULL state key unless the when() short-circuits first
+            cands.append(
+                F.when(
+                    (j >= F.lit(k)) & score.isNotNull() & prev.isNotNull(),
+                    _combine_key(prev, piece, score),
+                )
+            )
+        return F.array_min(F.array(*cands))
+
+    # the cast is load-bearing: without it the accumulator type is
+    # array<string, containsNull=false> (inferred from the literal), the
+    # per-step lambda result gets cast back to it, and codegen then skips
+    # null checks on state keys — NPE the first time a position is
+    # unreachable; array<string> DDL defaults to nullable elements
+    keys = F.aggregate(
+        F.sequence(F.lit(1), F.length("tok")),
+        F.array(F.lit("00" + str(_INV0))).cast("array<string>"),
+        lambda acc, j: F.concat(acc, F.array(best_j(acc, j))),
+    )
+    fkey = F.element_at(keys, -1)
+    ok = fkey.isNotNull()
+    return words.select(
+        "tok",
+        "n",
+        F.when(ok, F.substring(fkey, 1, 2).cast("int")).alias("n_pieces"),
+        F.when(ok, F.lit(_INV0) - F.substring(fkey, 3, 12).cast("long")).alias(
+            "score"
+        ),
+        F.when(ok, F.trim(F.substring(fkey, 15, 1_000_000))).alias("seq"),
+    )
+
+
+def unigram_usage(seg: DataFrame) -> DataFrame:
+    """(piece, usage): segmentation piece counts weighted by word freq."""
+    return (
+        seg.select("n", F.explode(F.split("seq", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("usage"))
+    )
+
+
+def unigram_prune(seed: dict[str, int], usage: dict[str, int]) -> dict[str, int]:
+    """M-step, driver-side over the two vocabulary-bounded dicts: usage
+    counts become the scores; multi-char pieces outside the top
+    UNIGRAM_KEEP_K by (usage DESC, piece ASC) die, characters always
+    survive (coverage)."""
+    vocab2 = {p: usage.get(p, 0) for p in seed if len(p) == 1}
+    multi = sorted(
+        ((p, u) for p, u in usage.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:UNIGRAM_KEEP_K]
+    vocab2.update(dict(multi))
+    return vocab2
+
+
+def unigram_train_collected(words: DataFrame):
+    """(vocab2 dict, final seg frame): the full seed -> segment -> prune
+    -> segment chain. The two collects are VOCABULARY-bounded, never
+    corpus-scaled (seed: alphabet + UNIGRAM_SEED_K rows after a
+    distributed TakeOrdered; usage: <= |seed| rows) — the BPE-winners
+    collect discipline (tests/test_scale_discipline.py). The corpus is
+    read exactly once: the distinct-word table is pinned with an eager
+    localCheckpoint before the three actions that reuse it."""
+    words = words.localCheckpoint()
+    seed = {r["piece"]: r["score"] for r in unigram_seed_vocab(words).collect()}
+    usage1 = {
+        r["piece"]: r["usage"]
+        for r in unigram_usage(unigram_segment(words, seed)).collect()
+    }
+    vocab2 = unigram_prune(seed, usage1)
+    return vocab2, unigram_segment(words, vocab2)
+
+
+# --------------------------------------------------------------- SQL twin
+
+
+def _seg_sql(prefix: str, vocab_cte: str) -> str:
+    """Unrolled Viterbi CTE stages (MATERIALIZED: stage j is referenced
+    by up to UNIGRAM_MAX_PIECE later stages — inlining would re-expand
+    the prefix exponentially, the same blowup the Spark side checkpoints
+    away)."""
+    ctes = [
+        f"{prefix}b0 AS MATERIALIZED (SELECT tok, n, '00{_INV0}' AS key FROM words)"
+    ]
+    for j in range(1, UNIGRAM_MAX_WORD + 1):
+        branches = []
+        for k in range(1, min(UNIGRAM_MAX_PIECE, j) + 1):
+            branches.append(
+                f"""SELECT b.tok, b.n,
+    lpad(CAST(CAST(substr(b.key, 1, 2) AS INTEGER) + 1 AS VARCHAR), 2, '0')
+    || lpad(CAST(CAST(substr(b.key, 3, 12) AS BIGINT) - v.score AS VARCHAR), 12, '0')
+    || substr(b.key, 15) || v.piece || ' ' AS key
+FROM {prefix}b{j - k} b JOIN {vocab_cte} v ON v.piece = substr(b.tok, {j - k + 1}, {k})
+WHERE len(b.tok) >= {j}"""
+            )
+        union = "\nUNION ALL\n".join(branches)
+        ctes.append(
+            f"{prefix}b{j} AS MATERIALIZED (SELECT tok, n, min(key) AS key FROM (\n{union}\n) GROUP BY tok, n)"
+        )
+    fin_union = "\nUNION ALL\n".join(
+        f"SELECT * FROM {prefix}b{j} WHERE len(tok) = {j}"
+        for j in range(1, UNIGRAM_MAX_WORD + 1)
+    )
+    ctes.append(
+        f"""{prefix}fin AS MATERIALIZED (
+SELECT tok, n,
+       CAST(substr(key, 1, 2) AS INTEGER) AS n_pieces,
+       {_INV0} - CAST(substr(key, 3, 12) AS BIGINT) AS score,
+       trim(substr(key, 15)) AS seq
+FROM (\n{fin_union}\n))"""
+    )
+    ctes.append(
+        f"""{prefix}usage AS MATERIALIZED (
+SELECT piece, CAST(SUM(n) AS BIGINT) AS usage
+FROM (SELECT n, unnest(string_split(seq, ' ')) AS piece FROM {prefix}fin)
+GROUP BY piece)"""
+    )
+    return ",\n".join(ctes)
+
+
+def _unigram_ctes() -> str:
+    return f"""words AS MATERIALIZED (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE len(tok) BETWEEN 1 AND {UNIGRAM_MAX_WORD}
+    GROUP BY tok
+),
+subs AS MATERIALIZED (
+    SELECT substr(tok, s, l) AS piece, CAST(SUM(n) AS BIGINT) AS score
+    FROM words,
+         unnest(generate_series(1, len(tok))) t(s),
+         unnest(generate_series(1, {UNIGRAM_MAX_PIECE})) u(l)
+    WHERE s + l - 1 <= len(tok)
+    GROUP BY 1
+),
+seed AS MATERIALIZED (
+    SELECT piece, score FROM subs WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, score FROM (
+        SELECT piece, score FROM subs WHERE len(piece) > 1
+        ORDER BY score DESC, piece LIMIT {UNIGRAM_SEED_K})
+),
+{_seg_sql("r1", "seed")},
+vocab2 AS MATERIALIZED (
+    SELECT s.piece, CAST(COALESCE(u.usage, 0) AS BIGINT) AS score
+    FROM seed s LEFT JOIN r1usage u ON u.piece = s.piece
+    WHERE len(s.piece) = 1
+    UNION ALL
+    SELECT piece, usage AS score FROM (
+        SELECT piece, usage FROM r1usage WHERE len(piece) > 1
+        ORDER BY usage DESC, piece LIMIT {UNIGRAM_KEEP_K})
+),
+{_seg_sql("r2", "vocab2")}"""
+
+
+@register(
+    "text_unigram_train",
+    oracle=f"""WITH {_unigram_ctes()}
+SELECT v.piece,
+       CAST(len(v.piece) AS INTEGER) AS piece_len,
+       v.score AS vocab_score,
+       CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage,
+       len(v.piece) = 1 AS is_char
+FROM vocab2 v LEFT JOIN r2usage u ON u.piece = v.piece
+""",
+    doc=(
+        "Unigram-LM tokenizer TRAINING (module doc): seed substring "
+        "vocabulary -> Viterbi segmentation -> usage-based prune -> "
+        "final segmentation; returns the shipped vocabulary with its "
+        "pruned score and final usage. Exact-integer total orders "
+        "everywhere; corpus touched once, all rounds vocabulary-bounded; "
+        f"both caps BIND on this corpus (seed {UNIGRAM_SEED_K}, keep "
+        f"{UNIGRAM_KEEP_K} multi-char pieces). Property-tested "
+        "stage-for-stage against a pure-Python reference "
+        "(tests/test_unigram_property.py)."
+    ),
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = unigram_words(load_table(spark, sf_dir, "documents"))
+    vocab2, seg2 = unigram_train_collected(words)
+    vdf = spark.createDataFrame(
+        sorted(vocab2.items()), "piece string, vocab_score long"
+    )
+    return vdf.join(unigram_usage(seg2), "piece", "left").select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "vocab_score",
+        F.coalesce("usage", F.lit(0)).cast("long").alias("usage"),
+        (F.length("piece") == 1).alias("is_char"),
+    )
+
+
+@register(
+    "text_unigram_encode",
+    oracle=f"""WITH {_unigram_ctes()},
+tokpos AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         unnest(generate_series(1, len(toks))) u(i)
+),
+enc AS (
+    SELECT p.doc_id, p.pos, f.n_pieces, f.seq
+    FROM tokpos p LEFT JOIN r2fin f ON f.tok = p.tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN seq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(COALESCE(n_pieces, 0)) AS BIGINT) AS n_pieces,
+       COALESCE(array_to_string(
+           list(seq ORDER BY pos) FILTER (WHERE seq IS NOT NULL), ' '), '') AS pieces
+FROM enc GROUP BY doc_id
+""",
+    doc=(
+        "Unigram-LM ENCODE: each document's words map to their trained "
+        "Viterbi segmentations via a broadcast join on the distinct-word "
+        "table (the text_tokenize_ids shape — the corpus stream never "
+        "shuffles on content), reassembled in word order per doc. Words "
+        f"over the {UNIGRAM_MAX_WORD}-char training cap count as OOV in "
+        "both engines (none in this corpus). pieces is the "
+        "space-joined canonical serialization (pieces contain no "
+        "spaces)."
+    ),
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = unigram_words(docs)
+    _vocab2, seg = unigram_train_collected(words)
+    seg = F.broadcast(seg.select("tok", "n_pieces", "seq"))
+    tokpos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    enc = tokpos.join(seg, "tok", "left")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("seq").isNull().cast("long")).alias("n_oov"),
+        F.sum(F.coalesce("n_pieces", F.lit(0)).cast("long")).alias("n_pieces"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("seq").isNotNull(), F.struct("pos", "seq")
+                            )
+                        )
+                    ),
+                    lambda s: s["seq"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("pieces"),
+    )
+
+
+@register(
+    "text_unigram_roundtrip_check",
+    oracle=f"""WITH {_unigram_ctes()}
+SELECT tok, CAST(n_pieces AS BIGINT) AS n_pieces, TRUE AS roundtrip_ok
+FROM r2fin
+""",
+    doc=(
+        "Unigram-LM ROUND-TRIP serving contract (the "
+        "text_bpe_roundtrip_check grammar): every distinct word's trained "
+        "segmentation must decode (concatenate pieces) back to exactly "
+        "the original word — the Spark side performs the real "
+        "decode-and-compare, the oracle supplies the expected verdict as "
+        "a literal TRUE plus the independently derived piece count. The "
+        "character-coverage guarantee (every char always in vocabulary) "
+        "is what makes the contract provable corpus-wide."
+    ),
+)
+def text_unigram_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = unigram_words(load_table(spark, sf_dir, "documents"))
+    _vocab2, seg = unigram_train_collected(words)
+    return seg.select(
+        "tok",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        (F.replace(F.col("seq"), F.lit(" "), F.lit("")) == F.col("tok")).alias(
+            "roundtrip_ok"
+        ),
+    )

@@ -27,6 +27,11 @@ ALLOWED_COLLECT = {
     # 1-row best-pair aggregates — the stop decision is driver-side by
     # nature and the row count is merge-bounded, never corpus-scaled
     "operators/textops.py": 1,
+    # unigram trainer: seed vocabulary (alphabet + UNIGRAM_SEED_K rows
+    # after a distributed TakeOrdered) and piece-usage counts (<= |seed|)
+    # — vocabulary-bounded, never corpus-scaled; the collected dict
+    # becomes the broadcast map literal of the expression-DP segmenter
+    "operators/unigram.py": 2,
 }
 
 #: files allowed unpartitioned Window.orderBy, with the count of BOUNDED

@@ -1,0 +1,149 @@
+"""Property test: the distributed unigram-LM trainer must agree
+stage-for-stage with a pure-Python reference on arbitrary word multisets
+— same seed frequencies, same Viterbi total order (fewest pieces, then
+highest score, then lexicographically smallest sequence, realized as the
+SAME fixed-width sortable key string both engines min() over), same
+(usage DESC, piece ASC) prune. Also pins the coverage guarantee (chars
+always survive -> every capped word segments and round-trips) and the
+adversarial NULL path (a vocabulary missing a needed char must yield a
+NULL segmentation, not an error)."""
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_financial_report_spark.operators.unigram import (
+    _INV0,
+    UNIGRAM_KEEP_K,
+    UNIGRAM_MAX_PIECE,
+    UNIGRAM_MAX_WORD,
+    UNIGRAM_SEED_K,
+    unigram_prune,
+    unigram_seed_vocab,
+    unigram_segment,
+    unigram_usage,
+)
+
+_word = st.text(alphabet="abc", min_size=1, max_size=UNIGRAM_MAX_WORD)
+_corpus = st.lists(
+    st.tuples(_word, st.integers(min_value=1, max_value=9)),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def ref_seed(words: dict[str, int]) -> dict[str, int]:
+    seed: Counter = Counter()
+    for w, n in words.items():
+        for s in range(len(w)):
+            for l in range(1, min(UNIGRAM_MAX_PIECE, len(w) - s) + 1):
+                seed[w[s : s + l]] += n
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1), key=lambda x: (-x[1], x[0])
+    )[:UNIGRAM_SEED_K]
+    return {**chars, **dict(multi)}
+
+
+def ref_viterbi(w: str, vocab: dict[str, int]) -> str | None:
+    """Best final DP key for word w — the exact key-string min both
+    engines compute (NOT a tuple min: the string realizes the order)."""
+    best: list[str | None] = ["00%012d" % _INV0]
+    for j in range(1, len(w) + 1):
+        cands = []
+        for k in range(1, min(UNIGRAM_MAX_PIECE, j) + 1):
+            p = w[j - k : j]
+            s = vocab.get(p)
+            prev = best[j - k]
+            if s is not None and prev is not None:
+                pieces = int(prev[:2]) + 1
+                inv = int(prev[2:14]) - s
+                cands.append("%02d%012d" % (pieces, inv) + prev[14:] + p + " ")
+        best.append(min(cands) if cands else None)
+    return best[len(w)]
+
+
+def ref_segment(words: dict[str, int], vocab: dict[str, int]):
+    out = {}
+    for w in words:
+        key = ref_viterbi(w, vocab)
+        if key is None:
+            out[w] = (None, None, None)
+        else:
+            out[w] = (int(key[:2]), _INV0 - int(key[2:14]), key[14:].strip())
+    return out
+
+
+def ref_usage(words: dict[str, int], seg) -> dict[str, int]:
+    u: Counter = Counter()
+    for w, n in words.items():
+        seq = seg[w][2]
+        if seq is not None:
+            for p in seq.split(" "):
+                u[p] += n
+    return dict(u)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_corpus)
+def test_unigram_matches_pure_python_reference(spark, corpus):
+    words = dict(corpus)
+    wdf = spark.createDataFrame(corpus, "tok string, n long")
+
+    seed = {r["piece"]: r["score"] for r in unigram_seed_vocab(wdf).collect()}
+    assert seed == ref_seed(words)
+
+    seg1 = unigram_segment(wdf, seed)
+    got1 = {r["tok"]: (r["n_pieces"], r["score"], r["seq"]) for r in seg1.collect()}
+    want1 = ref_segment(words, seed)
+    assert got1 == want1
+
+    u1 = {r["piece"]: r["usage"] for r in unigram_usage(seg1).collect()}
+    assert u1 == ref_usage(words, want1)
+
+    vocab2 = unigram_prune(seed, u1)
+    ref_chars = {p: u1.get(p, 0) for p in seed if len(p) == 1}
+    ref_multi = sorted(
+        ((p, u) for p, u in u1.items() if len(p) > 1), key=lambda x: (-x[1], x[0])
+    )[:UNIGRAM_KEEP_K]
+    assert vocab2 == {**ref_chars, **dict(ref_multi)}
+
+    got2 = {
+        r["tok"]: (r["n_pieces"], r["score"], r["seq"])
+        for r in unigram_segment(wdf, vocab2).collect()
+    }
+    want2 = ref_segment(words, vocab2)
+    assert got2 == want2
+    # coverage guarantee: every char survives pruning, so every word
+    # segments and round-trips
+    for w, (np_, _sc, seq) in got2.items():
+        assert seq is not None and seq.replace(" ", "") == w
+        assert 1 <= np_ <= len(w)
+
+
+def test_unsegmentable_word_yields_null_not_error(spark):
+    wdf = spark.createDataFrame([("abq", 1), ("ab", 2)], "tok string, n long")
+    vocab = {"a": 5, "b": 3, "ab": 9}  # no 'q' anywhere
+    got = {r["tok"]: (r["n_pieces"], r["seq"]) for r in unigram_segment(wdf, vocab).collect()}
+    assert got["abq"] == (None, None)
+    assert got["ab"] == (1, "ab")  # fewest-pieces beats higher-count chars
+    # and usage counting skips the NULL row rather than crashing
+    u = {r["piece"]: r["usage"] for r in unigram_usage(unigram_segment(wdf, vocab)).collect()}
+    assert u == {"ab": 2}
+
+
+def test_tiebreaks_are_the_documented_total_order(spark):
+    # same piece count, different scores: higher total score wins
+    wdf = spark.createDataFrame([("abcd", 1)], "tok string, n long")
+    vocab = {"ab": 10, "cd": 1, "a": 1, "b": 1, "c": 1, "d": 1, "bc": 50}
+    # 2-piece options: ab+cd (score 11); a? no — 'abcd' as (a,bcd)? bcd not
+    # in vocab; (abc,d)? not in vocab; so min pieces=2 via ab+cd only.
+    got = unigram_segment(wdf, vocab).collect()[0]
+    assert (got["n_pieces"], got["seq"], got["score"]) == (2, "ab cd", 11)
+    # score tie at equal piece count: lexicographically smaller seq wins
+    wdf2 = spark.createDataFrame([("aa", 1)], "tok string, n long")
+    vocab2 = {"a": 7, "aa": 14}  # 1 piece beats 2 pieces regardless of score
+    got2 = unigram_segment(wdf2, vocab2).collect()[0]
+    assert (got2["n_pieces"], got2["seq"]) == (1, "aa")
