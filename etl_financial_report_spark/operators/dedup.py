@@ -1580,8 +1580,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_verdicts(docs.where(in_batch), index)
 
 
-def _band_keys(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_key) rows from a minhash signature frame."""
+#: hot-bucket cap for the LSH band tables (the dedup_simhash64_hamming
+#: discipline applied to minhash banding): a power-law mega-cluster (the
+#: boilerplate page duplicated 100k times) puts its whole cluster into
+#: ONE band bucket — the self-join there is C(cluster, 2), quadratic and
+#: unbounded. Buckets over the cap are dropped BEFORE pairing (two-phase
+#: count + anti-join, AQE-skew-splittable); what a cap drops is
+#: accounted by ``dedup_lsh_bucket_stats`` (a lazy plan cannot
+#: side-effect a count). Mega-cluster members are still collapsed by the
+#: cheaper exact/chunk stages that precede LSH in the funnel — the cap
+#: costs recall only for near-dup (non-exact) clusters wider than it,
+#: which a 100 TB crawl handles exactly this way (Dolma's hash-skew
+#: guard). Never binds at oracle SF (buckets there are <= cluster ~10).
+LSH_MAX_BUCKET = 4096
+
+
+def _band_keys(sig: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from a minhash signature frame,
+    hot buckets dropped at ``max_bucket`` (None disables)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -1591,8 +1607,59 @@ def _band_keys(sig: DataFrame) -> DataFrame:
             for bi, (_, h1, h2) in enumerate(_BANDS)
         ]
     )
-    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+    keys = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    if max_bucket is not None:
+        hot = (
+            keys.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") > max_bucket)
+        )
+        keys = keys.join(hot, ["band_idx", "band_key"], "left_anti")
+    return keys
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()}),
+bands AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
+),
+occ AS (SELECT band_idx, band_key, COUNT(*) AS bucket_n FROM bands GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(bucket_n) AS BIGINT) AS max_occupancy,
+       CAST(SUM(CASE WHEN bucket_n > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS hot_buckets,
+       CAST(SUM(CASE WHEN bucket_n > {LSH_MAX_BUCKET} THEN bucket_n ELSE 0 END) AS BIGINT)
+           AS dropped_rows
+FROM occ
+""",
+    doc=(
+        "Occupancy accounting for the minhash LSH band tables — exactly "
+        f"what the LSH_MAX_BUCKET ({LSH_MAX_BUCKET}) hot-bucket cap drops "
+        "before the candidate self-join (the dedup_simhash64_bucket_stats "
+        "grammar): bucket count, max occupancy, hot buckets, dropped "
+        "rows. The adversarial-skew smoke asserts the cap ENGAGES on a "
+        "power-law mega-cluster with every drop accounted."
+    ),
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = (
+        _band_keys(_minhash_signature(spark, sf_dir), max_bucket=None)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_n").alias("max_occupancy"),
+        F.sum((F.col("bucket_n") > LSH_MAX_BUCKET).cast("long")).alias("hot_buckets"),
+        F.sum(
+            F.when(F.col("bucket_n") > LSH_MAX_BUCKET, F.col("bucket_n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dropped_rows"),
     )
 
 

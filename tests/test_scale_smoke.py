@@ -503,3 +503,51 @@ def test_winnowing_pairs_at_scale(spark, sf1_dir, smoke_record):
     n_same = same_base.count()
     assert n_same > 0
     assert same_base.where(F.col("jaccard_ppm") != 1_000_000).count() == 0
+
+
+def test_domain_cap_at_scale(spark, sf1_dir, smoke_record):
+    """x10 baseline for the per-source cap (the x100 twin asserts the
+    cap binds everywhere; here it binds identically at 2.5k docs/source)."""
+    from etl_financial_report_spark.operators.sampling import DOMAIN_CAP_DOCS
+
+    df, n = _run(
+        spark,
+        "sample_domain_cap",
+        lambda: registry.all_queries()["sample_domain_cap"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n == load_table(spark, sf1_dir, "documents").count()
+    kept = df.groupBy("source").agg(F.sum(F.col("keep").cast("long")).alias("k"))
+    assert all(r.k == DOMAIN_CAP_DOCS for r in kept.collect())
+
+
+def test_minhash_bbit_at_scale(spark, sf1_dir, smoke_record):
+    """x10 baseline for the 1-bit sketch estimator table; identical
+    replicas guarantee 1e6-ppm rows on all three estimators."""
+    df, n = _run(
+        spark,
+        "dedup_minhash_bbit",
+        lambda: registry.all_queries()["dedup_minhash_bbit"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n > 0
+    ident = df.where((F.col("doc_a") % ID_OFFSET) == (F.col("doc_b") % ID_OFFSET))
+    assert ident.count() > 0
+    assert ident.where(F.col("exact_jaccard_ppm") != 1_000_000).count() == 0
+
+
+def test_shard_checksums_at_scale(spark, sf1_dir, smoke_record):
+    """x10 baseline for the XOR manifest: 16 rows, exact doc accounting."""
+    from etl_financial_report_spark.operators.pipelines import N_MANIFEST_SHARDS
+
+    df, n = _run(
+        spark,
+        "pipeline_shard_checksums",
+        lambda: registry.all_queries()["pipeline_shard_checksums"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    assert n == N_MANIFEST_SHARDS
+    assert (
+        df.agg(F.sum("n_docs")).collect()[0][0]
+        == load_table(spark, sf1_dir, "documents").count()
+    )
