@@ -181,3 +181,55 @@ def with_might_contain(
             yield pdf
 
     return df.mapInPandas(probe, schema=schema)
+
+
+def bloom_build_np(
+    keys: np.ndarray, num_bits: int, num_hash: int, seed: int = 0
+) -> np.ndarray:
+    """Build twin of ``bloom_might_contain_np`` at wire version 1
+    (``BloomFilterImpl.putLong``): per probe i in 1..k, 32-bit combined =
+    h1 + i*h2, negative bit-flipped, % bitSize, set the bit. Because the
+    build and the probe share the exact arithmetic, every inserted key is
+    GUARANTEED to probe true (the one-sided bloom contract) — pinned in
+    tests/test_snapshots.py for the manifest blooms. ``num_bits`` must be
+    a multiple of 64. Returns the int64 bit words."""
+    assert num_bits % 64 == 0 and num_bits > 0
+    bit_size = np.int64(num_bits)
+    k = np.asarray(keys, dtype=np.int64)
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    if k.size:
+        with np.errstate(over="ignore"):
+            h1 = murmur3_hash_long(k, np.uint32(seed))
+            h2 = murmur3_hash_long(k, h1)
+            for i in range(1, num_hash + 1):
+                combined = (h1 + np.uint32(i) * h2).astype(np.int32)
+                combined = np.where(combined < 0, ~combined, combined)
+                idx = combined.astype(np.int64) % bit_size
+                np.bitwise_or.at(
+                    words,
+                    idx >> np.int64(6),
+                    np.uint64(1) << (idx.astype(np.uint64) & np.uint64(63)),
+                )
+    return words.view(np.int64)
+
+
+def bloom_set_bits(words: np.ndarray) -> list[int]:
+    """Set-bit positions of a bloom word array — the JSON-safe manifest
+    form (sparse: ~num_hash positions per key)."""
+    uw = words.view(np.uint64)
+    pos = np.arange(uw.shape[0] * 64, dtype=np.int64)
+    bit = (uw[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+    return [int(p) for p in pos[bit.astype(bool)]]
+
+
+def bloom_from_set_bits(set_bits: list[int], num_bits: int) -> np.ndarray:
+    """Inverse of :func:`bloom_set_bits`."""
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    if set_bits:
+        idx = np.asarray(set_bits, dtype=np.int64)
+        np.bitwise_or.at(
+            words,
+            idx >> np.int64(6),
+            np.uint64(1) << (idx.astype(np.uint64) & np.uint64(63)),
+        )
+    return words.view(np.int64)

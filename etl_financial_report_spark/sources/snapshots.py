@@ -108,11 +108,65 @@ def _span_can_match(span: list | None, lo, hi) -> bool:
     return True
 
 
+#: manifest key-bloom geometry: ~8 bits/key at 6 probes gives ~2% false
+#: positives — a false positive only opens one extra file, never wrong
+_BLOOM_BITS_PER_KEY = 8
+_BLOOM_NUM_HASH = 6
+
+
+def _file_key_bloom(full_path: str, col: str) -> dict | None:
+    """Per-file key bloom for the manifest (Delta-style bloom index):
+    min/max pruning cannot prune POINT lookups on uniformly-distributed
+    keys (every file's [min,max] spans the probe), so commit time also
+    harvests a bloom over the key column — ONE column read of the
+    just-written file (the same I/O class as a format's bloom index
+    build), stored as sparse set-bit positions (JSON-safe, ~6 ints per
+    key). Integer columns only; anything else returns None (reader
+    treats a missing bloom as "cannot prune")."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.bloom_native import bloom_build_np, bloom_set_bits
+
+    t = pq.read_table(full_path, columns=[col])
+    if not pa.types.is_integer(t.schema.field(col).type):
+        return None
+    keys = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+    num_bits = max(64, ((keys.size * _BLOOM_BITS_PER_KEY + 63) // 64) * 64)
+    words = bloom_build_np(keys, num_bits, _BLOOM_NUM_HASH)
+    return {
+        "num_bits": num_bits,
+        "num_hash": _BLOOM_NUM_HASH,
+        "set_bits": bloom_set_bits(words),
+    }
+
+
+def _bloom_can_match(bloom: dict | None, key) -> bool:
+    """True unless the file's manifest bloom PROVES the key absent —
+    same never-wrong contract as _span_can_match (missing bloom or a
+    non-integer probe keeps the file)."""
+    if bloom is None or not isinstance(key, int) or isinstance(key, bool):
+        return True
+    import numpy as np
+
+    from ..functions.bloom_native import bloom_from_set_bits, bloom_might_contain_np
+
+    words = bloom_from_set_bits(bloom["set_bits"], bloom["num_bits"])
+    return bool(
+        bloom_might_contain_np(
+            1, bloom["num_hash"], 0, words, np.asarray([key], dtype=np.int64)
+        )[0]
+    )
+
+
 class SnapshotTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, bloom_cols: tuple[str, ...] = ()):
         self.path = path
         self._data = os.path.join(path, "data")
         self._manifests = os.path.join(path, "_manifests")
+        #: columns to harvest per-file key blooms for at commit time
+        self.bloom_cols = tuple(bloom_cols)
         # manifests are immutable once published (atomic os.link claim),
         # so parsed manifests cache per instance; vacuum invalidates
         self._mcache: dict[int, dict] = {}
@@ -158,9 +212,20 @@ class SnapshotTable:
         ]
 
     def _meta_for(self, files: list[str]) -> dict[str, dict]:
-        return {
-            rel: _file_footer_meta(os.path.join(self.path, rel)) for rel in files
-        }
+        out = {}
+        for rel in files:
+            full = os.path.join(self.path, rel)
+            meta = _file_footer_meta(full)
+            if self.bloom_cols:
+                blooms = {}
+                for col in self.bloom_cols:
+                    b = _file_key_bloom(full, col)
+                    if b is not None:
+                        blooms[col] = b
+                if blooms:
+                    meta["blooms"] = blooms
+            out[rel] = meta
+        return out
 
     def _publish(
         self,
@@ -284,12 +349,17 @@ class SnapshotTable:
         self,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        prune_keys: dict[str, int] | None = None,
     ) -> list[str]:
         """The file list of one snapshot after manifest-stats pruning.
         ``prune`` maps column -> (lo, hi) (either bound None = open); a
         file is skipped only when its recorded [min, max] PROVES no row
-        can satisfy ``col BETWEEN lo AND hi`` — files without stats for
-        the column are kept, so pruning is never wrong, only sometimes
+        can satisfy ``col BETWEEN lo AND hi``. ``prune_keys`` maps
+        column -> exact key: a file is additionally skipped when its
+        manifest KEY BLOOM proves the key absent — the point-lookup case
+        min/max cannot prune when every file's interval spans the probe
+        (uniformly-distributed keys). Files without stats/blooms for the
+        column are kept, so pruning is never wrong, only sometimes
         useless. Pure manifest arithmetic: no footer or data file is
         opened here."""
         v = self.current_version() if version is None else version
@@ -297,7 +367,7 @@ class SnapshotTable:
             raise FileNotFoundError(f"{self.path}: no committed version")
         m = self._read_manifest(v)
         files = m["files"]
-        if not prune:
+        if not prune and not prune_keys:
             return list(files)
         meta = m.get("file_meta", {})
         out = []
@@ -306,11 +376,21 @@ class SnapshotTable:
             if fm is not None and fm.get("rows", 1) == 0:
                 continue  # provably empty file
             stats = (fm or {}).get("stats", {})
-            if all(
+            blooms = (fm or {}).get("blooms", {})
+            if not all(
                 _span_can_match(stats.get(col), lo, hi)
-                for col, (lo, hi) in prune.items()
+                for col, (lo, hi) in (prune or {}).items()
             ):
-                out.append(rel)
+                continue
+            if not all(
+                # a point probe also consults the min/max span — the
+                # bloom and the interval prune independently
+                _span_can_match(stats.get(col), key, key)
+                and _bloom_can_match(blooms.get(col), key)
+                for col, key in (prune_keys or {}).items()
+            ):
+                continue
+            out.append(rel)
         return out
 
     def read(
@@ -318,18 +398,22 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        prune_keys: dict[str, int] | None = None,
     ) -> DataFrame:
         """Read one pinned snapshot (latest by default). The file list is
         resolved from the manifest HERE, once — later commits cannot tear
-        this read, and any retained version time-travels. With ``prune``,
-        only files whose manifest stats can satisfy the ranges are opened
-        AND the corresponding BETWEEN filters are applied to the rows, so
-        a pruned read is exactly the unpruned read filtered — skipping is
-        an optimization, never a semantics change."""
+        this read, and any retained version time-travels. With ``prune``
+        (ranges) / ``prune_keys`` (point lookups via the manifest key
+        blooms), only files whose manifest stats can satisfy the
+        predicates are opened AND the corresponding filters are applied
+        to the rows, so a pruned read is exactly the unpruned read
+        filtered — skipping is an optimization, never a semantics
+        change (a bloom false positive opens one extra file whose rows
+        the equality filter then rejects)."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"{self.path}: no committed version")
-        kept = self.files(v, prune)
+        kept = self.files(v, prune, prune_keys)
         if not kept:
             # every file pruned — an empty frame with the table schema
             # (schema from footers only; the where(false) folds the scan)
@@ -350,6 +434,11 @@ class SnapshotTable:
                     df = df.where(F.col(col) >= lo)
                 if hi is not None:
                     df = df.where(F.col(col) <= hi)
+        if prune_keys:
+            from pyspark.sql import functions as F
+
+            for col, key in prune_keys.items():
+                df = df.where(F.col(col) == key)
         return df
 
     # ------------------------------------------------------------- vacuum

@@ -203,3 +203,55 @@ def test_snapshot_ingest_stream_is_exactly_once(spark, tmp_path):
     )
     assert table3.read(spark).count() == docs.where(F.col("doc_id") < 250).count()
     assert len(table3.versions()) == 3  # exactly one new version
+
+
+def test_bloom_prune_beats_minmax_on_point_lookups(spark, tmp_path):
+    """VERDICT r7 item 4: footer min/max cannot prune point lookups on
+    uniformly-distributed keys (every file's [min,max] spans the probe);
+    the per-file key blooms harvested at commit time can. The bloom-pruned
+    read must open strictly fewer files than the min/max-pruned read and
+    return exactly the unpruned read's matching rows."""
+    from etl_financial_report_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"), bloom_cols=("k",))
+    # four commits of INTERLEAVED keys: file i holds k % 4 == i, so every
+    # file's span covers ~[i, 196+i] and min/max pruning is useless
+    for i in range(4):
+        t.commit_append(
+            _df(spark, [(k, f"v{k}") for k in range(i, 200, 4)]).coalesce(1)
+        )
+    all_files = t.files()
+    assert len(all_files) == 4
+    m = t._read_manifest(t.current_version())
+    assert all("k" in m["file_meta"][f].get("blooms", {}) for f in all_files)
+
+    probe = 42  # lives in file 2 only
+    by_span = t.files(prune={"k": (probe, probe)})
+    assert len(by_span) == 4  # min/max proves nothing: every span covers 42
+    by_bloom = t.files(prune_keys={"k": probe})
+    assert len(by_bloom) < len(by_span)  # the item 4 'done' criterion
+    assert any(f in by_bloom for f in all_files)  # never prunes the true file
+    got = t.read(spark, prune_keys={"k": probe}).collect()
+    assert [(r.k, r.v) for r in got] == [(42, "v42")]
+
+    # absent key: bloom may prune everything; the read is a well-formed
+    # empty frame (a false positive would open a file whose rows the
+    # equality filter then rejects — never a wrong answer)
+    missing = t.read(spark, prune_keys={"k": 987654})
+    assert missing.count() == 0 and missing.columns == ["k", "v"]
+
+    # guaranteed-no-false-negative contract on EVERY committed key
+    for k in range(0, 200, 17):
+        files_k = t.files(prune_keys={"k": k})
+        assert all_files[k % 4] in files_k, k
+
+    # bloom columns survive merge (meta is re-harvested for the new files)
+    t.commit_merge(_df(spark, [(42, "VV")]), key_cols=["k"])
+    assert [(r.k, r.v) for r in t.read(spark, prune_keys={"k": 42}).collect()] == [
+        (42, "VV")
+    ]
+
+    # a table opened WITHOUT bloom_cols still reads bloom'd manifests
+    # (pruning uses whatever the manifest carries)
+    t2 = SnapshotTable(str(tmp_path / "t"))
+    assert len(t2.files(prune_keys={"k": probe})) <= len(all_files)
