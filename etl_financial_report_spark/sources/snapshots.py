@@ -306,7 +306,14 @@ class SnapshotTable:
             if (t := self._read_manifest(v).get("tag")) is not None
         }
 
-    def commit_replace(self, df: DataFrame) -> int:
+    def commit_replace(self, df: DataFrame, tag: str | None = None) -> int | None:
+        """Replace the current snapshot. ``tag`` gives replace the same
+        per-tag idempotency as commit_append (a replayed daily build that
+        produced identical content no-ops instead of publishing a
+        duplicate version); the tag is re-checked after every lost
+        race."""
+        if tag is not None and tag in self.committed_tags():
+            return None
         files: list[str] | None = None
         meta: dict[str, dict] = {}
         for _ in range(_MAX_COMMIT_RETRIES):
@@ -316,8 +323,10 @@ class SnapshotTable:
                 files = self._write_files(df, version)
                 meta = self._meta_for(files)
             try:
-                return self._publish(version, files, "replace", file_meta=meta)
+                return self._publish(version, files, "replace", tag=tag, file_meta=meta)
             except ConcurrentCommitError:
+                if tag is not None and tag in self.committed_tags():
+                    return None  # the race winner carried our tag
                 continue  # replace does not depend on base content — rebase
         raise ConcurrentCommitError(
             f"replace lost {_MAX_COMMIT_RETRIES} version races — giving up"

@@ -1068,3 +1068,163 @@ def run_manifest_stream(
             F.bit_xor("content_xor60").alias("content_xor60"),
         )
     )
+
+
+def run_corpus_build_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of pipeline_corpus_build — the daily-ingest reality
+    of the corpus-build artifact: documents arrive file-by-file, each
+    micro-batch lands ONE idempotent gate row per doc (content key,
+    quality bit, distinct shingle set, char count) plus the holdout
+    benchmark's shingles, and the final shard table is a pure merge over
+    the landed state committed EXACTLY-ONCE through the snapshot table.
+
+    Why this decomposition streams when the batch plan cannot:
+
+      * the canonical-dedup gate needs the GLOBAL min doc_id per content
+        key — per-doc landed keys make the final canonical a plain
+        groupBy over landed rows, correct under ANY arrival order
+        (min is commutative), unlike a first-arrival-wins incremental
+        verdict;
+      * decontamination needs every corpus doc's shingles against the
+        FULL holdout set — holdout files can arrive after the docs they
+        contaminate, so the landed per-doc distinct shingle array IS the
+        persisted index a production incremental pipeline keeps (one
+        bounded array per doc, never a corpus-sized exploded stream in
+        the sink); shingle STRINGS are landed (not hashes) so the
+        verdict is bit-identical to the batch join, no collision
+        argument needed;
+      * mixture gating and shard packing are deterministic functions of
+        the final kept set (hash gates + a prefix sum), so they run once
+        in the merge, reusing the exact batch operators.
+
+    The merged shard table commits to a SnapshotTable under a
+    content-fingerprint tag (XOR of row hashes — order-free), so a
+    REPLAYED stream (same checkpoint, or a re-run over the same files)
+    publishes nothing new and readers time-travel across daily builds.
+    Pinned row-for-row against pipeline_corpus_build after replay in
+    tests/test_streaming.py."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.dedup import DECONTAM_FRAC, DECONTAM_HOLDOUT, _shingles
+    from ..operators.sampling import _mix_bucket_col, _mix_rate_col, shard_pack
+    from ..sources.sinks import ParquetSink
+    from ..sources.snapshots import SnapshotTable
+
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    gate_sink = ParquetSink(f"{out_dir}/gate_rows", partition_cols=())
+    bench_sink = ParquetSink(f"{out_dir}/bench_shingles", partition_cols=())
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = F.split("text", " ")
+        ck = F.md5(F.trim(F.regexp_replace(nfc(F.lower(F.col("text"))), r"\s+", " ")))
+        quality = (F.size(toks) >= 20) & (
+            F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+            / F.size(toks)
+            < 0.3
+        )
+        rows = batch_df.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            ck.alias("ck"),
+            quality.alias("passes_quality"),
+            _shingles(F.col("text"), F.split("text", " ")).alias("whs"),
+        )
+        gate_sink.append_idempotent(rows, key_cols=["doc_id"])
+        bench = (
+            batch_df.where(F.col("source") == DECONTAM_HOLDOUT)
+            .select(
+                F.explode(_shingles(F.col("text"), F.split("text", " "))).alias("w")
+            )
+            .distinct()
+        )
+        bench_sink.append_idempotent(bench, key_cols=["w"])
+
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    gate = gate_sink.read(spark)
+    canon = gate.groupBy("ck").agg(F.min("doc_id").alias("canonical_id"))
+    corpus = gate.where(F.col("source") != DECONTAM_HOLDOUT)
+    bench = bench_sink.read(spark) if bench_sink.exists() else None
+    grams = corpus.select("doc_id", F.size("whs").alias("n_grams"), F.explode("whs").alias("w"))
+    if bench is not None:
+        hits = (
+            grams.join(bench, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        )
+    else:
+        hits = corpus.select("doc_id", F.lit(0).alias("n_contaminated")).where(F.lit(False))
+    contam = (
+        corpus.select("doc_id", F.size("whs").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_grams")
+                >= DECONTAM_FRAC
+            ).alias("is_contaminated"),
+        )
+    )
+    kept = (
+        corpus.join(canon, "ck")
+        .join(contam, "doc_id", "left")
+        .where(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & F.col("passes_quality")
+            & ~F.coalesce("is_contaminated", F.lit(False))
+            & (_mix_bucket_col() < _mix_rate_col())
+        )
+        .select("doc_id", "n_chars")
+    )
+    shards = shard_pack(kept)
+
+    # exactly-once shard commit: the tag is an order-free content
+    # fingerprint of the shard rows, so a replayed merge no-ops
+    snap = SnapshotTable(f"{out_dir}/shards_table")
+    fp = shards.agg(
+        F.coalesce(
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", "shard_id", "n_docs", "shard_chars", "first_doc", "last_doc"
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("fp")
+    ).collect()[0]["fp"]
+    snap.commit_replace(shards, tag=f"corpus-build:{fp}")
+    return snap.read(spark)

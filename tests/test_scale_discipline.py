@@ -21,8 +21,10 @@ ALLOWED_COLLECT = {
     "sources/excel.py": 1,  # driver-side Excel sink, small-output-only
     # per-batch distinct source-file path list in the snapshot-ingest
     # foreachBatch (ADVICE r5 per-file tags): O(files per trigger) rows,
-    # bounded by maxFilesPerTrigger — never row-scaled
-    "streaming/runtime.py": 1,
+    # bounded by maxFilesPerTrigger — never row-scaled; plus the 1-row
+    # shard-table content fingerprint the corpus-build stream's
+    # exactly-once snapshot commit tags with
+    "streaming/runtime.py": 2,
     # BPE early-stop: one collect per merge WINDOW of <= checkpoint_every
     # 1-row best-pair aggregates — the stop decision is driver-side by
     # nature and the row count is merge-bounded, never corpus-scaled

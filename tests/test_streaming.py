@@ -544,3 +544,47 @@ def test_manifest_stream_matches_batch_operator(spark, tmp_path):
         spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt2")
     )
     assert {tuple(r) for r in got2.select(*want.columns).collect()} == w
+
+
+def test_corpus_build_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming corpus build lands per-doc gate rows + holdout
+    shingles over three file chunks — the LAST chunk carries part of the
+    holdout benchmark AND cross-file duplicates with SMALLER doc_ids, so
+    both arrival-order traps (late-arriving contamination, late-arriving
+    canonical winner) are exercised — and the merged shard table,
+    committed through the snapshot table, must EXACTLY equal the batch
+    pipeline_corpus_build. A replay (fresh checkpoint over the same
+    files) must publish no new snapshot version."""
+    from etl_financial_report_spark.operators.pipelines import pipeline_corpus_build
+    from etl_financial_report_spark.sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    docs_dir = str(tmp_path / "docs")
+    # chunk 1: mid ids (dups of the low-id canonicals arrive FIRST);
+    # chunk 2: high ids; chunk 3: low ids + the src0 holdout docs
+    is_holdout = F.col("source") == "src0"
+    docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 300) & ~is_holdout
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+    docs.where((F.col("doc_id") >= 300) & ~is_holdout).coalesce(1).write.mode(
+        "append").parquet(docs_dir)
+    docs.where((F.col("doc_id") < 100) | is_holdout).coalesce(1).write.mode(
+        "append").parquet(docs_dir)
+
+    got = runtime.run_corpus_build_stream(
+        spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    want = pipeline_corpus_build(spark, SMOKE_SF_DIR)
+    g = {tuple(r) for r in got.select(*want.columns).collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and g
+
+    snap = SnapshotTable(str(tmp_path / "out" / "shards_table"))
+    v_first = snap.current_version()
+
+    # replay with a fresh checkpoint: gate rows land idempotently, the
+    # content tag makes the snapshot commit a no-op — same version, same rows
+    got2 = runtime.run_corpus_build_stream(
+        spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    )
+    assert snap.current_version() == v_first
+    assert {tuple(r) for r in got2.select(*want.columns).collect()} == w
