@@ -351,3 +351,25 @@ def test_shard_checksums_single_shuffle_partial_agg(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, plan
     assert "partial_bit_xor" in plan  # map-side combine of the checksum
+
+
+def test_multimodal_dimensions_is_map_only(spark):
+    """Header dimension parsing must stay a pure projection over the scan
+    — zero exchanges, no joins, no UDFs: at 100 TB the metadata pass
+    costs exactly the read. The hex/substring/conv arithmetic must also
+    stay inside whole-stage codegen."""
+    plan = plan_of(spark, "multimodal_dimensions")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "[codegen id :" in plan  # formatted-mode whole-stage marker
+
+
+def test_unigram_encode_joins_broadcast_segmentations(spark):
+    """The corpus stream must join the trained per-word segmentations via
+    broadcast — the big side never shuffles on a content key. (The
+    trainer's own passes run over the vocabulary-bounded distinct-word
+    table, so the encode join is the only corpus-scaled stage.)"""
+    plan = plan_of(spark, "text_unigram_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
