@@ -3949,3 +3949,115 @@ def sim_mrl_funnel_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_overlap * 1000000 DIV 10").alias("recall_ppm"),
         )
     )
+
+
+# ------------------------------------------------------ MRR retrieval eval
+
+
+@register(
+    "sim_retrieval_mrr_eval",
+    oracle=f"""
+WITH {_Q_CTE},
+{_SPLIT_BUCKET_CTES},
+qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {SIM_EVAL_NQ}),
+bdots AS (
+    SELECT q.qid, e.vec_id, SUM(eq.v * e.v) AS dot
+    FROM qs q
+    JOIN ex eq ON eq.vec_id = q.qid
+    JOIN ex e ON e.i = eq.i AND e.vec_id >= {SIM_EVAL_NQ}
+    GROUP BY 1, 2
+),
+bcos AS (
+    SELECT d.qid, d.vec_id,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE))) AS cosine
+    FROM bdots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.vec_id
+),
+btrue1 AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+        FROM bcos
+    ) WHERE rk = 1
+),
+blshrank AS (
+    SELECT c.qid, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY c.cosine DESC, c.vec_id) AS rk
+    FROM bcos c
+    JOIN live bq ON bq.vec_id = c.qid
+    JOIN live bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket
+),
+per_q AS (
+    SELECT t.qid,
+           COALESCE(CAST(1000000 // l.rk AS BIGINT), 0) AS rr_ppm,
+           CASE WHEN l.rk IS NOT NULL THEN 1 ELSE 0 END AS found
+    FROM btrue1 t
+    LEFT JOIN blshrank l ON l.qid = t.qid AND l.vec_id = t.vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(found) AS BIGINT) AS n_found,
+       CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm,
+       CAST(MIN(rr_ppm) AS BIGINT) AS worst_rr_ppm
+FROM per_q
+""",
+    doc=(
+        "Mean reciprocal rank of the PRODUCTION sign-bucket retrieval "
+        f"path over {SIM_EVAL_NQ} queries — the first-relevant-result "
+        "metric a RAG/search stack reports beside recall@k (recall says "
+        "whether truth appears anywhere in the candidate set; MRR says "
+        "how high): per query, the exact-cosine rank of the TRUE nearest "
+        "neighbor within the query's bucket-pruned candidate list, "
+        "reciprocal-rank in EXACT integer ppm (1000000 div rank — no "
+        "float ordering anywhere, the recall-eval discipline), a query "
+        "whose truth was pruned away scoring an honest zero via the left "
+        "join. Same broadcast query block + per-query windows as "
+        "sim_ann_batch_recall_eval; one shared scoring pass feeds truth "
+        "and the ranked list."
+    ),
+)
+def sim_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    qv = _quantized(spark, sf_dir)
+    queries = qv.where(F.col("vec_id") < SIM_EVAL_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    corpus = qv.where(F.col("vec_id") >= SIM_EVAL_NQ)
+    cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id", "vec_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    truth1 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select("q_id", "vec_id")
+    )
+    live = live_sign_buckets(spark, sf_dir)
+    qbuckets = live.withColumnRenamed("vec_id", "q_id").where(
+        F.col("q_id") < SIM_EVAL_NQ
+    )
+    cand = (
+        live.where(F.col("vec_id") >= SIM_EVAL_NQ)
+        .join(F.broadcast(qbuckets), "bucket")
+        .select("q_id", "vec_id")
+    )
+    lshrank = scored.join(cand, ["q_id", "vec_id"]).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    per_q = truth1.join(lshrank.select("q_id", "vec_id", "rk"), ["q_id", "vec_id"], "left").select(
+        "q_id",
+        F.coalesce(
+            F.expr("1000000 DIV rk").cast("long"), F.lit(0).cast("long")
+        ).alias("rr_ppm"),
+        F.col("rk").isNotNull().cast("long").alias("found"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("found").cast("long").alias("n_found"),
+        F.expr("SUM(rr_ppm) DIV COUNT(*)").cast("long").alias("mrr_ppm"),
+        F.min("rr_ppm").cast("long").alias("worst_rr_ppm"),
+    )

@@ -427,3 +427,71 @@ def text_unigram_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+def _fertility_oracle() -> str:
+    from .textops import BPE_ROUNDS, _bpe_ctes
+
+    return f"""WITH {_bpe_ctes()},
+{_unigram_ctes()}
+SELECT 'bpe' AS tokenizer,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences,
+       CAST(SUM(n * len(string_split(trim(seq), '  '))) AS BIGINT) AS weighted_pieces,
+       CAST(SUM(n * len(string_split(trim(seq), '  '))) * 1000000 // SUM(n) AS BIGINT)
+           AS fertility_ppm
+FROM seq{BPE_ROUNDS}
+UNION ALL
+SELECT 'unigram',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n) AS BIGINT),
+       CAST(SUM(n * n_pieces) AS BIGINT),
+       CAST(SUM(n * n_pieces) * 1000000 // SUM(n) AS BIGINT)
+FROM r2fin
+"""
+
+
+@register(
+    "text_tokenizer_fertility_compare",
+    oracle=_fertility_oracle(),
+    doc=(
+        "The tokenizer-SELECTION artifact: corpus fertility (weighted "
+        "pieces per word occurrence, exact integer ppm) of the two "
+        "trained tokenizer families side by side — BPE after its merge "
+        "rounds (piece counts include the </w> end marker, that family's "
+        "convention) vs the pruned unigram-LM vocabulary (pure character "
+        "coverage, no marker). Fertility is THE cost number a training "
+        "run compares tokenizers on (tokens per word = compute per "
+        "word); both rows fall out of the already-verified training "
+        "chains over the vocabulary-bounded distinct-word table, so the "
+        "comparison costs two vocabulary passes, never a second corpus "
+        "read per family."
+    ),
+)
+def text_tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import _tokens, bpe_final_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bpe_seq = bpe_final_sequences(bpe_words)
+    bpe_pieces = F.size(F.split(F.trim(F.col("seq")), "  "))
+    bpe_row = bpe_seq.select("n", bpe_pieces.alias("p")).agg(
+        F.lit("bpe").alias("tokenizer"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+        F.sum(F.col("n") * F.col("p")).cast("long").alias("weighted_pieces"),
+        F.expr("SUM(n * p) * 1000000 DIV SUM(n)").cast("long").alias("fertility_ppm"),
+    )
+    _vocab2, seg2 = unigram_train_collected(unigram_words(docs))
+    uni_row = seg2.select("n", F.col("n_pieces").alias("p")).agg(
+        F.lit("unigram").alias("tokenizer"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+        F.sum(F.col("n") * F.col("p")).cast("long").alias("weighted_pieces"),
+        F.expr("SUM(n * p) * 1000000 DIV SUM(n)").cast("long").alias("fertility_ppm"),
+    )
+    return bpe_row.unionByName(uni_row)
