@@ -624,3 +624,286 @@ def multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         height.alias("height"),
         parse_ok.alias("parse_ok"),
     )
+
+
+# --------------------------------------------- audio/video header metadata
+
+#: planted WAV geometry (all PCM): rate by doc_id % 4, the rest by parity
+WAV_RATES = (8000, 16000, 44100, 48000)
+#: MP4 major brands planted / recognized (hex of the 4 ASCII bytes)
+MP4_BRANDS = {"69736F6D": "isom", "6D703432": "mp42", "61766331": "avc1", "71742020": "qt"}
+
+
+def _le_hex(hx, byte_pos: int, nbytes: int):
+    """Little-endian integer at 1-based BYTE offset, from the hex string:
+    reverse the byte order then conv base-16."""
+    parts = [
+        F.substring(hx, (byte_pos + i) * 2 - 1, 2) for i in reversed(range(nbytes))
+    ]
+    return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+
+def _le_hex_sql(hx: str, byte_pos: int, nbytes: int) -> str:
+    parts = " || ".join(
+        f"substr({hx}, {(byte_pos + i) * 2 - 1}, 2)" for i in reversed(range(nbytes))
+    )
+    return f"TRY_CAST('0x' || ({parts}) AS BIGINT)"
+
+
+def _be_hexint(value, nbytes: int):
+    """int column -> fixed-width big-endian hex (builder side)."""
+    return F.lpad(F.conv(value.cast("string"), 10, 16), nbytes * 2, "0")
+
+
+def _le_hexint(value, nbytes: int):
+    """int column -> little-endian hex (byte-reversed) for header builds."""
+    be = _be_hexint(value, nbytes)
+    return F.concat(
+        *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+    )
+
+
+def plant_av_media() -> F.Column:
+    """Engineered audio/video payloads by doc_id % 3: a canonical PCM WAV
+    (RIFF/WAVE header, real fmt and data chunks, geometry planted from
+    doc_id), an MP4 ftyp box (real box-size/type/major-brand bytes), or a
+    headerless blob. The text bytes are the 'samples'."""
+    did = F.col("doc_id")
+    channels = (1 + did % 2).cast("int")
+    rate = (
+        F.when(did % 4 == 0, WAV_RATES[0])
+        .when(did % 4 == 1, WAV_RATES[1])
+        .when(did % 4 == 2, WAV_RATES[2])
+        .otherwise(WAV_RATES[3])
+        .cast("int")
+    )
+    bits = F.when(did % 3 == 0, 16).otherwise(8).cast("int")  # %3==0 are the WAVs
+    block_align = (channels * bits / 8).cast("int")
+    byte_rate = rate * block_align
+    data_size = F.length(F.col("text")).cast("int")
+    wav_hex = F.concat(
+        F.lit("52494646"),                       # 'RIFF'
+        _le_hexint(data_size + 36, 4),           # riff size = 36 + data
+        F.lit("57415645"),                       # 'WAVE'
+        F.lit("666D7420"), _le_hexint(F.lit(16).cast("int"), 4),  # 'fmt ', 16
+        _le_hexint(F.lit(1).cast("int"), 2),     # PCM
+        _le_hexint(channels, 2),
+        _le_hexint(rate, 4),
+        _le_hexint(byte_rate, 4),
+        _le_hexint(block_align, 2),
+        _le_hexint(bits, 2),
+        F.lit("64617461"),                       # 'data'
+        _le_hexint(data_size, 4),
+    )
+    brand_hex = (
+        F.when(did % 16 < 4, "69736F6D")
+        .when(did % 16 < 8, "6D703432")
+        .when(did % 16 < 12, "61766331")
+        .otherwise("71742020")
+    )
+    mp4_hex = F.concat(
+        _be_hexint(F.lit(16).cast("int"), 4),    # box size 16
+        F.lit("66747970"),                       # 'ftyp'
+        brand_hex,
+        F.lit("00000200"),                       # minor version
+    )
+    header_hex = (
+        F.when(did % 3 == 0, wav_hex).when(did % 3 == 1, mp4_hex).otherwise(F.lit(""))
+    )
+    return F.concat(F.unhex(header_hex), F.encode("text", "utf-8"))
+
+
+def av_meta_cols(media: F.Column):
+    """(container, channels, sample_rate, bits_per_sample, duration_ms,
+    brand) parsed from a binary column as pure JVM byte expressions.
+
+    WAV: the canonical-PCM fast path — RIFF/WAVE/fmt /data markers
+    verified at their canonical offsets, geometry from the little-endian
+    fmt fields, duration_ms = data_size * 1000 DIV byte_rate (exact
+    integer). Non-canonical chunk layouts parse to NULL fields (a
+    production router sends those to a full chunk-walking parser; the
+    canonical layout is what encoders emit). MP4: ftyp box type verified
+    at bytes 5-8, major brand decoded from bytes 9-12. Truncated blobs
+    parse to NULL (negative-path tested)."""
+    hx = F.hex(media)
+    blen = F.length(media).cast("long")
+    is_wav = (
+        (blen >= 44)
+        & (F.substring(hx, 1, 8) == "52494646")
+        & (F.substring(hx, 17, 8) == "57415645")
+        & (F.substring(hx, 25, 8) == "666D7420")
+        & (F.substring(hx, 73, 8) == "64617461")
+    )
+    is_mp4 = (blen >= 16) & (F.substring(hx, 9, 8) == "66747970")
+    container = (
+        F.when(is_wav, "wav").when(is_mp4, "mp4").otherwise("unknown")
+    )
+    channels = F.when(is_wav, _le_hex(hx, 23, 2).cast("int"))
+    rate = F.when(is_wav, _le_hex(hx, 25, 4).cast("int"))
+    byte_rate = _le_hex(hx, 29, 4)
+    bits = F.when(is_wav, _le_hex(hx, 35, 2).cast("int"))
+    data_size = _le_hex(hx, 41, 4)
+    # exact integer floor division (a - a%b is divisible, so the double
+    # division is exact below 2^53 — the shard_pack DIV discipline)
+    ms_num = data_size * 1000
+    duration_ms = F.when(
+        is_wav & (byte_rate > 0),
+        ((ms_num - F.pmod(ms_num, byte_rate)) / byte_rate).cast("long"),
+    )
+    brand_hx = F.substring(hx, 17, 8)
+    brand = F.when(
+        is_mp4,
+        F.coalesce(
+            *[
+                F.when(brand_hx == h, F.lit(b))
+                for h, b in MP4_BRANDS.items()
+            ],
+            F.lit("other"),
+        ),
+    )
+    return container, channels, rate, bits, duration_ms, brand
+
+
+def _av_meta_sql() -> str:
+    """DuckDB twin: same construction, same little-endian byte
+    arithmetic off hex(media), duration as exact integer //."""
+    le = _le_hex_sql
+    rate_sql = (
+        f"CASE doc_id % 4 WHEN 0 THEN {WAV_RATES[0]} WHEN 1 THEN {WAV_RATES[1]} "
+        f"WHEN 2 THEN {WAV_RATES[2]} ELSE {WAV_RATES[3]} END"
+    )
+
+    def le_lit(expr: str, nbytes: int) -> str:
+        be = f"lpad(to_hex({expr}), {nbytes * 2}, '0')"
+        parts = " || ".join(
+            f"substr({be}, {(nbytes - 1 - i) * 2 + 1}, 2)" for i in range(nbytes)
+        )
+        return f"({parts})"
+
+    brand_sql = (
+        "CASE WHEN doc_id % 16 < 4 THEN '69736F6D' WHEN doc_id % 16 < 8 "
+        "THEN '6D703432' WHEN doc_id % 16 < 12 THEN '61766331' ELSE '71742020' END"
+    )
+    return f"""
+WITH geom AS (
+    SELECT doc_id, text,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           {rate_sql} AS rate,
+           CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
+           length(text) AS data_size
+    FROM documents
+),
+built AS (
+    SELECT doc_id,
+           CASE doc_id % 3
+               WHEN 0 THEN unhex('52494646' || {le_lit("data_size + 36", 4)}
+                    || '57415645' || '666D7420' || {le_lit("16", 4)}
+                    || {le_lit("1", 2)} || {le_lit("channels", 2)}
+                    || {le_lit("rate", 4)}
+                    || {le_lit("rate * channels * bits // 8", 4)}
+                    || {le_lit("channels * bits // 8", 2)} || {le_lit("bits", 2)}
+                    || '64617461' || {le_lit("data_size", 4)}) || encode(text)
+               WHEN 1 THEN unhex(lpad(to_hex(16), 8, '0') || '66747970'
+                    || {brand_sql} || '00000200') || encode(text)
+               ELSE encode(text)
+           END AS media
+    FROM geom
+),
+parsed AS (
+    SELECT doc_id, hex(media) AS hx,
+           CAST(octet_length(media) AS BIGINT) AS blen
+    FROM built
+),
+flags AS (
+    SELECT doc_id, hx,
+           (blen >= 44 AND substr(hx, 1, 8) = '52494646'
+            AND substr(hx, 17, 8) = '57415645'
+            AND substr(hx, 25, 8) = '666D7420'
+            AND substr(hx, 73, 8) = '64617461') AS is_wav,
+           (blen >= 16 AND substr(hx, 9, 8) = '66747970') AS is_mp4
+    FROM parsed
+)
+SELECT f.doc_id,
+       CASE WHEN is_wav THEN 'wav' WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END
+           AS container,
+       CASE WHEN is_wav THEN CAST({le("hx", 23, 2)} AS INTEGER) END AS channels,
+       CASE WHEN is_wav THEN CAST({le("hx", 25, 4)} AS INTEGER) END AS sample_rate,
+       CASE WHEN is_wav THEN CAST({le("hx", 35, 2)} AS INTEGER) END AS bits_per_sample,
+       CASE WHEN is_wav AND {le("hx", 29, 4)} > 0
+            THEN CAST({le("hx", 41, 4)} * 1000 // {le("hx", 29, 4)} AS BIGINT) END
+           AS duration_ms,
+       CASE WHEN is_mp4 THEN
+           CASE substr(hx, 17, 8)
+               {" ".join(f"WHEN '{h}' THEN '{b}'" for h, b in MP4_BRANDS.items())}
+               ELSE 'other' END END AS brand,
+       CASE WHEN is_wav THEN
+                 {le("hx", 23, 2)} = g.channels AND {le("hx", 25, 4)} = g.rate
+                 AND {le("hx", 35, 2)} = g.bits
+            WHEN is_mp4 THEN substr(hx, 17, 8) = {brand_sql.replace("doc_id", "g.doc_id")}
+            ELSE TRUE END AS parse_ok
+FROM flags f JOIN geom g ON g.doc_id = f.doc_id
+"""
+
+
+@register(
+    "multimodal_av_meta",
+    oracle=_av_meta_sql(),
+    doc=(
+        "Audio/video CONTAINER METADATA from raw headers — the "
+        "multimodal_dimensions grammar extended to the time-media "
+        "formats: WAV/PCM geometry (channels, sample rate, bit depth — "
+        "little-endian fmt-chunk fields at their canonical offsets, "
+        "markers verified first) plus exact-integer duration_ms from "
+        "data_size*1000 div byte_rate, and MP4 ftyp major-brand "
+        "detection — all pure JVM hex/substring/conv expressions, zero "
+        "UDFs, zero shuffles. This is the routing/analytics pass a "
+        "media-scale pipeline runs before any codec: duration budgeting, "
+        "sample-rate bucketing, brand-based decoder dispatch. Payloads "
+        "plant REAL headers with REAL little-endian encodings from "
+        "doc_id-derived geometry; the oracle re-parses the same bytes "
+        "with the same arithmetic and parse_ok pins parsed == planted. "
+        "Non-canonical chunk layouts and truncated blobs parse to NULL "
+        "fields (tests/test_multimodal_dims.py) — a production router "
+        "sends those to a full chunk-walking parser."
+    ),
+)
+def multimodal_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    staged = docs.select("doc_id", "text", plant_av_media().alias("media"))
+    container, channels, rate, bits, duration_ms, brand = av_meta_cols(
+        F.col("media")
+    )
+    planted_ch = (1 + did % 2).cast("int")
+    planted_rate = (
+        F.when(did % 4 == 0, WAV_RATES[0])
+        .when(did % 4 == 1, WAV_RATES[1])
+        .when(did % 4 == 2, WAV_RATES[2])
+        .otherwise(WAV_RATES[3])
+        .cast("int")
+    )
+    planted_bits = F.when(did % 3 == 0, 16).otherwise(8).cast("int")
+    planted_brand_hx = (
+        F.when(did % 16 < 4, "69736F6D")
+        .when(did % 16 < 8, "6D703432")
+        .when(did % 16 < 12, "61766331")
+        .otherwise("71742020")
+    )
+    parse_ok = (
+        F.when(
+            container == "wav",
+            (channels == planted_ch) & (rate == planted_rate) & (bits == planted_bits),
+        )
+        .when(container == "mp4", F.substring(F.hex("media"), 17, 8) == planted_brand_hx)
+        .otherwise(F.lit(True))
+    )
+    return staged.select(
+        "doc_id",
+        container.alias("container"),
+        channels.alias("channels"),
+        rate.alias("sample_rate"),
+        bits.alias("bits_per_sample"),
+        duration_ms.alias("duration_ms"),
+        brand.alias("brand"),
+        parse_ok.alias("parse_ok"),
+    )

@@ -97,3 +97,80 @@ def test_registered_query_parse_ok_everywhere(spark):
     known = [r for r in rows if r.format != "unknown"]
     assert all(1 <= r.width <= 2048 and 1 <= r.height <= 1536 for r in known)
     assert all(r.width is None and r.height is None for r in rows if r.format == "unknown")
+
+
+# ------------------------------------------------- audio/video metadata
+
+
+def wav_bytes(channels: int, rate: int, bits: int, data: bytes) -> bytes:
+    block = channels * bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def mp4_bytes(brand: bytes) -> bytes:
+    return struct.pack(">I", 16) + b"ftyp" + brand + b"\x00\x00\x02\x00"
+
+
+def _parse_av(spark, blobs):
+    from etl_financial_report_spark.sources.multimodal import av_meta_cols
+
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "i long, media binary"
+    )
+    cols = av_meta_cols(F.col("media"))
+    names = ["container", "channels", "rate", "bits", "duration_ms", "brand"]
+    rows = df.select("i", *[c.alias(n) for c, n in zip(cols, names)]).collect()
+    return {r.i: tuple(r)[1:] for r in rows}
+
+
+def test_av_parser_recovers_struct_packed_metadata(spark):
+    cases = [
+        (wav_bytes(1, 8000, 16, b"x" * 16000), ("wav", 1, 8000, 16, 1000, None)),
+        (wav_bytes(2, 44100, 8, b"y" * 88200), ("wav", 2, 44100, 8, 1000, None)),
+        (wav_bytes(2, 48000, 16, b"z" * 96), ("wav", 2, 48000, 16, 0, None)),  # 0.5ms floors
+        (mp4_bytes(b"isom"), ("mp4", None, None, None, None, "isom")),
+        (mp4_bytes(b"mp42"), ("mp4", None, None, None, None, "mp42")),
+        (mp4_bytes(b"XXXX"), ("mp4", None, None, None, None, "other")),
+    ]
+    got = _parse_av(spark, [b for b, _ in cases])
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+
+
+def test_av_parser_nulls_on_truncated_or_noncanonical(spark):
+    full = wav_bytes(1, 16000, 16, b"pcm")
+    cases = [
+        full[:20],                              # cut inside the fmt chunk
+        full[:40],                              # cut before the data header
+        b"RIFF\x00\x00\x00\x00WAVEjunk",        # WAVE but no canonical fmt
+        b"\x00\x00\x00\x08free",                # MP4-ish box that is not ftyp
+        b"",
+        b"plain text",
+    ]
+    got = _parse_av(spark, cases)
+    for i in range(len(cases)):
+        assert got[i][0] == "unknown", (i, got[i])
+        assert all(v is None for v in got[i][1:]), (i, got[i])
+
+
+def test_av_registered_query_parse_ok_everywhere(spark):
+    q = registry.all_queries()["multimodal_av_meta"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(r.parse_ok for r in rows)
+    by = {r.doc_id % 3: r.container for r in rows}
+    assert by == {0: "wav", 1: "mp4", 2: "unknown"}
+    wavs = [r for r in rows if r.container == "wav"]
+    assert all(r.duration_ms is not None and r.channels in (1, 2) for r in wavs)
+    assert {r.brand for r in rows if r.container == "mp4"} == {
+        "isom", "mp42", "avc1", "qt",
+    }
