@@ -495,3 +495,135 @@ def text_tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr("SUM(n * p) * 1000000 DIV SUM(n)").cast("long").alias("fertility_ppm"),
     )
     return bpe_row.unionByName(uni_row)
+
+
+# ------------------------------------------------- doc encoding + packing
+
+def _unigram_doc_ids_ctes() -> str:
+    from .textops import MAX_SEQ_LEN
+
+    return f"""{_unigram_ctes()},
+uvocab AS (
+    SELECT piece, row_number() OVER (ORDER BY piece) AS id FROM vocab2
+),
+uwpos AS (
+    SELECT tok, i, string_split(seq, ' ')[i] AS piece
+    FROM r2fin, unnest(generate_series(1, n_pieces)) u(i)
+),
+uwids AS (
+    SELECT p.tok, list(CAST(v.id AS BIGINT) ORDER BY p.i) AS wid
+    FROM uwpos p JOIN uvocab v ON v.piece = p.piece
+    GROUP BY p.tok
+),
+udocpos AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         unnest(generate_series(1, len(toks))) u(i)
+),
+uni_docs AS (
+    SELECT doc_id,
+           CAST(len(all_ids) AS BIGINT) AS n_piece_tokens,
+           all_ids[1:{MAX_SEQ_LEN}] AS ids
+    FROM (
+        SELECT d.doc_id, flatten(list(w.wid ORDER BY d.pos)) AS all_ids
+        FROM udocpos d JOIN uwids w ON w.tok = d.tok
+        GROUP BY d.doc_id
+    )
+)"""
+
+
+def unigram_doc_ids_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_piece_tokens, ids array<long>) — the composition form
+    pack_unigram_sequences consumes: every doc's token stream maps
+    through the trained per-word Viterbi segmentations, pieces get dense
+    lexicographic ids over the pruned vocabulary (driver-side enumeration
+    of the bounded vocab2 dict — the broadcast map literal again), and
+    per-doc arrays reassemble in an entity-bounded group."""
+    from .textops import MAX_SEQ_LEN
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab2, seg2 = unigram_train_collected(unigram_words(docs))
+    idmap = {p: i + 1 for i, p in enumerate(sorted(vocab2))}
+    m = F.create_map(*[F.lit(x) for kv in sorted(idmap.items()) for x in kv])
+    wids = seg2.select(
+        "tok",
+        F.transform(
+            F.split("seq", " "), lambda p: F.element_at(m, p).cast("long")
+        ).alias("wid"),
+    )
+    tokpos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    per_doc = (
+        tokpos.join(F.broadcast(wids), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "wid"))),
+                    lambda s: s["wid"],
+                )
+            ).alias("all_ids")
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("all_ids").cast("long").alias("n_piece_tokens"),
+        F.slice("all_ids", 1, MAX_SEQ_LEN).alias("ids"),
+    )
+
+
+@register(
+    "text_unigram_doc_ids",
+    oracle=f"""WITH {_unigram_doc_ids_ctes()}
+SELECT doc_id, n_piece_tokens,
+       COALESCE(array_to_string(ids, ','), '') AS ids
+FROM uni_docs
+""",
+    doc=(
+        "Document-level unigram-LM encoding — the text_bpe_doc_ids twin "
+        "for the other tokenizer family: every doc's token stream maps "
+        "through the trained Viterbi segmentations, piece ids dense "
+        "lexicographic over the pruned vocabulary, sequences truncated "
+        "like text_tokenize_ids. Corpus side only joins the broadcast "
+        "vocabulary-bounded word->ids table and regroups per doc "
+        "(entity-bounded); ids serialize comma-joined (driver-canonical); "
+        "unigram_doc_ids_frame is the array-typed composition surface."
+    ),
+)
+def text_unigram_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.canon import csv_longs
+
+    return unigram_doc_ids_frame(spark, sf_dir).select(
+        "doc_id", "n_piece_tokens", csv_longs("ids").alias("ids")
+    )
+
+
+def _pack_unigram_oracle() -> str:
+    from .sampling import _pack_oracle_tail
+
+    return f"""WITH {_unigram_doc_ids_ctes()},
+{_pack_oracle_tail("uni_docs")}"""
+
+
+@register(
+    "pack_unigram_sequences",
+    oracle=_pack_unigram_oracle(),
+    doc=(
+        "Sequence packing over the unigram-LM doc encoding — the "
+        "pack_bpe_sequences twin: trained-tokenizer-faithful id arrays "
+        "concatenate into fixed-budget training sequences with "
+        "per-segment lengths via the SAME shared _pack_ids two-level "
+        "prefix sum. With this the engine packs trainer-ready input "
+        "under EITHER production tokenizer family, and the fertility "
+        "comparison (text_tokenizer_fertility_compare) is directly a "
+        "packed-sequence-count comparison."
+    ),
+)
+def pack_unigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import _pack_ids
+
+    base = unigram_doc_ids_frame(spark, sf_dir).select(
+        "doc_id", F.size("ids").cast("long").alias("n_ids"), "ids"
+    )
+    return _pack_ids(base)
