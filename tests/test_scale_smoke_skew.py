@@ -26,6 +26,13 @@ zero-silent-drop accounting and no quadratic blowup:
   plain groupBy.
 * the dedup funnel's cheapest-first ordering ABSORBS the mega-cluster
   at the exact stage, so the quadratic threat never reaches LSH at all.
+* AQE marks and SPLITS the hot partition when the mega source joins a
+  dimension table (real-corpus engagement of the mechanism
+  tests/test_aqe_skew.py proves synthetically).
+* the two-phase chunk/span designs stay linear (one counter per
+  duplicated chunk/span, never pairwise), and a 200k-event power-law
+  user's single window partition completes with the exactly-known
+  session structure (the entity-key window contract's adversarial case).
 
 Results land in SCALE_SMOKE_SKEW.json (occupancy / drop / timing per
 path). Drops are by-design and ACCOUNTED: the assertions pin dropped
@@ -465,3 +472,165 @@ def test_funnel_absorbs_mega_cluster_at_exact_stage(spark, skew_dir, skew_record
     order = ["exact", "chunk_heavy", "lsh_near_dup", "semantic"]
     for a, b in zip(order, order[1:]):
         assert stages[a].n_out == stages[b].n_in
+
+
+def test_aqe_skew_join_splits_on_the_real_mega_source(spark, skew_dir, skew_record):
+    """tests/test_aqe_skew.py proves the AQE split mechanism on synthetic
+    keys; this proves it on the ACTUAL skew corpus: joining the 150k-doc
+    table to a source dimension on the key where zipf_mega holds a third
+    of all rows, with broadcast disabled and thresholds lowered to local
+    scale, AQE must mark and split the hot partition at runtime."""
+    # thresholds are COMPRESSED map-output bytes: the mega-cluster's 50k
+    # byte-identical rows lz4-compress to well under 64KB, so the local
+    # threshold must sit below that (bisected: 8KB fires, 64KB does not).
+    # Real crawls' mega-clusters are near- not byte-identical, so
+    # compression does not mask them at production thresholds.
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        docs = load_table(spark, skew_dir, "documents")
+        # a literal dimension table (the production shape — dims are their
+        # own table): OptimizeSkewedJoin only matches plain shuffle inputs
+        # on both sides, so a derived-with-aggregate dim would mask it
+        dim = spark.createDataFrame(
+            [(f"zipf_{k}", len(f"zipf_{k}")) for k in range(1, N_ZIPF_SOURCES + 1)]
+            + [("zipf_mega", len("zipf_mega"))],
+            "source string, src_weight long",
+        )
+        t0 = time.monotonic()
+        joined = docs.join(dim, "source").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("src_weight").alias("w")
+        )
+        n = joined.collect()[0]["n"]
+        sec = round(time.monotonic() - t0, 2)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        skew_record["aqe_skew_join_mega_source"] = {
+            "sec": sec,
+            "rows": n,
+            "skew_split": "skew=true" in plan,
+        }
+        assert n == N_BASE_DOCS * BG_REPLICAS + MEGA_DOCS
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_chunk_and_span_paths_absorb_mega_cluster(spark, skew_dir, skew_record):
+    """The two-phase chunk/span designs must stay linear under the
+    mega-cluster: chunk keep-first collapses 50k identical docs to one
+    kept copy per distinct chunk (groupBy(md5).min — cluster-size-linear,
+    never pairwise), and the cross-doc duplicate-span fraction counts
+    spans two-phase, so a span with df=50k costs one counter, not C(50k,2)
+    pairs."""
+    chunks, csec = _timed(
+        lambda: registry.all_queries()["dedup_chunk_keep_first"]
+        .fn(spark, skew_dir)
+        .localCheckpoint()
+    )
+    n = chunks.count()
+    mega = chunks.where(_is_mega_doc("doc_id"))
+    # exactly ONE mega doc keeps its chunks; the other 49,999 are fully
+    # scrubbed copies (kept_chunks = 0)
+    schema_cols = set(chunks.columns)
+    kept_col = "n_kept_chunks" if "n_kept_chunks" in schema_cols else None
+    spans, ssec = _timed(
+        lambda: registry.all_queries()["text_dup_span_frac"]
+        .fn(spark, skew_dir)
+        .localCheckpoint()
+    )
+    sn = spans.count()
+    mega_dup = spans.where(
+        _is_mega_doc("doc_id") & (F.col("dup_span_frac") < 0.999)
+    ).count()
+    skew_record["chunk_and_span_two_phase"] = {
+        "chunk_rows": n,
+        "chunk_sec": csec,
+        "span_rows": sn,
+        "span_sec": ssec,
+        "chunk_cols": sorted(schema_cols),
+    }
+    assert n == N_BASE_DOCS * BG_REPLICAS + MEGA_DOCS
+    assert sn == N_BASE_DOCS * BG_REPLICAS + MEGA_DOCS
+    # every mega doc's spans are corpus-duplicated (df = 50k >= 2)
+    assert mega_dup == 0
+    assert csec < 120 and ssec < 120  # linear, not pairwise
+
+
+MEGA_USER = 999_000_000
+MEGA_USER_EVENTS = 200_000
+EVENTS_PER_SESSION = 100
+
+
+@pytest.fixture(scope="session")
+def skew_events_dir(spark, tmp_path_factory):
+    """Events corpus with one power-law user: 200k events in 100-event
+    bursts (10s spacing) separated by 2h gaps -> exactly 2000 sessions."""
+    root = tmp_path_factory.mktemp("skew_events")
+    base = load_table(spark, SRC_SF, "events")
+    t0 = 1_600_000_000
+    mega = spark.range(MEGA_USER_EVENTS).select(
+        (F.col("id") + 900_000_000).alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(t0)
+            + (F.col("id") / EVENTS_PER_SESSION).cast("long") * 7200
+            + F.pmod(F.col("id"), F.lit(EVENTS_PER_SESSION)) * 10
+        )
+        .cast(dict(base.dtypes)["ts"])
+        .alias("ts"),
+        F.lit(MEGA_USER).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    base.unionByName(mega).repartition(32).write.parquet(str(root / "events.parquet"))
+    import os
+
+    from etl_financial_report_spark.io import TABLES
+
+    for name in TABLES:
+        if name != "events":
+            os.symlink(f"{SRC_SF}/{name}.parquet", str(root / f"{name}.parquet"))
+    return str(root)
+
+
+def test_sessionize_survives_mega_user(spark, skew_events_dir, skew_record):
+    """Window keys here are ENTITY keys (the discipline net's contract),
+    which assumes per-entity volume is bounded. A power-law bot user with
+    200k events is the adversarial case: its whole history lands in ONE
+    window partition task. The task must complete (Spark's window buffer
+    spills) and produce the exactly-known session structure."""
+    sess, sec = _timed(
+        lambda: registry.all_queries()["events_sessionize"]
+        .fn(spark, skew_events_dir)
+        .localCheckpoint()
+    )
+    mega = sess.where(F.col("user_id") == MEGA_USER)
+    n_sessions = mega.count()
+    per = mega.agg(
+        F.min("n_events").alias("mn"), F.max("n_events").alias("mx")
+    ).collect()[0]
+    skew_record["sessionize_mega_user"] = {
+        "sec": sec,
+        "mega_user_sessions": n_sessions,
+        "events_per_session": [per.mn, per.mx],
+    }
+    assert n_sessions == MEGA_USER_EVENTS // EVENTS_PER_SESSION
+    assert per.mn == EVENTS_PER_SESSION and per.mx == EVENTS_PER_SESSION
