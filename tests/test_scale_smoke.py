@@ -551,3 +551,22 @@ def test_shard_checksums_at_scale(spark, sf1_dir, smoke_record):
         df.agg(F.sum("n_docs")).collect()[0][0]
         == load_table(spark, sf1_dir, "documents").count()
     )
+
+
+def test_unigram_train_at_scale(spark, sf1_dir, smoke_record):
+    """x10 baseline for the unigram trainer — the vocabulary-bounded
+    claim: everything after the word-frequency groupBy runs on the
+    distinct-word table, so time should track the corpus READ, not the
+    training arithmetic."""
+    df, n = _run(
+        spark,
+        "text_unigram_train",
+        lambda: registry.all_queries()["text_unigram_train"].fn(spark, sf1_dir),
+        smoke_record,
+    )
+    rows = {r.piece: r for r in df.collect()}
+    assert all(r.usage > 0 or r.is_char for r in rows.values())
+    # chars always survive; multi-char pieces capped
+    from etl_financial_report_spark.operators.unigram import UNIGRAM_KEEP_K
+
+    assert sum(1 for p in rows if len(p) > 1) <= UNIGRAM_KEEP_K

@@ -574,3 +574,23 @@ def test_shard_checksums_x100(spark, sf10_dir, smoke_record):
     assert totals.docs == load_table(spark, sf10_dir, "documents").count()
     assert totals.min_docs > 0
     assert totals.distinct_xor == N_MANIFEST_SHARDS  # no two shards collide
+
+
+def test_unigram_train_x100(spark, sf10_dir, smoke_record):
+    """VERDICT r8 theme: the unigram trainer at 500k docs — the
+    vocabulary-bounded cost model measured. The mutated replicas suffix
+    every token per replica, so the DISTINCT-WORD table grows ~91x while
+    the corpus grows 100x; the trainer's post-scan work is bounded by
+    that vocabulary, so the time ratio vs x10 must stay far below the
+    10x input ratio."""
+    df, n = _run(
+        spark,
+        "text_unigram_train",
+        lambda: registry.all_queries()["text_unigram_train"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    from etl_financial_report_spark.operators.unigram import UNIGRAM_KEEP_K
+
+    rows = df.collect()
+    assert sum(1 for r in rows if not r.is_char) <= UNIGRAM_KEEP_K
+    assert all(r.usage >= 0 for r in rows)
