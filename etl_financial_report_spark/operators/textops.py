@@ -1674,3 +1674,101 @@ def text_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+# ------------------------------------------------ tokenizer vocab churn
+
+#: head size for the churn monitor — small enough that slice-to-slice
+#: count differences can move the boundary (membership churn), unlike
+#: the full TOKENIZE_VOCAB_K head which swallows this corpus whole
+VOCAB_CHURN_K = 16
+
+
+def _churn_head_sql(src: str) -> str:
+    return f"""
+    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+    FROM (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM {src})
+        GROUP BY tok
+        ORDER BY cnt DESC, tok
+        LIMIT {VOCAB_CHURN_K}
+    )
+    """
+
+
+@register(
+    "tokenizer_vocab_churn",
+    oracle=f"""
+WITH old_v AS ({_churn_head_sql("(SELECT * FROM documents WHERE doc_id % 10 <> 7)")}),
+new_v AS ({_churn_head_sql("documents")})
+SELECT COALESCE(o.tok, n.tok) AS tok,
+       CAST(o.rk AS BIGINT) AS old_rank,
+       CAST(n.rk AS BIGINT) AS new_rank,
+       CASE WHEN o.tok IS NULL THEN 'entered'
+            WHEN n.tok IS NULL THEN 'left'
+            WHEN o.rk <> n.rk THEN 'shifted'
+            ELSE 'stable' END AS status
+FROM old_v o FULL OUTER JOIN new_v n ON n.tok = o.tok
+""",
+    doc=(
+        f"Tokenizer vocabulary CHURN monitor — the retrain trigger a "
+        "serving stack watches (corpus_token_drift tracks distribution "
+        "drift in ppm; this tracks the thing that actually breaks "
+        f"deployments: top-{VOCAB_CHURN_K} MEMBERSHIP and RANK changes, "
+        "because a retrained vocabulary reassigns ids and invalidates "
+        "every cached encoding). Yesterday's corpus (minus the daily "
+        "batch slice, the dedup_incremental convention) vs today's: per "
+        "token a verdict entered / left / shifted / stable with both "
+        "ranks. Each head is a bounded TakeOrdered (never a global "
+        "window over the token stream); the diff is a full-outer join of "
+        f"two {VOCAB_CHURN_K}-row frames. The engineered-churn test "
+        "(tests/test_vocab_churn.py) proves every verdict class fires."
+    ),
+)
+def tokenizer_vocab_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_churn_frames(
+        docs.where(F.col("doc_id") % 10 != 7), docs
+    )
+
+
+def vocab_churn_frames(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """The churn diff over any two document frames (the registered query
+    binds the incremental slice convention; the engineered test feeds
+    corpora where every verdict class fires)."""
+
+    def head(docs: DataFrame, rank_name: str) -> DataFrame:
+        freq = (
+            docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("tok"))
+            .limit(VOCAB_CHURN_K)
+        )
+        return (
+            freq.agg(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("cnt")).alias("negc"), F.col("tok")))
+                ).alias("va")
+            )
+            .select(F.posexplode("va").alias("p", "s"))
+            .select(
+                F.col("s.tok").alias("tok"),
+                (F.col("p") + 1).cast("long").alias(rank_name),
+            )
+        )
+
+    old_v = head(old_docs, "old_rank").withColumnRenamed("tok", "old_tok")
+    new_v = head(new_docs, "new_rank").withColumnRenamed("tok", "new_tok")
+    joined = old_v.join(new_v, old_v["old_tok"] == new_v["new_tok"], "full_outer")
+    return joined.select(
+        F.coalesce("old_tok", "new_tok").alias("tok"),
+        "old_rank",
+        "new_rank",
+        F.when(F.col("old_tok").isNull(), "entered")
+        .when(F.col("new_tok").isNull(), "left")
+        .when(F.col("old_rank") != F.col("new_rank"), "shifted")
+        .otherwise("stable")
+        .alias("status"),
+    )
