@@ -324,6 +324,14 @@ FROM vocab2 v LEFT JOIN r2usage u ON u.piece = v.piece
 )
 def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = unigram_words(load_table(spark, sf_dir, "documents"))
+    return unigram_train_output(spark, words)
+
+
+def unigram_train_output(spark: SparkSession, words: DataFrame) -> DataFrame:
+    """The shipped-vocabulary frame over any (tok, n) word table — shared
+    by the registered batch query and the streaming trainer feed
+    (streaming/runtime.run_unigram_train_stream), so stream-vs-batch
+    agreement is agreement of the WORD TABLES alone."""
     vocab2, seg2 = unigram_train_collected(words)
     vdf = spark.createDataFrame(
         sorted(vocab2.items()), "piece string, vocab_score long"

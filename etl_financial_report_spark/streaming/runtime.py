@@ -1228,3 +1228,56 @@ def run_corpus_build_stream(
     ).collect()[0]["fp"]
     snap.commit_replace(shards, tag=f"corpus-build:{fp}")
     return snap.read(spark)
+
+
+def run_unigram_train_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of text_unigram_train — tokenizer training over a
+    STREAMED corpus: each micro-batch lands its per-(source-file, word)
+    frequency partials idempotently (word counts are the trainer's ONLY
+    corpus-scaled input, and counts merge by commutative SUM — the same
+    decomposition run_manifest_stream exploits), and the trainer runs
+    once over the merged word table through the exact batch chain
+    (unigram_train_output), so stream-vs-batch agreement reduces to
+    word-table agreement. Replay with a lost checkpoint lands nothing
+    new (the (src, tok) key) and retrains to the identical vocabulary —
+    the deterministic-trainer property doing real work. Pinned
+    row-for-row vs the batch query in tests/test_streaming.py."""
+    from ..operators.unigram import UNIGRAM_MAX_WORD, unigram_train_output
+    from ..sources.sinks import ParquetSink
+
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(f"{out_dir}/word_partials", partition_cols=())
+
+    def word_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = F.coalesce(
+            F.nullif(F.input_file_name(), F.lit("")), F.lit(f"batch-{batch_id}")
+        )
+        part = (
+            batch_df.select(F.md5(src).alias("src"), F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.length("tok").between(1, UNIGRAM_MAX_WORD))
+            .groupBy("src", "tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        sink.append_idempotent(part, key_cols=["src", "tok"])
+
+    q = (
+        stream.writeStream.foreachBatch(word_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    words = (
+        sink.read(spark).groupBy("tok").agg(F.sum("n").cast("long").alias("n"))
+    )
+    return unigram_train_output(spark, words)

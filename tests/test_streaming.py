@@ -588,3 +588,33 @@ def test_corpus_build_stream_matches_batch_operator(spark, tmp_path):
     )
     assert snap.current_version() == v_first
     assert {tuple(r) for r in got2.select(*want.columns).collect()} == w
+
+
+def test_unigram_train_stream_matches_batch_operator(spark, tmp_path):
+    """The streamed trainer feed: word-frequency partials land over three
+    file chunks, the merged word table feeds the exact batch chain, and
+    the trained vocabulary must EQUAL the batch text_unigram_train rows.
+    A lost-checkpoint replay lands nothing new and retrains identically
+    (determinism doing real work — a sampled trainer could not be
+    replay-pinned)."""
+    from etl_financial_report_spark import registry
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    docs_dir = str(tmp_path / "docs")
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+
+    got = runtime.run_unigram_train_stream(
+        spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    want = registry.all_queries()["text_unigram_train"].fn(spark, SMOKE_SF_DIR)
+    g = {tuple(r) for r in got.select(*want.columns).collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and g
+
+    got2 = runtime.run_unigram_train_stream(
+        spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    )
+    assert {tuple(r) for r in got2.select(*want.columns).collect()} == w
