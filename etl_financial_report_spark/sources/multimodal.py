@@ -584,6 +584,15 @@ FROM out
 """
 
 
+def _dims_ctes() -> str:
+    """The WITH-body of _dims_sql (payload -> parsed -> dims -> out) for
+    reuse by downstream compositions (the routing manifest)."""
+    body = _dims_sql()
+    head, _, _tail = body.rpartition("SELECT doc_id, format, byte_len")
+    return head.strip().removeprefix("WITH").rstrip().rstrip(",")
+
+
+
 @register(
     "multimodal_dimensions",
     oracle=_dims_sql(),
@@ -906,4 +915,83 @@ def multimodal_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         duration_ms.alias("duration_ms"),
         brand.alias("brand"),
         parse_ok.alias("parse_ok"),
+    )
+
+
+#: resolution gates for the decode-routing manifest (typical pretraining
+#: media filters: tiny icons and banner-shaped strips are dropped before
+#: any decoder runs)
+MIN_IMAGE_DIM = 32
+MAX_ASPECT = 4
+
+
+@register(
+    "multimodal_routing_manifest",
+    oracle=f"""
+WITH {_dims_ctes()}
+SELECT doc_id, format, width, height,
+       CASE WHEN format IN ('png', 'gif') THEN 'decode_image'
+            WHEN format = 'jpeg' THEN 'decode_jpeg'
+            ELSE 'quarantine' END AS route,
+       CASE WHEN format = 'unknown' THEN 'quarantine'
+            WHEN width < {MIN_IMAGE_DIM} OR height < {MIN_IMAGE_DIM} THEN 'too_small'
+            WHEN width > {MAX_ASPECT} * height OR height > {MAX_ASPECT} * width
+                 THEN 'extreme_aspect'
+            END AS drop_reason,
+       (format <> 'unknown' AND width >= {MIN_IMAGE_DIM} AND height >= {MIN_IMAGE_DIM}
+        AND width <= {MAX_ASPECT} * height AND height <= {MAX_ASPECT} * width)
+           AS keep_for_training
+FROM out
+""",
+    doc=(
+        "Media decode-ROUTING manifest — the composition the whole "
+        "header-parsing family exists for: format sniff + header "
+        "dimensions route every blob to its decoder (png/gif -> "
+        "decode_image, jpeg -> decode_jpeg, unknown -> quarantine) and "
+        f"the resolution gates (min {MIN_IMAGE_DIM}px a side, max "
+        f"{MAX_ASPECT}:1 aspect via exact integer cross-multiplication) "
+        "drop tiny icons and banner strips BEFORE any decoder runs — at "
+        "100 TB the decode stage is the pipeline's dominant cost and "
+        "this map-only pass is what sizes it. First failing gate as an "
+        "explicit drop_reason (the keep-manifest grammar); both gates "
+        "BIND on the planted dimension distribution (widths 1..2048 x "
+        "heights 1..1536 produce too_small and extreme_aspect rows)."
+    ),
+)
+def multimodal_routing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", plant_image_media().alias("media"))
+    fmt, width, height = image_dimension_cols(F.col("media"))
+    staged = staged.select(
+        "doc_id", fmt.alias("format"), width.alias("width"), height.alias("height")
+    )
+    route = (
+        F.when(F.col("format").isin("png", "gif"), "decode_image")
+        .when(F.col("format") == "jpeg", "decode_jpeg")
+        .otherwise("quarantine")
+    )
+    too_small = (F.col("width") < MIN_IMAGE_DIM) | (F.col("height") < MIN_IMAGE_DIM)
+    extreme = (F.col("width") > MAX_ASPECT * F.col("height")) | (
+        F.col("height") > MAX_ASPECT * F.col("width")
+    )
+    keep = (
+        (F.col("format") != "unknown")
+        & (F.col("width") >= MIN_IMAGE_DIM)
+        & (F.col("height") >= MIN_IMAGE_DIM)
+        & (F.col("width") <= MAX_ASPECT * F.col("height"))
+        & (F.col("height") <= MAX_ASPECT * F.col("width"))
+    )
+    reason = (
+        F.when(F.col("format") == "unknown", "quarantine")
+        .when(too_small, "too_small")
+        .when(extreme, "extreme_aspect")
+    )
+    return staged.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        route.alias("route"),
+        reason.alias("drop_reason"),
+        keep.alias("keep_for_training"),
     )

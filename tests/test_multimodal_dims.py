@@ -174,3 +174,45 @@ def test_av_registered_query_parse_ok_everywhere(spark):
     assert {r.brand for r in rows if r.container == "mp4"} == {
         "isom", "mp42", "avc1", "qt",
     }
+
+
+def test_routing_manifest_gates_bind(spark):
+    """Every route and every drop_reason class must FIRE on the planted
+    distribution, and the keep bit must equal the gates recomputed
+    independently in Python from the planted dimension arithmetic."""
+    from etl_financial_report_spark.sources.multimodal import (
+        MAX_ASPECT,
+        MIN_IMAGE_DIM,
+        PLANT_H_MOD,
+        PLANT_W_MOD,
+    )
+
+    # class coverage needs sf0.1: extreme_aspect requires the planted
+    # height to wrap its modulus (3*doc_id >= 1536), i.e. doc_id >= 512 —
+    # sf0.001's 500 ids never wrap
+    big = (
+        registry.all_queries()["multimodal_routing_manifest"]
+        .fn(spark, "/root/testdata/sf0.1")
+        .collect()
+    )
+    assert {r.route for r in big} == {"decode_image", "decode_jpeg", "quarantine"}
+    assert {r.drop_reason for r in big if r.drop_reason} == {
+        "quarantine", "too_small", "extreme_aspect",
+    }
+    rows = (
+        registry.all_queries()["multimodal_routing_manifest"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    for r in rows:
+        if r.doc_id % 4 == 3:
+            assert r.route == "quarantine" and not r.keep_for_training
+            continue
+        w = 1 + r.doc_id % PLANT_W_MOD
+        h = 1 + (r.doc_id * 3) % PLANT_H_MOD
+        want_keep = (
+            w >= MIN_IMAGE_DIM and h >= MIN_IMAGE_DIM
+            and w <= MAX_ASPECT * h and h <= MAX_ASPECT * w
+        )
+        assert r.keep_for_training == want_keep, r.doc_id
+        assert (r.drop_reason is None) == want_keep, r.doc_id
