@@ -34,9 +34,11 @@ extra stages); the DuckDB oracle unrolls the same DP one MATERIALIZED
 CTE stage per position (UNIGRAM_MAX_WORD of them per round). Words longer than
 UNIGRAM_MAX_WORD are excluded from training and count as OOV at encode
 time in BOTH engines (production SentencePiece similarly caps input
-length). The 12-char inverted-score pad bounds piece scores below 1e11
-— wide enough for ~1e10 corpus tokens; widen INV0 alongside a larger
-corpus.
+length). The 12-char inverted-score pad bounds word score sums below
+1e11 — wide enough for ~1e10 corpus tokens; a corpus that could
+overflow it raises LOUDLY at the driver boundary (_check_score_pad, the
+sample_repeat_upsampling discipline) instead of silently corrupting the
+key order — the fix is widening _INV0 and the pad together.
 
 Reference parity note: the reference GUI scripts (mainTesting.py) have
 no tokenizer; this is north-star LLM-pipeline surface (the brief's
@@ -186,6 +188,22 @@ def unigram_usage(seg: DataFrame) -> DataFrame:
     )
 
 
+def _check_score_pad(scores: dict[str, int]) -> None:
+    """The sortable-key grammar carries lpad(INV0 - score_sum, 12): a
+    word's score sum must stay below _INV0 or the pad width lies and the
+    total order silently corrupts. Raise LOUDLY at the driver boundary
+    (the sample_repeat_upsampling int64-overflow discipline) instead —
+    the fix is widening _INV0 and the pad together."""
+    if scores:
+        worst = max(scores.values()) * UNIGRAM_MAX_WORD
+        if worst >= _INV0:
+            raise ValueError(
+                f"unigram score pad overflow: max piece score "
+                f"{max(scores.values())} x {UNIGRAM_MAX_WORD} positions >= "
+                f"{_INV0}; widen _INV0 and the key pad"
+            )
+
+
 def unigram_prune(seed: dict[str, int], usage: dict[str, int]) -> dict[str, int]:
     """M-step, driver-side over the two vocabulary-bounded dicts: usage
     counts become the scores; multi-char pieces outside the top
@@ -210,10 +228,12 @@ def unigram_train_collected(words: DataFrame):
     localCheckpoint before the three actions that reuse it."""
     words = words.localCheckpoint()
     seed = {r["piece"]: r["score"] for r in unigram_seed_vocab(words).collect()}
+    _check_score_pad(seed)
     usage1 = {
         r["piece"]: r["usage"]
         for r in unigram_usage(unigram_segment(words, seed)).collect()
     }
+    _check_score_pad(usage1)
     vocab2 = unigram_prune(seed, usage1)
     return vocab2, unigram_segment(words, vocab2)
 

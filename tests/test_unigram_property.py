@@ -147,3 +147,20 @@ def test_tiebreaks_are_the_documented_total_order(spark):
     vocab2 = {"a": 7, "aa": 14}  # 1 piece beats 2 pieces regardless of score
     got2 = unigram_segment(wdf2, vocab2).collect()[0]
     assert (got2["n_pieces"], got2["seq"]) == (1, "aa")
+
+
+def test_score_pad_overflow_raises_loudly(spark):
+    """A corpus whose piece scores could overflow the 12-char inverted
+    pad must fail LOUDLY at the driver boundary, never corrupt the
+    sortable-key total order silently."""
+    import pytest as _pytest
+
+    from etl_financial_report_spark.operators.unigram import (
+        _INV0,
+        unigram_train_collected,
+    )
+
+    huge = _INV0 // UNIGRAM_MAX_WORD + 1
+    wdf = spark.createDataFrame([("aa", huge)], "tok string, n long")
+    with _pytest.raises(ValueError, match="score pad overflow"):
+        unigram_train_collected(wdf)
