@@ -129,9 +129,10 @@ def _file_key_bloom(full_path: str, col: str) -> dict | None:
 
     from ..functions.bloom_native import bloom_build_np, bloom_set_bits
 
+    schema = pq.read_schema(full_path)
+    if col not in schema.names or not pa.types.is_integer(schema.field(col).type):
+        return None  # absent or non-integer column: no bloom, reader keeps file
     t = pq.read_table(full_path, columns=[col])
-    if not pa.types.is_integer(t.schema.field(col).type):
-        return None
     keys = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
     num_bits = max(64, ((keys.size * _BLOOM_BITS_PER_KEY + 63) // 64) * 64)
     words = bloom_build_np(keys, num_bits, _BLOOM_NUM_HASH)

@@ -1201,7 +1201,10 @@ def run_corpus_build_stream(
         )
         .select("doc_id", "n_chars")
     )
-    shards = shard_pack(kept)
+    # pin the merged shard table once: the content fingerprint AND the
+    # snapshot write both consume it (otherwise the whole merge plan
+    # evaluates twice)
+    shards = shard_pack(kept).localCheckpoint()
 
     # exactly-once shard commit: the tag is an order-free content
     # fingerprint of the shard rows, so a replayed merge no-ops
