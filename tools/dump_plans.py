@@ -43,7 +43,9 @@ HEADLINERS = {
     ),
     "dedup_minhash_lsh_pairs": (
         "MinHash-LSH: map-side partial min() aggregation computes signatures "
-        "before the shuffle; band self-join is a hash join on integer band keys."
+        "before the shuffle; band self-join is a hash join on integer band keys; "
+        "since r8 a two-phase LSH_MAX_BUCKET hot-bucket cap (count + left-anti) "
+        "guards the self-join against power-law mega-clusters."
     ),
     "agg_salted_skew": (
         "Two-phase salted aggregation: (key, salt) pre-aggregate spreads hot "
@@ -316,6 +318,22 @@ HEADLINERS = {
         "Per-source doc cap (r7): salted two-level top-k head (no "
         "unbounded per-domain window) + broadcast per-source totals; "
         "drop rows rejoin with NULL rank."
+    ),
+    "multimodal_dimensions": (
+        "Header dimension parsing is one map-only whole-stage-codegen "
+        "projection over the scan — no exchange, no join, no Python; the "
+        "100 TB metadata pass costs exactly the read."
+    ),
+    "text_unigram_encode": (
+        "Unigram encode: the corpus stream's ONLY shuffle-adjacent stage is a "
+        "BroadcastHashJoin against the trained per-word segmentations; the "
+        "Viterbi DP itself ran as expressions over the vocabulary-bounded "
+        "distinct-word table."
+    ),
+    "multimodal_routing_manifest": (
+        "Decode routing + resolution gates stay fused in the same map-only "
+        "codegen projection as the dimension parse — the decoder-sizing pass "
+        "adds zero plan structure."
     ),
 }
 
