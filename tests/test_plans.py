@@ -69,11 +69,16 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_ann_ivf_nprobe_sweep",
     # three 1-row conditional-sum aggregates assembled into the 6 bar rows
     "sim_semantic_threshold_sweep",
+    # 16-row query block broadcast (sim_ann_batch_recall_eval's exact shape)
+    "sim_retrieval_mrr_eval",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",
     # all ride the BPE chain's 1-row best-pair broadcasts (same as
     # text_bpe_encode); packing adds only the tiny group-offset broadcast,
     # the roundtrip check only the vocabulary-bounded inverse id table
     "text_bpe_doc_ids", "pack_bpe_sequences", "text_bpe_roundtrip_check",
+    # the BPE half of the fertility row rides the same 1-row best-pair
+    # broadcasts; the unigram half is expression-only
+    "text_tokenizer_fertility_compare",
     # 1-row per-prefix totals broadcast onto the 1-row first-seen counts
     "text_vocab_growth",
     "text_token_rarity", "tpch_q11_important_stock",
