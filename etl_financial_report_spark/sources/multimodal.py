@@ -995,3 +995,61 @@ def multimodal_routing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("drop_reason"),
         keep.alias("keep_for_training"),
     )
+
+
+@register(
+    "multimodal_decode_budget",
+    oracle=f"""
+WITH {_dims_ctes()},
+routed AS (
+    SELECT doc_id, byte_len,
+           CASE WHEN format IN ('png', 'gif') THEN 'decode_image'
+                WHEN format = 'jpeg' THEN 'decode_jpeg'
+                ELSE 'quarantine' END AS route,
+           (format <> 'unknown' AND width >= {MIN_IMAGE_DIM}
+            AND height >= {MIN_IMAGE_DIM}
+            AND width <= {MAX_ASPECT} * height
+            AND height <= {MAX_ASPECT} * width) AS keep
+    FROM out
+)
+SELECT route,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN byte_len ELSE 0 END) AS BIGINT) AS kept_bytes,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+           AS keep_ppm
+FROM routed GROUP BY route
+""",
+    doc=(
+        "Decode BUDGET rollup — the decoder-cluster sizing artifact the "
+        "routing manifest feeds: per route, blob and byte volumes total "
+        "and post-gate (kept), keep rate in exact ppm. At 100 TB this "
+        "3-row table IS the capacity plan (decode cost tracks kept_bytes "
+        "per route); it falls out of the same map-only parse as one "
+        "partial-aggregated groupBy — the scan is still the whole cost."
+    ),
+)
+def multimodal_decode_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    manifest = multimodal_routing_manifest(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    blen = docs.select(
+        "doc_id", F.length(plant_image_media()).cast("long").alias("byte_len")
+    )
+    return (
+        manifest.join(blen, "doc_id")
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.sum(F.col("keep_for_training").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep_for_training"), F.col("byte_len")).otherwise(0)
+            ).alias("kept_bytes"),
+            F.expr(
+                "SUM(CASE WHEN keep_for_training THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*)"
+            )
+            .cast("long")
+            .alias("keep_ppm"),
+        )
+    )
