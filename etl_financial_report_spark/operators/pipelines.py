@@ -21,6 +21,42 @@ from .ingest import (
     statement_facts,
 )
 
+def _nfc_udf():
+    """NFC-normalizing pandas UDF (Arrow-batched; Unicode normalization
+    has no JVM builtin). Built per call site — a pandas_udf holds no
+    session state, so construction is cheap and import stays side-effect
+    free."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    return nfc
+
+
+def content_key(text: F.Column) -> F.Column:
+    """THE canonical content key: md5 of the NFC-lowered,
+    whitespace-collapsed, trimmed text. Single definition shared by the
+    batch manifests (pipeline_corpus_clean / pipeline_keep_manifest) and
+    the streaming corpus-build gate (streaming/runtime.gate_batch), so
+    the pinned stream-vs-batch row-for-row agreement cannot drift when
+    the gate changes."""
+    return F.md5(F.trim(F.regexp_replace(_nfc_udf()(F.lower(text)), r"\s+", " ")))
+
+
+def quality_bit(toks: F.Column) -> F.Column:
+    """The Gopher-style quality gate over a MATERIALIZED token array:
+    >= 20 tokens and stopword ('the'/'a') fraction < 0.3. Shared by the
+    batch manifests and the streaming gate — same contract as
+    content_key()."""
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    return (n_tokens >= 20) & (n_stop.cast("double") / n_tokens < 0.3)
+
+
 #: IDX general-information sheets for three synthetic filings
 #: (FIXTURES.md B1; mirrors mainTesting.py:413-431 incl. the edge rows:
 #: F1 already carries the 'PT ' prefix, F2 is annual -> unique-Q4 flag).
@@ -368,26 +404,13 @@ GROUP BY source
     ),
 )
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import unicodedata
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def nfc(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
-
     docs = load_table(spark, sf_dir, "documents")
-    ck = F.md5(F.trim(F.regexp_replace(nfc(F.lower(F.col("text"))), r"\s+", " ")))
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
     keyed = docs.select(
         "doc_id",
         "source",
         "n_chars",
-        ck.alias("ck"),
-        n_tokens.alias("n_tokens"),
-        n_stop.alias("n_stop"),
+        content_key(F.col("text")).alias("ck"),
+        quality_bit(F.split("text", " ")).alias("passes_quality"),
     )
     # canonical-per-cluster via two-phase groupBy+join (min partially
     # aggregates map-side; a window over the content hash would hold a
@@ -396,10 +419,6 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict = keyed.join(canon, "ck").select(
         keyed["*"],
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-        (
-            (F.col("n_tokens") >= 20)
-            & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.3)
-        ).alias("passes_quality"),
     )
     kept = F.col("is_canonical") & F.col("passes_quality")
     return verdict.groupBy("source").agg(
@@ -484,23 +503,14 @@ FROM verdict v LEFT JOIN contam c ON c.doc_id = v.doc_id
     ),
 )
 def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import unicodedata
-
-    from pyspark.sql.functions import pandas_udf
-
     from .dedup import DECONTAM_FRAC, DECONTAM_HOLDOUT, _shingles
 
-    @pandas_udf("string")
-    def nfc(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
-
     docs = load_table(spark, sf_dir, "documents")
-    ck = F.md5(F.trim(F.regexp_replace(nfc(F.lower(F.col("text"))), r"\s+", " ")))
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
     keyed = docs.select(
-        "doc_id", "source", ck.alias("ck"), n_tokens.alias("n_tokens"), n_stop.alias("n_stop")
+        "doc_id",
+        "source",
+        content_key(F.col("text")).alias("ck"),
+        quality_bit(F.split("text", " ")).alias("passes_quality"),
     )
     # two-phase canonical pick, same rationale as pipeline_corpus_clean
     canon = keyed.groupBy("ck").agg(F.min("doc_id").alias("canonical_id"))
@@ -508,10 +518,7 @@ def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-        (
-            (F.col("n_tokens") >= 20)
-            & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.3)
-        ).alias("passes_quality"),
+        "passes_quality",
     )
     sh = (
         docs.select("doc_id", "source", "text", F.split("text", " ").alias("toks"))

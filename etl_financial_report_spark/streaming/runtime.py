@@ -1108,12 +1108,8 @@ def run_corpus_build_stream(
     publishes nothing new and readers time-travel across daily builds.
     Pinned row-for-row against pipeline_corpus_build after replay in
     tests/test_streaming.py."""
-    import unicodedata
-
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     from ..operators.dedup import DECONTAM_FRAC, DECONTAM_HOLDOUT, _shingles
+    from ..operators.pipelines import content_key, quality_bit
     from ..operators.sampling import _mix_bucket_col, _mix_rate_col, shard_pack
     from ..sources.sinks import ParquetSink
     from ..sources.snapshots import SnapshotTable
@@ -1127,32 +1123,27 @@ def run_corpus_build_stream(
     gate_sink = ParquetSink(f"{out_dir}/gate_rows", partition_cols=())
     bench_sink = ParquetSink(f"{out_dir}/bench_shingles", partition_cols=())
 
-    @pandas_udf("string")
-    def nfc(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
-
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        toks = F.split("text", " ")
-        ck = F.md5(F.trim(F.regexp_replace(nfc(F.lower(F.col("text"))), r"\s+", " ")))
-        quality = (F.size(toks) >= 20) & (
-            F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
-            / F.size(toks)
-            < 0.3
+        # the gate columns are the SHARED builders from pipelines.py
+        # (content_key / quality_bit), so the pinned stream-vs-batch
+        # agreement is structural, not coincidental; toks is materialized
+        # in a prior select per _shingles' contract (an inline split is
+        # re-evaluated at every element_at -> O(tokens^2) per doc)
+        docs = batch_df.select(
+            "doc_id", "source", "n_chars", "text", F.split("text", " ").alias("toks")
         )
-        rows = batch_df.select(
+        rows = docs.select(
             "doc_id",
             "source",
             "n_chars",
-            ck.alias("ck"),
-            quality.alias("passes_quality"),
-            _shingles(F.col("text"), F.split("text", " ")).alias("whs"),
+            content_key(F.col("text")).alias("ck"),
+            quality_bit(F.col("toks")).alias("passes_quality"),
+            _shingles(F.col("text"), F.col("toks")).alias("whs"),
         )
         gate_sink.append_idempotent(rows, key_cols=["doc_id"])
         bench = (
-            batch_df.where(F.col("source") == DECONTAM_HOLDOUT)
-            .select(
-                F.explode(_shingles(F.col("text"), F.split("text", " "))).alias("w")
-            )
+            docs.where(F.col("source") == DECONTAM_HOLDOUT)
+            .select(F.explode(_shingles(F.col("text"), F.col("toks"))).alias("w"))
             .distinct()
         )
         bench_sink.append_idempotent(bench, key_cols=["w"])
