@@ -170,6 +170,124 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BANDS = [(f"b{bi}", f"h{bi * BAND_SIZE}", f"h{bi * BAND_SIZE + 1}") for bi in range(N_HASHES // BAND_SIZE)]
 
+#: hot-bucket cap for the LSH band tables (the dedup_simhash64_hamming
+#: discipline applied to minhash banding): a power-law mega-cluster (the
+#: boilerplate page duplicated 100k times) puts its whole cluster into
+#: ONE band bucket — the self-join there is C(cluster, 2), quadratic and
+#: unbounded. Buckets over the cap are excluded from the ALL-PAIRS
+#: self-join (two-phase count + anti-join, AQE-skew-splittable) and
+#: handled by the bounded RECOVERY path instead: every member of a
+#: capped bucket is paired with the bucket's representative (min doc_id)
+#: — O(bucket) probe pairs, not O(bucket^2) — so the downstream exact
+#: verifier still sees the cluster and caps bound work WITHOUT silencing
+#: detection (the r8 skew smoke showed capped buckets emitting zero
+#: pairs for exactly the most-duplicated content). The cap's accounting
+#: lives in ``dedup_lsh_bucket_stats``. Never binds at oracle SF
+#: (buckets there are <= cluster ~10), and the oracle SQL mirrors the
+#: capped + recovered semantics exactly (shared _lsh_pair_ctes), so
+#: parity holds at ANY scale, not just while no bucket exceeds the cap.
+LSH_MAX_BUCKET = 4096
+
+
+def _band_keys(sig: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from a minhash signature frame,
+    hot buckets dropped at ``max_bucket`` (None disables). This is the
+    live-bucket key frame a persisted dedup index stores; hot buckets are
+    carried separately as representatives (:func:`_hot_band_reps`)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                (F.col(h1) * F.lit(MINHASH_P) + F.col(h2)).alias("band_key"),
+            )
+            for bi, (_, h1, h2) in enumerate(_BANDS)
+        ]
+    )
+    keys = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    if max_bucket is not None:
+        hot = (
+            keys.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") > max_bucket)
+        )
+        keys = keys.join(hot, ["band_idx", "band_key"], "left_anti")
+    return keys
+
+
+def _hot_band_reps(keys: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(band_idx, band_key, rep) for every band bucket over ``max_bucket``:
+    the recovery anchors. ``keys`` must be UNCAPPED band keys. At most
+    corpus/max_bucket rows by construction — always broadcastable."""
+    return (
+        keys.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"), F.min("doc_id").alias("rep"))
+        .where(F.col("bucket_n") > max_bucket)
+        .select("band_idx", "band_key", "rep")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b, distinct) with the
+    hot-bucket cap AND the bounded recovery path:
+
+      * buckets <= ``max_bucket``: the ordinary band self-join;
+      * buckets >  ``max_bucket``: every member pairs with the bucket's
+        representative (min doc_id) — O(bucket) probe pairs instead of
+        O(bucket^2), so a near-identical mega-cluster is still verified
+        against one anchor and verdicted, never silently skipped.
+
+    The hot-bucket frame has at most corpus/max_bucket rows, so both the
+    anti-join and the probe join ride broadcasts — the recovery adds no
+    wide exchange. Oracle twin: :func:`_lsh_pair_ctes`."""
+    keys = _band_keys(sig, max_bucket=None)
+    hot = _hot_band_reps(keys, max_bucket)
+    live = keys.join(
+        F.broadcast(hot.select("band_idx", "band_key")), ["band_idx", "band_key"], "left_anti"
+    )
+    a, b = live.alias("a"), live.alias("b")
+    self_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # rep = bucket min, so doc_a < doc_b holds for probes by construction
+    probes = (
+        keys.join(F.broadcast(hot), ["band_idx", "band_key"])
+        .where(F.col("doc_id") > F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return self_pairs.unionByName(probes).distinct()
+
+
+def _lsh_pair_ctes(pairs_name: str = "pairs") -> str:
+    """Oracle CTE chain (appended after a ``bands`` CTE) mirroring
+    :func:`lsh_candidate_pairs` exactly: capped band self-join plus the
+    hot-bucket representative probes. One definition shared by every
+    LSH-pair-consuming oracle so engine and oracle agree on the capped
+    semantics at any scale."""
+    return f"""lshocc AS (
+    SELECT band_idx, band_key, COUNT(*) AS bucket_n, MIN(doc_id) AS rep
+    FROM bands GROUP BY 1, 2
+),
+{pairs_name} AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON b.band_idx = a.band_idx AND b.band_key = a.band_key
+                    AND a.doc_id < b.doc_id
+        JOIN lshocc o ON o.band_idx = a.band_idx AND o.band_key = a.band_key
+        WHERE o.bucket_n <= {LSH_MAX_BUCKET}
+        UNION ALL
+        SELECT o.rep AS doc_a, b.doc_id AS doc_b
+        FROM bands b
+        JOIN lshocc o ON o.band_idx = b.band_idx AND o.band_key = b.band_key
+        WHERE o.bucket_n > {LSH_MAX_BUCKET} AND b.doc_id > o.rep
+    )
+)"""
+
 
 @register(
     "dedup_minhash_lsh_pairs",
@@ -177,32 +295,23 @@ _BANDS = [(f"b{bi}", f"h{bi * BAND_SIZE}", f"h{bi * BAND_SIZE + 1}") for bi in r
 WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_lsh_pair_ctes()}
+SELECT doc_a, doc_b FROM pairs
 """,
     doc=(
         "MinHash-LSH candidate pairs: band the signature (4 bands x 2 hashes), "
         "equi-join on (band_idx, band_key) — the at-scale near-dup path: no "
         "O(n^2) compare, shuffle only on band keys. Band key is the exact "
-        "integer pairing h1*P + h2 (both < P), no re-hash needed."
+        "integer pairing h1*P + h2 (both < P), no re-hash needed. Band "
+        f"buckets over {LSH_MAX_BUCKET} rows skip the quadratic self-join; "
+        "their members pair with the bucket representative instead "
+        "(O(bucket) recovery probes), so mega-clusters stay detected at "
+        "bounded cost. The oracle shares the capped+recovered semantics."
     ),
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _band_keys(_minhash_signature(spark, sf_dir))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return lsh_candidate_pairs(_minhash_signature(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- simhash
@@ -398,11 +507,7 @@ WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 toks AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
 ),
@@ -462,11 +567,7 @@ WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 toks AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
 ),
@@ -526,11 +627,10 @@ WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 ),
+{_lsh_pair_ctes(pairs_name="lshall")},
 lsh AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE a.doc_id < {EVAL_SLICE} AND b.doc_id < {EVAL_SLICE}
+    SELECT doc_a, doc_b FROM lshall
+    WHERE doc_a < {EVAL_SLICE} AND doc_b < {EVAL_SLICE}
 ),
 sh AS (
     SELECT doc_id, unnest({_SHINGLES_SQL}) AS w
@@ -820,11 +920,7 @@ WITH RECURSIVE sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION ALL
@@ -1083,11 +1179,7 @@ WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 sh AS (
     SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents
 ),
@@ -1507,12 +1599,25 @@ exact AS (
     SELECT b.doc_id, c.exact_match_id
     FROM batchdocs b JOIN corpus_ck c ON c.ck = md5(b.text)
 ),
+bandsb AS (SELECT * FROM bands WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}),
+bandsc AS (SELECT * FROM bands WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}),
+iocc AS (
+    SELECT band_idx, band_key, COUNT(*) AS bucket_n, MIN(doc_id) AS rep
+    FROM bandsc GROUP BY 1, 2
+),
 cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-    WHERE a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
-      AND b.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandsb a
+        JOIN bandsc b ON b.band_idx = a.band_idx AND b.band_key = a.band_key
+        JOIN iocc o ON o.band_idx = a.band_idx AND o.band_key = a.band_key
+        WHERE o.bucket_n <= {LSH_MAX_BUCKET}
+        UNION ALL
+        SELECT a.doc_id AS doc_a, o.rep AS doc_b
+        FROM bandsb a
+        JOIN iocc o ON o.band_idx = a.band_idx AND o.band_key = a.band_key
+        WHERE o.bucket_n > {LSH_MAX_BUCKET}
+    )
 ),
 toks AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
@@ -1580,46 +1685,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_verdicts(docs.where(in_batch), index)
 
 
-#: hot-bucket cap for the LSH band tables (the dedup_simhash64_hamming
-#: discipline applied to minhash banding): a power-law mega-cluster (the
-#: boilerplate page duplicated 100k times) puts its whole cluster into
-#: ONE band bucket — the self-join there is C(cluster, 2), quadratic and
-#: unbounded. Buckets over the cap are dropped BEFORE pairing (two-phase
-#: count + anti-join, AQE-skew-splittable); what a cap drops is
-#: accounted by ``dedup_lsh_bucket_stats`` (a lazy plan cannot
-#: side-effect a count). Mega-cluster members are still collapsed by the
-#: cheaper exact/chunk stages that precede LSH in the funnel — the cap
-#: costs recall only for near-dup (non-exact) clusters wider than it,
-#: which a 100 TB crawl handles exactly this way (Dolma's hash-skew
-#: guard). Never binds at oracle SF (buckets there are <= cluster ~10).
-LSH_MAX_BUCKET = 4096
-
-
-def _band_keys(sig: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
-    """(doc_id, band_idx, band_key) rows from a minhash signature frame,
-    hot buckets dropped at ``max_bucket`` (None disables)."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                (F.col(h1) * F.lit(MINHASH_P) + F.col(h2)).alias("band_key"),
-            )
-            for bi, (_, h1, h2) in enumerate(_BANDS)
-        ]
-    )
-    keys = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
-    )
-    if max_bucket is not None:
-        hot = (
-            keys.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .where(F.col("bucket_n") > max_bucket)
-        )
-        keys = keys.join(hot, ["band_idx", "band_key"], "left_anti")
-    return keys
-
-
 @register(
     "dedup_lsh_bucket_stats",
     oracle=f"""
@@ -1633,16 +1698,22 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(SUM(CASE WHEN bucket_n > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
            AS hot_buckets,
        CAST(SUM(CASE WHEN bucket_n > {LSH_MAX_BUCKET} THEN bucket_n ELSE 0 END) AS BIGINT)
-           AS dropped_rows
+           AS dropped_rows,
+       CAST(SUM(CASE WHEN bucket_n > {LSH_MAX_BUCKET} THEN bucket_n - 1 ELSE 0 END) AS BIGINT)
+           AS recovered_probes
 FROM occ
 """,
     doc=(
         "Occupancy accounting for the minhash LSH band tables — exactly "
-        f"what the LSH_MAX_BUCKET ({LSH_MAX_BUCKET}) hot-bucket cap drops "
-        "before the candidate self-join (the dedup_simhash64_bucket_stats "
-        "grammar): bucket count, max occupancy, hot buckets, dropped "
-        "rows. The adversarial-skew smoke asserts the cap ENGAGES on a "
-        "power-law mega-cluster with every drop accounted."
+        f"what the LSH_MAX_BUCKET ({LSH_MAX_BUCKET}) hot-bucket cap "
+        "excludes from the candidate SELF-JOIN (the "
+        "dedup_simhash64_bucket_stats grammar): bucket count, max "
+        "occupancy, hot buckets, rows in capped buckets, and "
+        "recovered_probes — the (representative, member) pairs the "
+        "bounded recovery path emits for those rows instead of silence "
+        "(bucket_n - 1 per hot bucket). The adversarial-skew smoke "
+        "asserts the cap ENGAGES on a power-law mega-cluster with every "
+        "row accounted and its members still verdicted via the probes."
     ),
 )
 def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,24 +1731,41 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0)
             )
         ).alias("dropped_rows"),
+        F.sum(
+            F.when(F.col("bucket_n") > LSH_MAX_BUCKET, F.col("bucket_n") - 1).otherwise(
+                F.lit(0)
+            )
+        ).alias("recovered_probes"),
     )
 
 
-def build_corpus_dedup_index(corpus: DataFrame) -> dict[str, DataFrame]:
-    """The persisted dedup index of an already-ingested corpus: the three
+def build_corpus_dedup_index(
+    corpus: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+) -> dict[str, DataFrame]:
+    """The persisted dedup index of an already-ingested corpus: the four
     frames incremental dedup probes — collapsed content-hash -> min doc
-    (``ck``), minhash band keys (``bands``), distinct tokens (``toks``).
-    In production these are tables maintained alongside the corpus
-    (appended per ingest); here they are lazy frames the caller may
-    localCheckpoint once and reuse across many batches (the streaming
-    twin does exactly that)."""
+    (``ck``), LIVE minhash band keys (``bands``, hot buckets excluded),
+    hot-bucket representatives (``hot_reps`` — one anchor row per capped
+    bucket, so a batch doc probing a mega-cluster's bucket is verified
+    against the cluster anchor instead of silently missing it), and
+    distinct tokens (``toks``). In production these are tables maintained
+    alongside the corpus (appended per ingest); here they are lazy frames
+    the caller may localCheckpoint once and reuse across many batches
+    (the streaming twin does exactly that)."""
+    keys = _band_keys(_minhash_signature_of(corpus), max_bucket=None)
+    hot = _hot_band_reps(keys, max_bucket)
     return {
         "ck": (
             corpus.select(F.md5("text").alias("ck"), "doc_id")
             .groupBy("ck")
             .agg(F.min("doc_id").alias("exact_match_id"))
         ),
-        "bands": _band_keys(_minhash_signature_of(corpus)),
+        "bands": keys.join(
+            F.broadcast(hot.select("band_idx", "band_key")),
+            ["band_idx", "band_key"],
+            "left_anti",
+        ),
+        "hot_reps": hot,
         "toks": distinct_tokens(corpus),
     }
 
@@ -1692,16 +1780,25 @@ def incremental_verdicts(batch: DataFrame, index: dict[str, DataFrame]) -> DataF
         index["ck"], "ck", "left"
     ).select("doc_id", "exact_match_id")
 
-    # stage 2: LSH candidates, batch side x corpus index only
-    bb = _band_keys(_minhash_signature_of(batch)).alias("a")
+    # stage 2: LSH candidates, batch side x corpus index only. The batch
+    # side is uncapped (it probes; it never self-joins) — candidate
+    # volume is |batch keys| x live-bucket density, plus ONE probe per
+    # (batch key, hot corpus bucket) against the bucket representative,
+    # so a batch doc near-dup of a capped mega-cluster verdicts near_dup
+    # instead of unique.
+    bkeys = _band_keys(_minhash_signature_of(batch), max_bucket=None)
+    bb = bkeys.alias("a")
     cb = index["bands"].alias("b")
+    self_cand = bb.join(
+        cb,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    probe_cand = bkeys.join(
+        F.broadcast(index["hot_reps"]), ["band_idx", "band_key"]
+    ).select(F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b"))
     pairs = (
-        bb.join(
-            cb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        self_cand.unionByName(probe_cand)
         .distinct()
         .localCheckpoint()  # the verifier references the pair frame 3x
     )
@@ -1946,11 +2043,7 @@ WITH RECURSIVE sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION ALL
@@ -3230,11 +3323,7 @@ s2 AS (
 ),
 sig AS ({_minhash_signature_sql(src="s2")}),
 bands AS ({_FUNNEL_BANDS_SQL}),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes(pairs_name="cand")},
 toks3 AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM s2
 ),
@@ -3374,19 +3463,9 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id"),
         "doc_id",
     ).localCheckpoint()
-    # stage 3: LSH-banded candidates on survivors, exact-jaccard verified
-    bands = _band_keys(_minhash_signature_of(s2docs))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # stage 3: LSH-banded candidates on survivors (capped buckets fall
+    # back to the bounded representative probes), exact-jaccard verified
+    cand = lsh_candidate_pairs(_minhash_signature_of(s2docs))
     verified = exact_jaccard(cand, distinct_tokens(s2docs)).where(
         F.col("jaccard") >= VERIFY_JACCARD
     )
@@ -3461,11 +3540,7 @@ WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig" for bi, (_, h1, h2) in enumerate(_BANDS))}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 sh AS (
     SELECT doc_id, unnest({_SHINGLES_SQL}) AS w FROM documents
 ),

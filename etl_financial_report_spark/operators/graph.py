@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .dedup import _BANDS, _minhash_signature_sql, dedup_minhash_lsh_pairs
+from .dedup import _BANDS, _lsh_pair_ctes, _minhash_signature_sql, dedup_minhash_lsh_pairs
 from ..functions.hashing import MINHASH_P
 
 #: fixed-point scale: rank 1.0 == 1_000_000
@@ -61,11 +61,7 @@ WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {_bands_sql()}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION ALL
@@ -118,11 +114,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sig AS ({_minhash_signature_sql()}),
 bands AS ({_bands_sql()}),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 deg AS (
     SELECT node, COUNT(*) AS degree FROM (
         SELECT doc_a AS node FROM pairs
@@ -158,11 +150,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sig AS ({_minhash_signature_sql()}),
 bands AS ({_bands_sql()}),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 tri AS (
     SELECT COUNT(*) AS n_triangles
     FROM pairs e1

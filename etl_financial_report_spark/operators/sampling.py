@@ -328,7 +328,7 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _split_leakage_oracle() -> str:
     from ..functions.hashing import MINHASH_P
-    from .dedup import _BANDS, _minhash_signature_sql
+    from .dedup import _BANDS, _lsh_pair_ctes, _minhash_signature_sql
 
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig"
@@ -339,11 +339,7 @@ WITH sig AS ({_minhash_signature_sql()}),
 bands AS (
     {bands}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 sp AS (
     SELECT doc_id,
            CASE WHEN {hash32_sql("CAST(doc_id AS VARCHAR)")} % 1000 < {_TRAIN_MAX} THEN 'train'
@@ -615,7 +611,7 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_aware_split_oracle() -> str:
     from ..functions.hashing import MINHASH_P
-    from .dedup import _BANDS, _minhash_signature_sql
+    from .dedup import _BANDS, _lsh_pair_ctes, _minhash_signature_sql
 
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band_idx, {h1} * {MINHASH_P} + {h2} AS band_key FROM sig"
@@ -626,11 +622,7 @@ WITH RECURSIVE sig AS ({_minhash_signature_sql()}),
 bands AS (
     {bands}
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_lsh_pair_ctes()},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION ALL

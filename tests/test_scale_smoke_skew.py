@@ -259,28 +259,47 @@ def test_lsh_band_cap_engages_on_mega_cluster(spark, skew_dir, skew_record):
     assert stats.dropped_rows >= len(_BANDS) * MEGA_DOCS
     assert stats.max_occupancy >= MEGA_DOCS
 
+    # the recovery path pairs every hot-bucket member with the bucket
+    # representative (bucket_n - 1 probes per hot bucket)
+    assert stats.recovered_probes >= len(_BANDS) * MEGA_DOCS
+
     pairs, psec = _timed(
         lambda: registry.all_queries()["dedup_minhash_lsh_pairs"]
         .fn(spark, skew_dir)
         .localCheckpoint()
     )
     n = pairs.count()
-    mega_pairs = pairs.where(_is_mega_doc("doc_a") & _is_mega_doc("doc_b")).count()
+    mega_intra = pairs.where(_is_mega_doc("doc_a") & _is_mega_doc("doc_b")).count()
+    # the mega cluster's bucket anchor is background doc 0 (its text IS
+    # base doc 0's text, and doc 0 has the bucket-min id), so recovery
+    # probes surface as (0, mega_doc) rows: count mega docs COVERED
+    mega_covered = (
+        pairs.where(_is_mega_doc("doc_b"))
+        .select("doc_b")
+        .distinct()
+        .count()
+    )
     bg_pairs = pairs.where(~_is_mega_doc("doc_a") & ~_is_mega_doc("doc_b")).count()
     skew_record["dedup_minhash_lsh_pairs"] = {
         "stats_sec": sec,
         "pairs_sec": psec,
         "pairs": n,
-        "mega_cluster_pairs": mega_pairs,
+        "mega_cluster_intra_pairs": mega_intra,
+        "mega_docs_covered_by_probes": mega_covered,
         "bg_pairs": bg_pairs,
         "hot_buckets": stats.hot_buckets,
         "dropped_rows": stats.dropped_rows,
+        "recovered_probes": stats.recovered_probes,
         "max_occupancy": stats.max_occupancy,
     }
     # without LSH_MAX_BUCKET this query is 4 x C(50k,2) join rows and does
-    # not finish; with it, the mega cluster is dropped (accounted above)
-    # and background candidates survive (identical replicas 0-1 pair up)
-    assert mega_pairs == 0
+    # not finish; with it the quadratic intra-cluster self-join never runs
+    # (zero member x member pairs) but EVERY mega doc is still reached via
+    # its anchor probe — caps bound work without silencing detection (the
+    # r8 finding this round fixed) — and background candidates survive
+    # (identical replicas 0-1 pair up)
+    assert mega_intra == 0
+    assert mega_covered == MEGA_DOCS
     assert bg_pairs >= N_BASE_DOCS
     assert n < 10_000_000
 
