@@ -48,7 +48,7 @@ from ..registry import register
 from .similarity import (
     SEMDEDUP_COSINE,
     _Q_CTE as _SIM_Q_CTE,
-    _SPLIT_BUCKET_CTES as _SIM_SPLIT_CTES,
+    _PAIR_CTES as _SIM_PAIR_CTES,
 )
 
 # ------------------------------------------------------------------ exact
@@ -179,9 +179,14 @@ _BANDS = [(f"b{bi}", f"h{bi * BAND_SIZE}", f"h{bi * BAND_SIZE + 1}") for bi in r
 #: handled by the bounded RECOVERY path instead: every member of a
 #: capped bucket is paired with the bucket's representative (min doc_id)
 #: — O(bucket) probe pairs, not O(bucket^2) — so the downstream exact
-#: verifier still sees the cluster and caps bound work WITHOUT silencing
-#: detection (the r8 skew smoke showed capped buckets emitting zero
-#: pairs for exactly the most-duplicated content). The cap's accounting
+#: verifier still sees the REPRESENTATIVE'S cluster (the r8 skew smoke
+#: showed capped buckets emitting zero pairs for exactly the
+#: most-duplicated content). Scope of that guarantee: a SECOND distinct
+#: near-dup cluster colliding into the same hot bucket is detected there
+#: only through probes to the other cluster's anchor; its intra-cluster
+#: pairs rely on the other bands' non-hot buckets (4 independent bands —
+#: a real cluster agreeing on one band key almost surely agrees on
+#: another). The cap's accounting
 #: lives in ``dedup_lsh_bucket_stats``. Never binds at oracle SF
 #: (buckets there are <= cluster ~10), and the oracle SQL mirrors the
 #: capped + recovered semantics exactly (shared _lsh_pair_ctes), so
@@ -189,11 +194,16 @@ _BANDS = [(f"b{bi}", f"h{bi * BAND_SIZE}", f"h{bi * BAND_SIZE + 1}") for bi in r
 LSH_MAX_BUCKET = 4096
 
 
-def _band_keys(sig: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
-    """(doc_id, band_idx, band_key) rows from a minhash signature frame,
-    hot buckets dropped at ``max_bucket`` (None disables). This is the
-    live-bucket key frame a persisted dedup index stores; hot buckets are
-    carried separately as representatives (:func:`_hot_band_reps`)."""
+def _band_keys(sig: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from a minhash signature frame —
+    UNCAPPED by default (ADVICE r9: a capping default here would silently
+    lose hot-bucket detection for a caller that forgets recovery; callers
+    that want the cap go through :func:`lsh_candidate_pairs` /
+    :func:`build_corpus_dedup_index`, which pair capped members with
+    their bucket representative). Passing ``max_bucket`` drops hot
+    buckets WITHOUT recovery — only for building the live-bucket half of
+    a persisted index whose hot half is carried by
+    :func:`_hot_band_reps`."""
     band_structs = F.array(
         *[
             F.struct(
@@ -262,12 +272,15 @@ def lsh_candidate_pairs(sig: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Dat
     return self_pairs.unionByName(probes).distinct()
 
 
-def _lsh_pair_ctes(pairs_name: str = "pairs") -> str:
+def _lsh_pair_ctes(pairs_name: str = "pairs", max_bucket: int | None = None) -> str:
     """Oracle CTE chain (appended after a ``bands`` CTE) mirroring
     :func:`lsh_candidate_pairs` exactly: capped band self-join plus the
     hot-bucket representative probes. One definition shared by every
     LSH-pair-consuming oracle so engine and oracle agree on the capped
-    semantics at any scale."""
+    semantics at any scale. ``max_bucket`` is threaded (ADVICE r9) so a
+    call site registering a non-default cap cannot silently diverge from
+    its engine twin; None means the shared LSH_MAX_BUCKET."""
+    max_bucket = LSH_MAX_BUCKET if max_bucket is None else max_bucket
     return f"""lshocc AS (
     SELECT band_idx, band_key, COUNT(*) AS bucket_n, MIN(doc_id) AS rep
     FROM bands GROUP BY 1, 2
@@ -279,12 +292,12 @@ def _lsh_pair_ctes(pairs_name: str = "pairs") -> str:
         JOIN bands b ON b.band_idx = a.band_idx AND b.band_key = a.band_key
                     AND a.doc_id < b.doc_id
         JOIN lshocc o ON o.band_idx = a.band_idx AND o.band_key = a.band_key
-        WHERE o.bucket_n <= {LSH_MAX_BUCKET}
+        WHERE o.bucket_n <= {max_bucket}
         UNION ALL
         SELECT o.rep AS doc_a, b.doc_id AS doc_b
         FROM bands b
         JOIN lshocc o ON o.band_idx = b.band_idx AND o.band_key = b.band_key
-        WHERE o.bucket_n > {LSH_MAX_BUCKET} AND b.doc_id > o.rep
+        WHERE o.bucket_n > {max_bucket} AND b.doc_id > o.rep
     )
 )"""
 
@@ -1709,9 +1722,11 @@ FROM occ
         "excludes from the candidate SELF-JOIN (the "
         "dedup_simhash64_bucket_stats grammar): bucket count, max "
         "occupancy, hot buckets, rows in capped buckets, and "
-        "recovered_probes — the (representative, member) pairs the "
-        "bounded recovery path emits for those rows instead of silence "
-        "(bucket_n - 1 per hot bucket). The adversarial-skew smoke "
+        "recovered_probes — per-band PRE-DISTINCT probe rows (bucket_n "
+        "- 1 per hot bucket), an UPPER BOUND on the distinct "
+        "(representative, member) pairs the recovery path emits: the "
+        "same pair recovered in k bands leaves lsh_candidate_pairs once "
+        "after its .distinct(). The adversarial-skew smoke "
         "asserts the cap ENGAGES on a power-law mega-cluster with every "
         "row accounted and its members still verdicted via the probes."
     ),
@@ -3348,25 +3363,13 @@ s3 AS (
     SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drop3)
 ),
 {_SIM_Q_CTE},
-{_SIM_SPLIT_CTES},
-dots4 AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-    FROM ex a
-    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-    JOIN live ba ON ba.vec_id = a.vec_id
-    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
-    JOIN s3 pa ON pa.doc_id = a.vec_id
-    JOIN s3 pb ON pb.doc_id = b.vec_id
-    GROUP BY 1, 2
-),
+{_SIM_PAIR_CTES},
 drop4 AS (
-    SELECT DISTINCT d.vec_b AS doc_id
-    FROM dots4 d
-    JOIN norms na ON na.vec_id = d.vec_a
-    JOIN norms nb ON nb.vec_id = d.vec_b
-    WHERE CAST(d.dot AS DOUBLE)
-              / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
-          >= {SEMDEDUP_COSINE}
+    SELECT DISTINCT p.vec_b AS doc_id
+    FROM spairs p
+    JOIN s3 pa ON pa.doc_id = p.vec_a
+    JOIN s3 pb ON pb.doc_id = p.vec_b
+    WHERE p.cosine >= {SEMDEDUP_COSINE}
 ),
 s4 AS (
     SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drop4)

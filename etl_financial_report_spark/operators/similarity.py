@@ -738,76 +738,284 @@ def sim_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------- hot-bucket split + capped embedding pair path
+# --------- exact-collapse + recursive sign-split embedding pair path
+#
+# The SemDeDup mega-cluster design (VERDICT r8/r9 top ask), three layers:
+#
+# 1. EXACT COLLAPSE: identical quantized vectors groupBy into one
+#    count-weighted representative (min vec_id) BEFORE any bucketing —
+#    a 50k-copy boilerplate embedding is ONE row to every downstream
+#    stage, and its members attach back via O(group) star edges. No
+#    split depth can separate identical vectors; collapsing them is the
+#    only move that works, and it also shrinks every later stage.
+# 2. RECURSIVE SPLIT: distinct vectors key on their first 4 sign bits;
+#    a bucket over SIM_SPLIT_CAP re-keys on the next 4 bits, up to
+#    SIM_SPLIT_LEVELS deep (prefix-occupancy form: each vector stops at
+#    the SHORTEST sign-bit prefix whose occupancy fits the cap, which is
+#    exactly the recursive hot-bucket split, computed in one pass from
+#    per-level occupancy aggregates that are all <= 16^level rows and
+#    ride broadcasts).
+# 3. PROBE BACKSTOP: a full-depth bucket still over SIM_MAX_BUCKET is
+#    excluded from the quadratic matmul, but every member pairs with the
+#    bucket's min-id representative — O(bucket) probes, the
+#    lsh_candidate_pairs recovery pattern (operators/dedup.py) — so
+#    nothing is ever silently dropped from detection; cross-member
+#    recall inside such a bucket is traded for boundedness and the
+#    anchor keeps the cluster connected for components/keep-list.
 
-#: sign-bucket width (bits) of the level-0 LSH buckets
+#: sign bits consumed per split level (16-way fan-out per level)
 SIGN_BUCKET_BITS = 4
-#: a level-0 bucket whose occupancy exceeds this SPLITS into 2^4
-#: sub-buckets keyed on the NEXT four sign bits. Real embedding
-#: distributions are anisotropic — sign buckets skew badly — so bucket
-#: occupancy must be bounded by policy, not hoped flat; the split keeps
-#: every vector pairable (recall is traded only across sub-bucket
-#: boundaries INSIDE hot buckets), unlike a drop-the-bucket cap
+#: maximum split depth — the deepest bucket key commits
+#: SIGN_BUCKET_BITS * SIM_SPLIT_LEVELS sign bits; beyond that the probe
+#: backstop (not more splitting) bounds the work
+SIM_SPLIT_LEVELS = 4
+#: a bucket whose DISTINCT-vector occupancy exceeds this splits on the
+#: next four sign bits (recursively, up to SIM_SPLIT_LEVELS)
 SIM_SPLIT_CAP = 256
-#: backstop AFTER the split: a still-hot sub-bucket is excluded from
-#: pairing entirely (two-phase groupBy + broadcast anti-join — the
-#: simhash64 SIM64_MAX_BUCKET discipline) and accounted by
-#: ``sim_bucket_occupancy_stats``
+#: backstop cap on the quadratic matmul: a full-depth bucket still over
+#: this pairs members with the bucket-min representative instead of
+#: self-joining — O(bucket) probes, never O(bucket^2), never a drop
 SIM_MAX_BUCKET = 4096
+#: pairs are emitted only above this cosine (engine/oracle shared)
+SIM_PAIR_THRESHOLD = 0.3
 #: rows per matmul tile inside the pair UDF: peak task memory is the
 #: bucket matrix + one O(TILE x bucket) cosine tile, never O(bucket^2)
 PAIR_TILE_ROWS = 1024
 
-#: the split-bucket CTE chain, shared verbatim by the pair, keep-list and
-#: occupancy-stats oracles so all three see the identical bucket policy
-_SPLIT_BUCKET_CTES = f"""sb AS (
-    SELECT vec_id,
-           {sign_bucket_sql("embedding")} AS b0,
-           {sign_bucket_sql("embedding", offset=SIGN_BUCKET_BITS)} AS b1
-    FROM embeddings
+
+def _sql_prefix_keys(alias: str) -> list[str]:
+    """Bucket-key expressions per depth: '5', '5.12', '5.12.3', ... —
+    disjoint id spaces by construction (a deeper key always contains one
+    more '.')."""
+    cols = [f"CAST({alias}.b{k} AS VARCHAR)" for k in range(SIM_SPLIT_LEVELS)]
+    return [" || '.' || ".join(cols[: d + 1]) for d in range(SIM_SPLIT_LEVELS)]
+
+
+def _split_chain_sql(src: str, p: str, cap: int) -> str:
+    """The recursive-split CTE chain over distinct vectors from CTE
+    ``src`` (must expose rep_id, group_n, qe), names prefixed ``p`` so
+    the corpus/batch twins of the incremental path can coexist: emits
+    {p}rb (sign bits), {p}o0..{p}oN (per-level occupancy), {p}rbk
+    (rep_id, group_n, bucket, bucket_n)."""
+    signs = ",\n           ".join(
+        f"{sign_bucket_sql('qe', offset=SIGN_BUCKET_BITS * k)} AS b{k}"
+        for k in range(SIM_SPLIT_LEVELS)
+    )
+    occs = ",\n".join(
+        f"{p}o{d} AS (SELECT {', '.join(f'b{k}' for k in range(d + 1))}, "
+        f"COUNT(*) AS n FROM {p}rb GROUP BY "
+        f"{', '.join(str(k + 1) for k in range(d + 1))})"
+        for d in range(SIM_SPLIT_LEVELS)
+    )
+    joins = "\n    ".join(
+        f"JOIN {p}o{d} o{d} ON "
+        + " AND ".join(f"o{d}.b{k} = r.b{k}" for k in range(d + 1))
+        for d in range(SIM_SPLIT_LEVELS)
+    )
+    keys = _sql_prefix_keys("r")
+    bucket_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN o{d}.n <= {cap} THEN {keys[d]}"
+            for d in range(SIM_SPLIT_LEVELS - 1)
+        )
+        + f" ELSE {keys[SIM_SPLIT_LEVELS - 1]} END"
+    )
+    n_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN o{d}.n <= {cap} THEN o{d}.n"
+            for d in range(SIM_SPLIT_LEVELS - 1)
+        )
+        + f" ELSE o{SIM_SPLIT_LEVELS - 1}.n END"
+    )
+    return f"""{p}rb AS (
+    SELECT rep_id, group_n,
+           {signs}
+    FROM {src}
 ),
-occ0 AS (SELECT b0, COUNT(*) AS n0 FROM sb GROUP BY b0),
-buckets AS (
-    SELECT sb.vec_id,
-           CASE WHEN o.n0 > {SIM_SPLIT_CAP}
-                THEN {2**SIGN_BUCKET_BITS} + sb.b0 * {2**SIGN_BUCKET_BITS} + sb.b1
-                ELSE sb.b0 END AS bucket
-    FROM sb JOIN occ0 o ON o.b0 = sb.b0
-),
-occ AS (SELECT bucket, COUNT(*) AS bucket_n FROM buckets GROUP BY bucket),
-live AS (
-    SELECT b.vec_id, b.bucket
-    FROM buckets b JOIN occ ON occ.bucket = b.bucket
-    WHERE occ.bucket_n <= {SIM_MAX_BUCKET}
+{occs},
+{p}rbk AS MATERIALIZED (
+    SELECT r.rep_id, r.group_n,
+           {bucket_case} AS bucket,
+           {n_case} AS bucket_n
+    FROM {p}rb r
+    {joins}
 )"""
 
 
-def split_sign_buckets(
+#: the exact-collapse + recursive-split CTE chain, shared verbatim by the
+#: pair, keep-list, eval and occupancy-stats oracles so every consumer
+#: sees the identical bucket policy. Ends in ``live``: (vec_id, bucket)
+#: for EVERY vector (members inherit their representative's bucket),
+#: minus members of hot (> SIM_MAX_BUCKET distinct vectors) buckets —
+#: those are recovered by the probe CTEs in _PAIR_CTES, not dropped.
+_SPLIT_BUCKET_CTES = f"""sgrp AS MATERIALIZED (
+    SELECT qe, MIN(vec_id) AS rep_id, COUNT(*) AS group_n
+    FROM q GROUP BY qe
+),
+smem AS MATERIALIZED (
+    SELECT q.vec_id, g.rep_id, g.group_n FROM q JOIN sgrp g ON g.qe = q.qe
+),
+{_split_chain_sql("sgrp", "s", SIM_SPLIT_CAP)},
+live AS (
+    SELECT m.vec_id, k.bucket
+    FROM smem m JOIN srbk k ON k.rep_id = m.rep_id
+    WHERE k.bucket_n <= {SIM_MAX_BUCKET}
+)"""
+
+#: pair-production chain on top of _SPLIT_BUCKET_CTES, ending in
+#: ``spairs (vec_a, vec_b, cosine)``: live-bucket matmul pairs among
+#: representatives + hot-bucket representative probes + exact-group star
+#: edges. Shared by the pair query, the SemDeDup component chain, the
+#: threshold sweep and the dedup funnel's semantic stage.
+_PAIR_CTES = f"""{_SPLIT_BUCKET_CTES},
+srlive AS (SELECT rep_id, bucket FROM srbk WHERE bucket_n <= {SIM_MAX_BUCKET}),
+srhot AS (SELECT rep_id, bucket FROM srbk WHERE bucket_n > {SIM_MAX_BUCKET}),
+sanch AS (SELECT bucket, MIN(rep_id) AS anchor FROM srhot GROUP BY bucket),
+srdots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM ex a
+    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    JOIN srlive ba ON ba.rep_id = a.vec_id
+    JOIN srlive bb ON bb.rep_id = b.vec_id AND bb.bucket = ba.bucket
+    GROUP BY 1, 2
+),
+srpairs AS (
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+    FROM srdots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) > {SIM_PAIR_THRESHOLD}
+),
+spdots AS (
+    SELECT n.anchor AS vec_a, h.rep_id AS vec_b, SUM(a.v * b.v) AS dot
+    FROM srhot h
+    JOIN sanch n ON n.bucket = h.bucket AND h.rep_id <> n.anchor
+    JOIN ex a ON a.vec_id = n.anchor
+    JOIN ex b ON b.vec_id = h.rep_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+sppairs AS (
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+    FROM spdots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE na.nsq > 0 AND nb.nsq > 0
+      AND CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) > {SIM_PAIR_THRESHOLD}
+),
+sstars AS (
+    SELECT m.rep_id AS vec_a, m.vec_id AS vec_b,
+           CAST(n.nsq AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(n.nsq AS DOUBLE))) AS cosine
+    FROM smem m JOIN norms n ON n.vec_id = m.vec_id
+    WHERE m.vec_id <> m.rep_id AND n.nsq > 0
+),
+spairs AS (
+    SELECT vec_a, vec_b, cosine FROM srpairs
+    UNION ALL SELECT vec_a, vec_b, cosine FROM sppairs
+    UNION ALL SELECT vec_a, vec_b, cosine FROM sstars
+)"""
+
+
+def exact_vector_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rep_id, group_n): exact-duplicate collapse on the
+    quantized vector — one content-keyed shuffle (the dedup_exact shape),
+    after which every downstream stage sees DISTINCT vectors only. The
+    representative is the group-min vec_id; members re-attach via star
+    edges in the pair path."""
+    qv = _quantized(spark, sf_dir)
+    grp = qv.groupBy("qe").agg(
+        F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("group_n")
+    )
+    return qv.select("vec_id", "qe").join(grp, "qe").select(
+        "vec_id", "rep_id", "group_n"
+    )
+
+
+def _prefix_key_cols() -> list:
+    """Spark twins of _sql_prefix_keys: bucket-key columns per depth."""
+    return [
+        F.concat_ws(".", *[F.col(f"b{k}").cast("string") for k in range(d + 1)])
+        for d in range(SIM_SPLIT_LEVELS)
+    ]
+
+
+def _split_assign(grp: DataFrame, split_cap: int):
+    """Closed-form recursive split over a (rep_id, group_n, qe) frame of
+    DISTINCT vectors: each representative stops at the shortest sign-bit
+    prefix (4 bits per level, up to SIM_SPLIT_LEVELS) whose occupancy
+    fits ``split_cap``. Returns (rbk, occs): rbk = (rep_id, group_n,
+    bucket, bucket_n); occs[d] = the level-d occupancy frame keyed
+    (b0..bd) -> n{d}, reused by the incremental router so batch vectors
+    route through the SAME policy the corpus index committed to. Every
+    occupancy frame is <= 16^(d+1) rows regardless of corpus size, so
+    all policy joins ride broadcasts."""
+    srb = grp.select(
+        "rep_id",
+        "group_n",
+        *[
+            sign_bucket(F.col("qe"), offset=SIGN_BUCKET_BITS * k).alias(f"b{k}")
+            for k in range(SIM_SPLIT_LEVELS)
+        ],
+    )
+    occs = []
+    out = srb
+    for d in range(SIM_SPLIT_LEVELS):
+        keys = [f"b{k}" for k in range(d + 1)]
+        occ = srb.groupBy(*keys).agg(F.count(F.lit(1)).alias(f"n{d}"))
+        occs.append(occ)
+        out = out.join(F.broadcast(occ), keys)
+    key_exprs = _prefix_key_cols()
+    bucket = F.when(F.col("n0") <= split_cap, key_exprs[0])
+    bucket_n = F.when(F.col("n0") <= split_cap, F.col("n0"))
+    for d in range(1, SIM_SPLIT_LEVELS - 1):
+        bucket = bucket.when(F.col(f"n{d}") <= split_cap, key_exprs[d])
+        bucket_n = bucket_n.when(F.col(f"n{d}") <= split_cap, F.col(f"n{d}"))
+    last = SIM_SPLIT_LEVELS - 1
+    bucket = bucket.otherwise(key_exprs[last])
+    bucket_n = bucket_n.otherwise(F.col(f"n{last}"))
+    rbk = out.select(
+        "rep_id", "group_n", bucket.alias("bucket"), bucket_n.alias("bucket_n")
+    )
+    return rbk, occs
+
+
+def _route_to_buckets(sig: DataFrame, occs, split_cap: int) -> DataFrame:
+    """Route NEW vectors (a frame with b0..b{L-1} sign columns and any
+    carry-through columns) to the bucket an existing index's occupancy
+    frames commit them to: the shortest prefix whose INDEX occupancy fits
+    the cap (absent prefixes count 0 -> stop immediately -> no
+    candidates). Pure broadcast left-joins."""
+    out = sig
+    for d, occ in enumerate(occs):
+        keys = [f"b{k}" for k in range(d + 1)]
+        out = out.join(F.broadcast(occ), keys, "left")
+    key_exprs = _prefix_key_cols()
+    bucket = F.when(F.coalesce("n0", F.lit(0)) <= split_cap, key_exprs[0])
+    for d in range(1, SIM_SPLIT_LEVELS - 1):
+        bucket = bucket.when(
+            F.coalesce(f"n{d}", F.lit(0)) <= split_cap, key_exprs[d]
+        )
+    bucket = bucket.otherwise(key_exprs[SIM_SPLIT_LEVELS - 1])
+    drop = [c for c in out.columns if c[0] in "bn" and c[1:].isdigit()]
+    return out.withColumn("bucket", bucket).drop(*drop)
+
+
+def rep_sign_buckets(
     spark: SparkSession, sf_dir: str, split_cap: int | None = None
 ) -> DataFrame:
-    """(vec_id, bucket) under the hot-bucket split policy: level-0 sign
-    buckets (ids 0..15), except members of buckets over ``split_cap``,
-    which re-key on the NEXT four sign bits into sub-bucket ids
-    ``16 + b0*16 + b1`` (16..271 — the id spaces are disjoint by
-    construction). The occupancy side of the decision is a <=16-row
-    aggregate broadcast back onto the corpus — no wide shuffle."""
+    """(rep_id, group_n, bucket, bucket_n) over the corpus's DISTINCT
+    vectors — see _split_assign. The only wide work is the content
+    groupBy behind the exact collapse."""
     split_cap = SIM_SPLIT_CAP if split_cap is None else split_cap
-    emb = load_table(spark, sf_dir, "embeddings")
-    sb = emb.select(
-        "vec_id",
-        sign_bucket(F.col("embedding")).alias("b0"),
-        sign_bucket(F.col("embedding"), offset=SIGN_BUCKET_BITS).alias("b1"),
+    qv = _quantized(spark, sf_dir)
+    grp = qv.groupBy("qe").agg(
+        F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("group_n")
     )
-    occ0 = sb.groupBy("b0").agg(F.count(F.lit(1)).alias("n0"))
-    split_id = (
-        F.lit(2**SIGN_BUCKET_BITS)
-        + F.col("b0") * F.lit(2**SIGN_BUCKET_BITS)
-        + F.col("b1")
-    )
-    return sb.join(F.broadcast(occ0), "b0").select(
-        "vec_id",
-        F.when(F.col("n0") > split_cap, split_id).otherwise(F.col("b0")).alias("bucket"),
-    )
+    rbk, _ = _split_assign(grp, split_cap)
+    return rbk
 
 
 def live_sign_buckets(
@@ -816,16 +1024,19 @@ def live_sign_buckets(
     split_cap: int | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Split buckets minus any STILL-hot sub-bucket (occupancy >
-    ``max_bucket`` after the split): the finite backstop that bounds the
-    per-task matrix no matter how adversarial the distribution. Dropped
-    rows are exactly what ``sim_bucket_occupancy_stats`` accounts —
-    two-phase groupBy + broadcast anti-join, no window over the bucket."""
+    """(vec_id, bucket) for EVERY vector — members inherit their exact
+    group representative's bucket — minus members of hot buckets (>
+    ``max_bucket`` DISTINCT vectors after the full split). Hot-bucket
+    content is not lost: the pair path recovers it through bounded
+    representative probes; this frame is the candidate universe for the
+    matmul and the retrieval evals, where the bound is the point."""
     max_bucket = SIM_MAX_BUCKET if max_bucket is None else max_bucket
-    b = split_sign_buckets(spark, sf_dir, split_cap)
-    occ = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
-    hot = occ.where(F.col("bucket_n") > max_bucket).select("bucket")
-    return b.join(F.broadcast(hot), "bucket", "left_anti")
+    members = exact_vector_groups(spark, sf_dir)
+    rbk = rep_sign_buckets(spark, sf_dir, split_cap)
+    return members.join(
+        rbk.where(F.col("bucket_n") <= max_bucket).select("rep_id", "bucket"),
+        "rep_id",
+    ).select("vec_id", "bucket")
 
 
 #: queries in the batch recall eval — single-query recall@10 has 0.1
@@ -959,47 +1170,47 @@ def sim_ann_batch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_bucketed_cosine_pairs",
     oracle=f"""
 WITH {_Q_CTE},
-{_SPLIT_BUCKET_CTES},
-dots AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-    FROM ex a
-    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-    JOIN live ba ON ba.vec_id = a.vec_id
-    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
-    GROUP BY 1, 2
-)
-SELECT vec_a, vec_b,
-       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
-FROM dots
-JOIN norms na ON na.vec_id = vec_a
-JOIN norms nb ON nb.vec_id = vec_b
-WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) > 0.3
+{_PAIR_CTES}
+SELECT vec_a, vec_b, cosine FROM spairs
 """,
     doc=(
-        "Bucketed embedding near-dup pairs — the SemDeDup/web-scale shape: "
-        "vectors land in sign-bit LSH buckets and exact cosine runs ONLY "
-        "within each bucket as per-group BLAS matmuls (applyInPandas), so "
-        "compute drops from O(n^2) to sum of bucket^2 and the shuffle key "
-        "is the bucket id. Bucket occupancy is BOUNDED by policy: level-0 "
-        f"buckets over {SIM_SPLIT_CAP} rows split on the next four sign "
-        f"bits, and a sub-bucket still over {SIM_MAX_BUCKET} is dropped "
-        "from pairing via a broadcast anti-join (accounted by "
-        "sim_bucket_occupancy_stats) — real embedding distributions are "
-        "anisotropic, so an uncapped hot bucket would OOM one executor at "
-        "scale. Inside the UDF the cosine matrix is computed in "
-        f"{PAIR_TILE_ROWS}-row tiles, so task memory is O(bucket x tile). "
-        "Same exact quantized math as cosine_pairs; recall is traded at "
-        "bucket boundaries (measured by sim_ann_recall_eval's twin "
-        "methodology)."
+        "Bucketed embedding near-dup pairs — the SemDeDup/web-scale shape, "
+        "three bounded layers (see the module design note): (1) exact-"
+        "identical vectors collapse to a count-weighted representative "
+        "first, re-attaching as O(group) star edges — a 50k-copy "
+        "boilerplate embedding is ONE downstream row, the only move that "
+        "works when no sign-bit split can separate identical vectors; "
+        "(2) distinct vectors land in recursively-split sign buckets "
+        f"(cap {SIM_SPLIT_CAP}, up to {SIM_SPLIT_LEVELS} levels of 4 "
+        "bits) and exact cosine runs within each live bucket as per-group "
+        "BLAS matmuls (applyInPandas), compute sum-of-bucket^2 with the "
+        f"bucket id as shuffle key; (3) a full-depth bucket still over "
+        f"{SIM_MAX_BUCKET} pairs members with its min-id representative — "
+        "O(bucket) probes, the lsh_candidate_pairs recovery pattern — "
+        "never the quadratic self-join and never a silent drop "
+        "(accounting: sim_bucket_occupancy_stats). Inside the UDF the "
+        f"cosine matrix is computed in {PAIR_TILE_ROWS}-row tiles, so "
+        "task memory is O(bucket x tile). Same exact quantized math as "
+        "cosine_pairs; the emitted frame is a sparse CERTIFICATE of the "
+        "near-dup graph (stars + representative graph), sufficient for "
+        "every SemDeDup consumer (components, keep-list, sweep, funnel) "
+        "without materializing quadratic intra-group pairs."
     ),
 )
 def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
-    qv = _quantized(spark, sf_dir).join(
-        live_sign_buckets(spark, sf_dir), "vec_id"
-    ).select("vec_id", "qe", "nsq", "bucket")
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    members = exact_vector_groups(spark, sf_dir)
+    rbk = rep_sign_buckets(spark, sf_dir)
+    max_bucket = SIM_MAX_BUCKET
+    threshold = SIM_PAIR_THRESHOLD
 
+    # layer 2: live-bucket matmul among representatives
+    rlive = rbk.where(F.col("bucket_n") <= max_bucket).select(
+        F.col("rep_id").alias("vec_id"), "bucket"
+    )
+    rq = qv.join(rlive, "vec_id").select("vec_id", "qe", "nsq", "bucket")
     schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -1007,7 +1218,6 @@ def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    threshold = 0.3
     tile = PAIR_TILE_ROWS  # bound at call time (tests shrink it)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1026,70 +1236,136 @@ def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True)
 
-    return qv.groupBy("bucket").applyInPandas(bucket_pairs, schema)
+    matmul = rq.groupBy("bucket").applyInPandas(bucket_pairs, schema)
+
+    # layer 3: hot-bucket representative probes (bounded recovery)
+    rhot = rbk.where(F.col("bucket_n") > max_bucket).select("rep_id", "bucket")
+    anchors = rhot.groupBy("bucket").agg(F.min("rep_id").alias("anchor"))
+    probes = rhot.join(F.broadcast(anchors), "bucket").where(
+        F.col("rep_id") != F.col("anchor")
+    )
+    qa = qv.join(
+        F.broadcast(anchors.select(F.col("anchor").alias("vec_id")).distinct()),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("qe").alias("a_qe"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    qb = qv.select(
+        F.col("vec_id").alias("rep_id"),
+        F.col("qe").alias("b_qe"),
+        F.col("nsq").alias("b_nsq"),
+    )
+    pcos = cosine_q(
+        dot_q(F.col("a_qe"), F.col("b_qe")), F.col("a_nsq"), F.col("b_nsq")
+    )
+    ppairs = (
+        probes.join(F.broadcast(qa), "anchor")
+        .join(qb, "rep_id")
+        .where((F.col("a_nsq") > 0) & (F.col("b_nsq") > 0))
+        .select(
+            F.col("anchor").alias("vec_a"),
+            F.col("rep_id").alias("vec_b"),
+            pcos.alias("cosine"),
+        )
+        .where(F.col("cosine") > threshold)
+    )
+
+    # layer 1: exact-group star edges (identical vectors -> cosine via
+    # the same dot/(sqrt*sqrt) formula, dot == nsq, so the double agrees
+    # bit-for-bit with the oracle's expression)
+    stars = (
+        members.where(F.col("vec_id") != F.col("rep_id"))
+        .join(qv.select("vec_id", "nsq"), "vec_id")
+        .where(F.col("nsq") > 0)
+        .select(
+            F.col("rep_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            cosine_q(F.col("nsq"), F.col("nsq"), F.col("nsq")).alias("cosine"),
+        )
+    )
+    return matmul.unionByName(ppairs).unionByName(stars)
 
 
 @register(
     "sim_bucket_occupancy_stats",
     oracle=f"""
-WITH {_SPLIT_BUCKET_CTES}
-SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+WITH {_Q_CTE},
+{_SPLIT_BUCKET_CTES},
+socc AS (SELECT bucket, MAX(bucket_n) AS bucket_n FROM srbk GROUP BY bucket)
+SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_vectors,
+       CAST((SELECT COUNT(*) FROM sgrp) AS BIGINT) AS n_distinct,
+       CAST((SELECT MAX(group_n) FROM sgrp) AS BIGINT) AS max_group_n,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(MAX(bucket_n) AS BIGINT) AS max_occupancy,
-       CAST(SUM(CASE WHEN bucket >= {2**SIGN_BUCKET_BITS} THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN bucket LIKE '%.%' THEN 1 ELSE 0 END) AS BIGINT)
            AS split_buckets,
-       CAST((SELECT COUNT(*) FROM occ0 WHERE n0 > {SIM_SPLIT_CAP}) AS BIGINT)
-           AS split_level0,
        CAST(SUM(CASE WHEN bucket_n > {SIM_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
            AS hot_buckets,
-       CAST(SUM(CASE WHEN bucket_n > {SIM_MAX_BUCKET} THEN bucket_n ELSE 0 END) AS BIGINT)
-           AS dropped_rows
-FROM occ
+       CAST(COALESCE(SUM(CASE WHEN bucket_n > {SIM_MAX_BUCKET} THEN bucket_n END), 0) AS BIGINT)
+           AS hot_rep_rows,
+       CAST(COALESCE(SUM(CASE WHEN bucket_n > {SIM_MAX_BUCKET} THEN bucket_n - 1 END), 0) AS BIGINT)
+           AS recovered_probes
+FROM socc
 """,
     doc=(
-        "Occupancy accounting for the embedding sign-bucket path — the "
-        "twin of dedup_simhash64_bucket_stats: post-split bucket count, "
-        "max occupancy, how many sub-buckets the split minted, how many "
-        "level-0 buckets were hot enough to split, and exactly what the "
-        f"{SIM_MAX_BUCKET} backstop drops from pairing. A lazy plan "
-        "cannot side-effect a drop count, so the accounting is its own "
-        "one-action diagnostic (and the scale smoke asserts on it at x10)."
+        "Occupancy accounting for the embedding exact-collapse + "
+        "recursive-split path — the twin of dedup_lsh_bucket_stats: "
+        "corpus size vs DISTINCT vectors (the exact collapse's yield and "
+        "the largest identical group), final bucket count, max distinct-"
+        "vector occupancy, how many buckets needed at least one split "
+        f"level, how many full-depth buckets still exceed {SIM_MAX_BUCKET} "
+        "(the probe backstop's targets), the representative rows in them, "
+        "and the per-bucket (bucket_n - 1) probe rows the recovery path "
+        "emits in their place — an upper bound on distinct recovered "
+        "pairs (a probe below the cosine threshold emits nothing). "
+        "Nothing is dropped from detection: hot-bucket members stay "
+        "reachable via their bucket anchor, and exact-group members via "
+        "star edges. A lazy plan cannot side-effect this accounting, so "
+        "it is its own one-action diagnostic (the skew smoke asserts on "
+        "it against an engineered 20k-identical-vector mega-cluster)."
     ),
 )
 def sim_bucket_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    sb = emb.select("vec_id", sign_bucket(F.col("embedding")).alias("b0"))
-    split0 = (
-        sb.groupBy("b0")
-        .agg(F.count(F.lit(1)).alias("n0"))
-        .agg(F.sum((F.col("n0") > SIM_SPLIT_CAP).cast("long")).alias("split_level0"))
+    qv = _quantized(spark, sf_dir)
+    grp_stats = (
+        qv.groupBy("qe")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .agg(
+            F.sum("group_n").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("group_n").alias("max_group_n"),
+        )
     )
-    occ = (
-        split_sign_buckets(spark, sf_dir)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    occ = rep_sign_buckets(spark, sf_dir).groupBy("bucket").agg(
+        F.max("bucket_n").alias("bucket_n")
     )
+    hot = F.col("bucket_n") > SIM_MAX_BUCKET
     return (
         occ.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.max("bucket_n").alias("max_occupancy"),
-            F.sum((F.col("bucket") >= 2**SIGN_BUCKET_BITS).cast("long")).alias(
-                "split_buckets"
-            ),
-            F.sum((F.col("bucket_n") > SIM_MAX_BUCKET).cast("long")).alias("hot_buckets"),
-            F.sum(
-                F.when(F.col("bucket_n") > SIM_MAX_BUCKET, F.col("bucket_n")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("dropped_rows"),
+            F.sum(F.col("bucket").contains(".").cast("long")).alias("split_buckets"),
+            F.sum(hot.cast("long")).alias("hot_buckets"),
+            F.coalesce(
+                F.sum(F.when(hot, F.col("bucket_n"))), F.lit(0)
+            ).alias("hot_rep_rows"),
+            F.coalesce(
+                F.sum(F.when(hot, F.col("bucket_n") - 1)), F.lit(0)
+            ).alias("recovered_probes"),
         )
-        .crossJoin(F.broadcast(split0))
+        .crossJoin(F.broadcast(grp_stats))
         .select(
+            "n_vectors",
+            "n_distinct",
+            "max_group_n",
             "n_buckets",
             "max_occupancy",
             "split_buckets",
-            "split_level0",
             "hot_buckets",
-            "dropped_rows",
+            "hot_rep_rows",
+            "recovered_probes",
         )
     )
 
@@ -1107,22 +1383,9 @@ SEMDEDUP_COSINE = 0.4
 #: the semantic-component CTE chain (split-bucket pairs above the
 #: SemDeDup bar -> recursive min-label closure) shared by the keep-list
 #: and the semantic-aware split oracles — one definition, two consumers
-SEMANTIC_COMP_CTES = f"""{_SPLIT_BUCKET_CTES},
-dots AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-    FROM ex a
-    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-    JOIN live ba ON ba.vec_id = a.vec_id
-    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
-    GROUP BY 1, 2
-),
+SEMANTIC_COMP_CTES = f"""{_PAIR_CTES},
 pairs AS (
-    SELECT vec_a, vec_b
-    FROM dots
-    JOIN norms na ON na.vec_id = vec_a
-    JOIN norms nb ON nb.vec_id = vec_b
-    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
-          >= {SEMDEDUP_COSINE}
+    SELECT vec_a, vec_b FROM spairs WHERE cosine >= {SEMDEDUP_COSINE}
 ),
 edges AS (
     SELECT vec_a AS src, vec_b AS dst FROM pairs
@@ -2898,18 +3161,58 @@ def sim_ann_ivfpq_batch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register(
-    "dedup_semantic_incremental",
-    oracle=f"""
+def _semantic_incremental_oracle() -> str:
+    """Oracle twin of the incremental probe: corpus-only exact collapse +
+    split index, batch vectors routed through the CORPUS occupancies
+    (absent prefixes stop immediately), candidates = exact-group match
+    UNION live-bucket representatives UNION hot-bucket anchor."""
+    sig = ",\n           ".join(
+        f"{sign_bucket_sql('qe', offset=SIGN_BUCKET_BITS * k)} AS b{k}"
+        for k in range(SIM_SPLIT_LEVELS)
+    )
+    route_joins = "\n    ".join(
+        f"LEFT JOIN co{d} o{d} ON "
+        + " AND ".join(f"o{d}.b{k} = s.b{k}" for k in range(d + 1))
+        for d in range(SIM_SPLIT_LEVELS)
+    )
+    keys = _sql_prefix_keys("s")
+    route_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN COALESCE(o{d}.n, 0) <= {SIM_SPLIT_CAP} THEN {keys[d]}"
+            for d in range(SIM_SPLIT_LEVELS - 1)
+        )
+        + f" ELSE {keys[SIM_SPLIT_LEVELS - 1]} END"
+    )
+    return f"""
 WITH {_Q_CTE},
-buckets AS (
-    SELECT vec_id, {sign_bucket_sql("embedding")} AS bucket FROM embeddings
+bq AS (SELECT vec_id, qe FROM q WHERE vec_id % 10 = 7),
+cq AS (SELECT vec_id, qe FROM q WHERE vec_id % 10 <> 7),
+cgrp AS MATERIALIZED (
+    SELECT qe, MIN(vec_id) AS rep_id, COUNT(*) AS group_n FROM cq GROUP BY qe
 ),
-batch AS (SELECT vec_id, bucket FROM buckets WHERE vec_id % 10 = 7),
-corpus AS (SELECT vec_id, bucket FROM buckets WHERE vec_id % 10 <> 7),
+{_split_chain_sql("cgrp", "c", SIM_SPLIT_CAP)},
+clive AS (SELECT rep_id, bucket FROM crbk WHERE bucket_n <= {SIM_MAX_BUCKET}),
+canch AS (
+    SELECT bucket, MIN(rep_id) AS anchor FROM crbk
+    WHERE bucket_n > {SIM_MAX_BUCKET} GROUP BY bucket
+),
+bsig AS (
+    SELECT vec_id AS b_id,
+           {sig}
+    FROM bq
+),
+brt AS (
+    SELECT s.b_id, {route_case} AS bucket
+    FROM bsig s
+    {route_joins}
+),
 cand AS (
-    SELECT b.vec_id AS b_id, c.vec_id AS c_id
-    FROM batch b JOIN corpus c ON c.bucket = b.bucket
+    SELECT b.vec_id AS b_id, g.rep_id AS c_id FROM bq b JOIN cgrp g ON g.qe = b.qe
+    UNION
+    SELECT r.b_id, l.rep_id FROM brt r JOIN clive l ON l.bucket = r.bucket
+    UNION
+    SELECT r.b_id, a.anchor FROM brt r JOIN canch a ON a.bucket = r.bucket
 ),
 dots AS (
     SELECT p.b_id, p.c_id, SUM(eb.v * ec.v) AS dot
@@ -2937,45 +3240,83 @@ SELECT b.vec_id,
             ELSE 'unique' END AS verdict,
        CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN best.c_id END AS match_id,
        CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN best.cosine END AS cosine
-FROM batch b LEFT JOIN best ON best.b_id = b.vec_id
-""",
+FROM bq b LEFT JOIN best ON best.b_id = b.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=_semantic_incremental_oracle(),
     doc=(
         "Semantic incremental ingest dedup — the embedding twin of "
         "dedup_incremental: today's vector batch (vec_id%10==7, the same "
-        "deterministic slice convention) probes the corpus ONLY through "
-        "the sign-bucket LSH index, exact quantized cosine runs on the "
-        "bucket-pruned candidates, and each batch vector gets a verdict "
-        "(semantic_dup with its best corpus match above the SemDeDup bar, "
-        "else unique). Candidate volume scales with |batch| x bucket "
-        "density — the corpus never self-joins; the best-match window "
-        "partitions by the batch vec_id (entity key), ranking only that "
-        "vector's bucket candidates. Vectors whose bucket holds no corpus "
-        "member come back 'unique' via the left join, so every batch row "
-        "is verdicted exactly once."
+        "deterministic slice convention) probes a corpus-side index built "
+        "with the production policy (exact collapse to representatives + "
+        "recursive sign split + hot-bucket anchors) and NEVER self-joins "
+        "the corpus. Three bounded candidate sources per batch vector: "
+        "its exact quantized twin's representative (content join — a "
+        "boilerplate re-ingest matches at cosine 1.0 even when its "
+        "cluster is capped), the live representatives of the bucket the "
+        "CORPUS occupancies route it to (broadcast policy joins; an "
+        "unseen sign prefix routes to an empty bucket -> honest "
+        "'unique'), and the anchor of a hot bucket — one probe per "
+        "(batch vector, hot bucket), the lsh recovery pattern, so a new "
+        "near-dup of a capped mega-cluster verdicts semantic_dup with "
+        "the cluster anchor as match instead of silently 'unique' (the "
+        "r8 gap, fixed for text in r9, fixed here for embeddings). "
+        "Exact quantized cosine runs only on those candidates; the "
+        "best-match window partitions by the batch vec_id (entity key). "
+        "Every batch row verdicts exactly once via the left join."
     ),
 )
 def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    bucketed = emb.select("vec_id", sign_bucket(F.col("embedding")).alias("bucket")).join(
-        qv, "vec_id"
-    )
     is_batch = (F.col("vec_id") % 10) == 7
-    batch = bucketed.where(is_batch).select(
+    batch = qv.where(is_batch)
+    corpus = qv.where(~is_batch)
+    cgrp = corpus.groupBy("qe").agg(
+        F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("group_n")
+    )
+    crbk, occs = _split_assign(cgrp, SIM_SPLIT_CAP)
+    clive = crbk.where(F.col("bucket_n") <= SIM_MAX_BUCKET).select(
+        "rep_id", "bucket"
+    )
+    canch = (
+        crbk.where(F.col("bucket_n") > SIM_MAX_BUCKET)
+        .groupBy("bucket")
+        .agg(F.min("rep_id").alias("anchor"))
+    )
+    bsig = batch.select(
         F.col("vec_id").alias("b_id"),
-        "bucket",
+        *[
+            sign_bucket(F.col("qe"), offset=SIGN_BUCKET_BITS * k).alias(f"b{k}")
+            for k in range(SIM_SPLIT_LEVELS)
+        ],
+    )
+    brt = _route_to_buckets(bsig, occs, SIM_SPLIT_CAP).select("b_id", "bucket")
+    candx = (
+        batch.select(F.col("vec_id").alias("b_id"), "qe")
+        .join(cgrp, "qe")
+        .select("b_id", F.col("rep_id").alias("c_id"))
+    )
+    candb = brt.join(clive, "bucket").select("b_id", F.col("rep_id").alias("c_id"))
+    candh = brt.join(F.broadcast(canch), "bucket").select(
+        "b_id", F.col("anchor").alias("c_id")
+    )
+    cand = candx.unionByName(candb).unionByName(candh).distinct()
+    bqv = batch.select(
+        F.col("vec_id").alias("b_id"),
         F.col("qe").alias("b_qe"),
         F.col("nsq").alias("b_nsq"),
     )
-    corpus = bucketed.where(~is_batch).select(
+    cqv = corpus.select(
         F.col("vec_id").alias("c_id"),
-        "bucket",
         F.col("qe").alias("c_qe"),
         F.col("nsq").alias("c_nsq"),
     )
-    scored = batch.join(corpus, "bucket").select(
+    scored = cand.join(bqv, "b_id").join(cqv, "c_id").select(
         "b_id",
         "c_id",
         cosine_q(
@@ -2990,8 +3331,8 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = F.col("cosine") >= SEMDEDUP_COSINE
     return (
-        batch.select(F.col("b_id").alias("vec_id"))
-        .join(best.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
+        batch.select(F.col("vec_id")
+        ).join(best.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
             F.when(hit, F.lit("semantic_dup")).otherwise(F.lit("unique")).alias("verdict"),
@@ -3112,22 +3453,9 @@ SEM_SWEEP_PCTS = (40, 50, 60, 70, 80, 90)
     "sim_semantic_threshold_sweep",
     oracle=f"""
 WITH {_Q_CTE},
-{_SPLIT_BUCKET_CTES},
-dots AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-    FROM ex a
-    JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-    JOIN live ba ON ba.vec_id = a.vec_id
-    JOIN live bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
-    GROUP BY 1, 2
-),
+{_PAIR_CTES},
 pairsq AS MATERIALIZED (
-    SELECT vec_a, vec_b,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
-    FROM dots
-    JOIN norms na ON na.vec_id = vec_a
-    JOIN norms nb ON nb.vec_id = vec_b
-    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) > 0.3
+    SELECT vec_a, vec_b, cosine FROM spairs
 ),
 vmax AS MATERIALIZED (
     SELECT vec, MAX(cosine) AS mc FROM (

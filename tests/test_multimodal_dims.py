@@ -27,19 +27,38 @@ def gif_bytes(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
 
 
-def jpeg_bytes(w: int, h: int, app0_pad: int = 9, marker: bytes = b"\xff\xc0") -> bytes:
+def jpeg_bytes(
+    w: int,
+    h: int,
+    app0_pad: int = 9,
+    marker: bytes = b"\xff\xc0",
+    exif: bytes = b"",
+) -> bytes:
+    """Independent JPEG builder; ``exif`` plants an APP1 segment between
+    APP0 and the SOF frame header — pass a payload containing 0xFFC0
+    bytes to build the string-search trap the segment walk must survive."""
     app0 = b"JFIF\x00" + b"J" * app0_pad
+    app1 = (
+        b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif if exif else b""
+    )
     return (
         b"\xff\xd8"
         + b"\xff\xe0"
         + struct.pack(">H", len(app0) + 2)
         + app0
+        + app1
         + marker
         + struct.pack(">H", 17)
         + b"\x08"
         + struct.pack(">HH", h, w)
         + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
     )
+
+
+#: APP1 payloads whose bytes CONTAIN SOF marker pairs — a string search
+#: for FFC0/FFC2 reads dimensions out of these; the segment walk must not
+EXIF_TRAP = b"Exif\x00\x00" + b"\xff\xc0\xde\xad\xff\xc2\xbe\xef"
+EXIF_TRAP_LONG = b"Exif\x00\x00" + b"\xff\xc2" + b"\x00" * 40 + b"\xff\xc0\x12\x34"
 
 
 def _parse(spark, blobs):
@@ -62,6 +81,16 @@ def test_parser_recovers_struct_packed_dimensions(spark):
         (jpeg_bytes(31, 7, app0_pad=16), ("jpeg", 31, 7)),  # shifted SOF
         (jpeg_bytes(256, 512, marker=b"\xff\xc2"), ("jpeg", 256, 512)),  # SOF2
         (png_bytes(300, 200) + b"trailing pixel data", ("png", 300, 200)),
+        # EXIF APP1 payloads containing FFC0/FFC2 byte pairs: a marker
+        # string-search reads 0xDEAD/0xBEEF out of the thumbnail data
+        # here; the segment-length walk must step over the APP1 and land
+        # on the REAL SOF (VERDICT r8/r9 JPEG item)
+        (jpeg_bytes(1024, 768, exif=EXIF_TRAP), ("jpeg", 1024, 768)),
+        (jpeg_bytes(33, 44, app0_pad=13, exif=EXIF_TRAP_LONG), ("jpeg", 33, 44)),
+        (
+            jpeg_bytes(640, 480, marker=b"\xff\xc2", exif=EXIF_TRAP),
+            ("jpeg", 640, 480),
+        ),
     ]
     got = _parse(spark, [b for b, _ in cases])
     for i, (_, want) in enumerate(cases):

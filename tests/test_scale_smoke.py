@@ -231,12 +231,13 @@ def test_simhash64_bucket_occupancy_at_scale(spark, sf1_dir, smoke_record):
 
 
 def test_sign_bucket_split_at_scale(spark, sf1_dir, smoke_record):
-    """VERDICT r4 done-criterion for the embedding pair path: at the x10
-    corpus (~20k vectors) every level-0 sign bucket exceeds SIM_SPLIT_CAP
-    and SPLITS on the next four sign bits; post-split occupancy must be
-    bounded (the per-task matmul is O(bucket x tile)) and the backstop
-    must not drop anything at this scale. The stats land in
-    SCALE_SMOKE.json so round-over-round occupancy drift is visible."""
+    """The embedding pair path at the x10 corpus (~20k vectors, every
+    base vector with 10 IDENTICAL replicas): the exact collapse must fold
+    each replica group to one representative (n_distinct = corpus / 10),
+    the recursive split must engage on the distinct vectors, post-split
+    occupancy must stay bounded and no bucket may need the probe
+    backstop. The stats land in SCALE_SMOKE.json so round-over-round
+    occupancy drift is visible."""
     from etl_financial_report_spark.operators.similarity import (
         SIM_MAX_BUCKET,
         SIM_SPLIT_CAP,
@@ -248,27 +249,31 @@ def test_sign_bucket_split_at_scale(spark, sf1_dir, smoke_record):
     smoke_record["sim_bucket_occupancy_stats"] = {
         "rows": 1,
         "sec": round(time.monotonic() - t0, 2),
+        "n_vectors": stats.n_vectors,
+        "n_distinct": stats.n_distinct,
+        "max_group_n": stats.max_group_n,
         "n_buckets": stats.n_buckets,
         "max_occupancy": stats.max_occupancy,
-        "split_level0": stats.split_level0,
+        "split_buckets": stats.split_buckets,
         "hot_buckets": stats.hot_buckets,
-        "dropped_rows": stats.dropped_rows,
+        "recovered_probes": stats.recovered_probes,
     }
-    assert stats.split_level0 > 0  # the split ENGAGED at x10
-    assert stats.split_buckets > stats.split_level0  # and actually fanned out
-    # post-split occupancy bounded: identical replicas collapse into the
-    # same sub-bucket, so the bound is replica-cluster x (base bucket / 16)
-    # territory — far under the drop backstop
+    # identical replicas collapse BEFORE bucketing
+    assert stats.n_vectors == stats.n_distinct * REPLICAS
+    assert stats.max_group_n == REPLICAS
+    assert stats.split_buckets > 0  # the split ENGAGED on distinct vectors
+    # post-split occupancy bounded far under the probe backstop
     assert stats.max_occupancy <= SIM_MAX_BUCKET
-    assert stats.dropped_rows == 0
-    assert stats.max_occupancy < REPLICAS * SIM_SPLIT_CAP
+    assert stats.hot_buckets == 0 and stats.recovered_probes == 0
+    assert stats.max_occupancy <= SIM_SPLIT_CAP
 
 
 def test_bucketed_pairs_at_scale(spark, sf1_dir, smoke_record):
-    """The capped+split pair path end-to-end at x10: replicas are exact
-    cosine-1.0 twins in the SAME sub-bucket (identical signs), so the
-    pair query must recover at least the replica pairs of every base
-    vector despite the split."""
+    """The collapse+split pair path end-to-end at x10: each base vector's
+    10 identical replicas collapse to one representative and re-attach as
+    REPLICAS - 1 star edges (cosine 1.0) — the certificate form, never
+    C(10,2) quadratic intra-group pairs — so the pair count must cover at
+    least one star per collapsed replica."""
     df, n = _run(
         spark,
         "sim_bucketed_cosine_pairs",
@@ -276,7 +281,9 @@ def test_bucketed_pairs_at_scale(spark, sf1_dir, smoke_record):
         smoke_record,
     )
     n_base = load_table(spark, SRC_SF, "embeddings").count()
-    assert n >= n_base * REPLICAS * (REPLICAS - 1) // 2
+    stars = df.where(F.col("cosine") >= 0.999).count()
+    assert stars >= n_base * (REPLICAS - 1)
+    assert n >= n_base * (REPLICAS - 1)
 
 
 def test_q21_runs_at_scale(spark, sf1_dir, smoke_record):

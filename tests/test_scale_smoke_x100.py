@@ -191,9 +191,11 @@ def test_simhash64_hamming_x100(spark, sf10_dir, smoke_record):
 
 
 def test_sign_bucket_split_and_pairs_x100(spark, sf10_dir, smoke_record):
-    """The embedding pair path at 200k vectors: level-0 split ENGAGED,
-    post-split occupancy under the drop backstop with ZERO dropped rows,
-    and the end-to-end pair query recovers every identical-replica pair."""
+    """The embedding pair path at 200k vectors: the exact collapse folds
+    the 10 identical replicas of every base vector to one representative,
+    the recursive split engages on the distinct remainder, no bucket
+    needs the probe backstop, and the end-to-end pair query covers every
+    collapsed replica through its star edge."""
     from etl_financial_report_spark.operators.similarity import (
         SIM_MAX_BUCKET,
         sim_bucket_occupancy_stats,
@@ -204,15 +206,19 @@ def test_sign_bucket_split_and_pairs_x100(spark, sf10_dir, smoke_record):
     smoke_record["sim_bucket_occupancy_stats"] = {
         "rows": 1,
         "sec": round(time.monotonic() - t0, 2),
+        "n_vectors": stats.n_vectors,
+        "n_distinct": stats.n_distinct,
+        "max_group_n": stats.max_group_n,
         "n_buckets": stats.n_buckets,
         "max_occupancy": stats.max_occupancy,
-        "split_level0": stats.split_level0,
+        "split_buckets": stats.split_buckets,
         "hot_buckets": stats.hot_buckets,
-        "dropped_rows": stats.dropped_rows,
+        "recovered_probes": stats.recovered_probes,
     }
-    assert stats.split_level0 > 0
+    assert stats.max_group_n >= IDENTICAL
+    assert stats.split_buckets > 0
     assert stats.max_occupancy <= SIM_MAX_BUCKET
-    assert stats.dropped_rows == 0
+    assert stats.hot_buckets == 0 and stats.recovered_probes == 0
 
     df, n = _run(
         spark,
@@ -220,7 +226,7 @@ def test_sign_bucket_split_and_pairs_x100(spark, sf10_dir, smoke_record):
         lambda: registry.all_queries()["sim_bucketed_cosine_pairs"].fn(spark, sf10_dir),
         smoke_record,
     )
-    assert n >= N_BASE_VECS * IDENTICAL * (IDENTICAL - 1) // 2
+    assert n >= N_BASE_VECS * (IDENTICAL - 1)
 
 
 def test_semantic_keep_list_x100(spark, sf10_dir, smoke_record):
