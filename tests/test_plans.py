@@ -47,7 +47,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # the funnel adds only the 1-row query + 50-row shortlist broadcasts
     "sim_mrl_prefix_recall", "sim_mrl_funnel_retrieval",
     "sim_ann_topk", "sim_ann_topk_batch", "sim_topk_arrow",
-    # 1-row split_level0 aggregate broadcast onto the 1-row occupancy agg
+    # 1-row exact-collapse aggregate broadcast onto the 1-row occupancy
+    # agg, plus the <=16^level policy-occupancy broadcasts of the split
     "sim_bucket_occupancy_stats",
     # 8-row anchor-block broadcast (sim_ann_topk_batch's shape)
     "sim_hard_negative_mining",

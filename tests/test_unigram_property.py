@@ -164,3 +164,72 @@ def test_score_pad_overflow_raises_loudly(spark):
     wdf = spark.createDataFrame([("aa", huge)], "tok string, n long")
     with _pytest.raises(ValueError, match="score pad overflow"):
         unigram_train_collected(wdf)
+
+
+def test_prod_geometry_plan_stays_vocabulary_bounded(spark):
+    """VERDICT r8/r9 item: the trainer at PRODUCTION geometry (seed 8192,
+    keep 4096, pieces to 8 chars) on a corpus with ENOUGH distinct words
+    that both caps BIND. Pins exactly what must stay bounded at 100 TB:
+    (a) the seed collect is alphabet + seed_k rows — a distributed
+    TakeOrdered, never corpus-scaled; (b) the pruned vocabulary is
+    alphabet + keep_k; (c) the segmentation's vocabulary lookup is a
+    BROADCAST HASH JOIN (O(1) per candidate piece against the hash
+    relation) with exactly one word-table-bounded regroup — never the
+    map-literal linear scan, which measured ~47 ms/word at this
+    vocabulary size; (d) coverage survives — every word still
+    round-trips."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_financial_report_spark.operators.unigram import (
+        UNIGRAM_PROD_KEEP_K,
+        UNIGRAM_PROD_MAX_PIECE,
+        UNIGRAM_PROD_SEED_K,
+        unigram_seed_vocab,
+        unigram_segment,
+        unigram_train_collected,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcdefghij"
+    words = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12))): rng.randint(
+            1, 50
+        )
+        for _ in range(20_000)
+    }
+    wdf = spark.createDataFrame(
+        list(words.items()), "tok string, n long"
+    ).localCheckpoint()
+
+    seed_rows = unigram_seed_vocab(
+        wdf, UNIGRAM_PROD_MAX_PIECE, UNIGRAM_PROD_SEED_K
+    ).collect()
+    n_chars = len({c for w in words for c in w})
+    assert len(seed_rows) == n_chars + UNIGRAM_PROD_SEED_K  # seed cap BINDS
+
+    vocab2, seg2 = unigram_train_collected(
+        wdf,
+        max_piece=UNIGRAM_PROD_MAX_PIECE,
+        seed_k=UNIGRAM_PROD_SEED_K,
+        keep_k=UNIGRAM_PROD_KEEP_K,
+    )
+    n_multi = sum(1 for p in vocab2 if len(p) > 1)
+    assert n_multi == UNIGRAM_PROD_KEEP_K  # keep cap BINDS
+    assert all(len(p) <= UNIGRAM_PROD_MAX_PIECE for p in vocab2)
+    assert {p for p in vocab2 if len(p) == 1} == {c for w in words for c in w}
+
+    # (c) the segmentation plan at production vocabulary: the lookup is
+    # a broadcast hash join, and the only shuffle is the per-word
+    # regroup of the <= len x max_piece candidate rows — word-table-
+    # bounded, corpus-independent
+    plan = unigram_segment(
+        wdf, vocab2, UNIGRAM_PROD_MAX_PIECE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial/final agg pair
+
+    # (d) coverage: a deterministic sample still round-trips
+    sample = seg2.orderBy("tok").limit(200).collect()
+    assert sample and all(r["seq"].replace(" ", "") == r["tok"] for r in sample)
