@@ -629,7 +629,7 @@ kept AS (
     JOIN documents d ON d.doc_id = m.doc_id
     WHERE m.keep
       AND {hash32_sql("'mix:' || CAST(m.doc_id AS VARCHAR)")} % 10000
-          < {_mix_rate_sql("CAST(substr(d.source, 4) AS BIGINT)")}
+          < {_mix_rate_sql("TRY_CAST(substr(d.source, 4) AS BIGINT)")}
 ),
 ordered AS (
     SELECT doc_id, n_chars,

@@ -154,8 +154,11 @@ def _mix_rate_sql(src_num: str) -> str:
 
 def _mix_rate_col() -> F.Column:
     """Per-source keep rate (permyriad) from the source id — shared by the
-    mixture sampler and the corpus-build composition."""
-    src_num = F.substring("source", 4, 10).cast("long")
+    mixture sampler and the corpus-build composition. try_cast, not cast:
+    a source whose name carries no numeric id (the skew smoke's
+    zipf_mega crawl source — or any real-corpus source label) takes the
+    DEFAULT rate instead of killing the job with an ANSI cast error."""
+    src_num = F.substring("source", 4, 10).try_cast("long")
     rate = F.lit(_MIX_DEFAULT)
     for k, v in reversed(_MIX_BANDS.items()):
         rate = F.when(src_num % 4 == k, v).otherwise(rate)
@@ -173,7 +176,7 @@ def _mix_bucket_col() -> F.Column:
     oracle=f"""
 WITH rated AS (
     SELECT doc_id, source, n_chars,
-           {_mix_rate_sql("CAST(substr(source, 4) AS BIGINT)")} AS rate,
+           {_mix_rate_sql("TRY_CAST(substr(source, 4) AS BIGINT)")} AS rate,
            {hash32_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
     FROM documents
 )

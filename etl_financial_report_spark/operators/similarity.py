@@ -919,6 +919,16 @@ spairs AS (
 )"""
 
 
+def _exact_groups_of(qv: DataFrame) -> DataFrame:
+    """(qe, rep_id, group_n) over a (vec_id, qe, ...) frame: the exact-
+    duplicate collapse groupBy — built ONCE per query and shared by the
+    member frame and the split chain, so the content shuffle is paid
+    once, not per consumer."""
+    return qv.groupBy("qe").agg(
+        F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("group_n")
+    )
+
+
 def exact_vector_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, rep_id, group_n): exact-duplicate collapse on the
     quantized vector — one content-keyed shuffle (the dedup_exact shape),
@@ -926,10 +936,7 @@ def exact_vector_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative is the group-min vec_id; members re-attach via star
     edges in the pair path."""
     qv = _quantized(spark, sf_dir)
-    grp = qv.groupBy("qe").agg(
-        F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("group_n")
-    )
-    return qv.select("vec_id", "qe").join(grp, "qe").select(
+    return qv.select("vec_id", "qe").join(_exact_groups_of(qv), "qe").select(
         "vec_id", "rep_id", "group_n"
     )
 
@@ -1010,11 +1017,9 @@ def rep_sign_buckets(
     vectors — see _split_assign. The only wide work is the content
     groupBy behind the exact collapse."""
     split_cap = SIM_SPLIT_CAP if split_cap is None else split_cap
-    qv = _quantized(spark, sf_dir)
-    grp = qv.groupBy("qe").agg(
-        F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("group_n")
+    rbk, _ = _split_assign(
+        _exact_groups_of(_quantized(spark, sf_dir)), split_cap
     )
-    rbk, _ = _split_assign(grp, split_cap)
     return rbk
 
 
@@ -1031,8 +1036,11 @@ def live_sign_buckets(
     representative probes; this frame is the candidate universe for the
     matmul and the retrieval evals, where the bound is the point."""
     max_bucket = SIM_MAX_BUCKET if max_bucket is None else max_bucket
-    members = exact_vector_groups(spark, sf_dir)
-    rbk = rep_sign_buckets(spark, sf_dir, split_cap)
+    split_cap = SIM_SPLIT_CAP if split_cap is None else split_cap
+    qv = _quantized(spark, sf_dir)
+    grp = _exact_groups_of(qv)
+    members = qv.select("vec_id", "qe").join(grp, "qe").select("vec_id", "rep_id")
+    rbk, _ = _split_assign(grp, split_cap)
     return members.join(
         rbk.where(F.col("bucket_n") <= max_bucket).select("rep_id", "bucket"),
         "rep_id",
@@ -1201,8 +1209,14 @@ def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    members = exact_vector_groups(spark, sf_dir)
-    rbk = rep_sign_buckets(spark, sf_dir)
+    # ONE content groupBy feeds both the member frame and the split
+    # chain (identical shuffle subtrees additionally collapse via
+    # ReuseExchange inside the single physical plan)
+    grp = _exact_groups_of(qv)
+    members = qv.select("vec_id", "qe").join(grp, "qe").select(
+        "vec_id", "rep_id"
+    )
+    rbk, _ = _split_assign(grp, SIM_SPLIT_CAP)
     max_bucket = SIM_MAX_BUCKET
     threshold = SIM_PAIR_THRESHOLD
 

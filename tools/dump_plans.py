@@ -218,11 +218,14 @@ HEADLINERS = {
         "self-joins."
     ),
     "sim_bucketed_cosine_pairs": (
-        "Split-bucket pairs (r5): the 16-row occupancy aggregate and the "
-        "hot-bucket list broadcast back onto the corpus (split decision + "
-        "cap anti-join), then ONE applyInPandas keyed on the final bucket "
-        "id — per-task memory O(bucket x tile), the corpus shuffles once "
-        "on the bucket key."
+        "Collapse+split+probe pairs (r10): one content-keyed groupBy "
+        "folds exact-identical vectors to representatives (star edges "
+        "re-attach members), the <=16^level prefix-occupancy aggregates "
+        "broadcast the recursive split decision back onto the distinct "
+        "vectors, then ONE applyInPandas keyed on the final bucket id "
+        "runs the live-bucket matmul (per-task memory O(bucket x tile)) "
+        "while hot buckets emit bounded representative probes — no "
+        "quadratic path at any occupancy."
     ),
     "sim_ann_ivfpq_residual_topk": (
         "Residual IVF-PQ (r5): quantized coarse centroids, residual "
