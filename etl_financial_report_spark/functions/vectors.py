@@ -54,9 +54,13 @@ def sign_bucket(vec: Column, n_bits: int = 4, offset: int = 0) -> Column:
     next coordinate group (the hot-bucket recursive-split path)."""
     b = F.lit(0)
     for i in range(1, n_bits + 1):
-        b = b + F.when(F.element_at(vec, offset + i) > 0, F.lit(2 ** (n_bits - i))).otherwise(
-            F.lit(0)
-        )
+        # try_element_at: a coordinate past the vector's length reads
+        # NULL -> bit 0, exactly like the DuckDB twin's out-of-bounds
+        # list index (plain element_at THROWS under ANSI, which the
+        # recursive split's deeper offsets would hit on short vectors)
+        b = b + F.when(
+            F.try_element_at(vec, F.lit(offset + i)) > 0, F.lit(2 ** (n_bits - i))
+        ).otherwise(F.lit(0))
     return b
 
 

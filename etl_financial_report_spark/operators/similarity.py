@@ -1427,14 +1427,19 @@ SELECT c.vec_id, c.component, (c.vec_id = c.component) AS keep, s.cluster_size
 FROM comp c JOIN sizes s ON s.component = c.component
 """,
     doc=(
-        "SemDeDup end-to-end (Abbas et al. '23 shape): sign-bucketed exact "
-        "cosine pairs above the semantic-dup bar -> connected components "
-        "via the shared min-label propagation (operators/dedup.py) -> a "
-        "per-vector keep manifest (canonical = smallest vec_id per "
-        "cluster) with cluster sizes from a two-phase groupBy+join. This "
-        "is the embedding twin of dedup_keep_list: the artifact a "
-        "training build consumes to drop semantic duplicates. Compute is "
-        "O(sum bucket^2), rounds = cluster diameter; the oracle is the "
+        "SemDeDup end-to-end (Abbas et al. '23 shape): the collapse+"
+        "split+probe pair certificate above the semantic-dup bar -> "
+        "connected components via the shared min-label propagation "
+        "(operators/dedup.py) -> a per-vector keep manifest (canonical = "
+        "smallest vec_id per cluster) with cluster sizes from a "
+        "two-phase groupBy+join. This is the embedding twin of "
+        "dedup_keep_list: the artifact a training build consumes to drop "
+        "semantic duplicates. Every vector verdicts exactly once at ANY "
+        "skew: identical copies reach their representative through star "
+        "edges, hot-bucket members through anchor probes (the skew smoke "
+        "pins a 20,002-copy mega-group landing as ONE component with "
+        "zero dropped rows). Compute is O(sum live-bucket^2) + O(groups "
+        "+ probes), rounds = cluster diameter; the oracle is the "
         "recursive-CTE closure of the same thresholded pair graph."
     ),
 )
@@ -3498,8 +3503,11 @@ ORDER BY threshold_pct
     doc=(
         "SemDeDup threshold selection curve: the duplicate exposure the "
         "corpus would see at each cosine bar {40..90}%, measured from ONE "
-        "run of the production split-bucket pair path — per-bar pair "
-        "count, vectors with at least one above-bar neighbor, and that "
+        "run of the production collapse+split+probe pair path — per-bar "
+        "CERTIFICATE-edge count (stars + representative pairs, the sparse "
+        "form the components consume — intra-group quadratic pairs are "
+        "never materialized, so n_pairs counts certificate edges), "
+        "vectors with at least one above-bar neighbor, and that "
         "as a ppm fraction of the corpus. Every bar is a conditional "
         "aggregate over the same pair frame (per-vector max-cosine is "
         "one symmetrized groupBy), so the whole sweep costs the pair "

@@ -111,6 +111,15 @@ def main() -> int:
             "errors on array columns, so strict is what actually ships"
         ),
     )
+    ap.add_argument(
+        "--json",
+        metavar="OUT",
+        help=(
+            "also write a machine-readable artifact: per-query status + "
+            "row count + wall seconds and a summary block (the committed "
+            "PARITY_SF*.json round artifacts)"
+        ),
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     strict = not args.lenient_arrays
@@ -132,6 +141,15 @@ def main() -> int:
     con = duck_con(args.sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
+
+    def record(name: str, status: str, rows: int, t0: float) -> None:
+        results[name] = {
+            "status": status,
+            "rows": rows,
+            "sec": round(time.time() - t0, 2),
+        }
+
     for name in names:
         q = all_q[name]
         t0 = time.time()
@@ -139,21 +157,25 @@ def main() -> int:
             sdf = q.fn(spark, args.sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            record(name, f"fail:spark:{type(e).__name__}", 0, t0)
             n_fail += 1
             continue
         if q.oracle is None:
             if strict:
                 # the driver records `err: no_oracle` for these — a red row
                 print(f"FAIL  {name}: no oracle (driver records err: no_oracle)")
+                record(name, "fail:no_oracle", len(sdf), t0)
                 n_fail += 1
             else:
                 print(f"rows  {name}: {len(sdf)} rows (rows-only check, no oracle) [{time.time()-t0:.1f}s]")
+                record(name, "rows_only", len(sdf), t0)
                 n_rows_only += 1
             continue
         try:
             odf = con.sql(q.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            record(name, f"fail:duckdb:{type(e).__name__}", len(sdf), t0)
             n_fail += 1
             continue
         try:
@@ -161,14 +183,17 @@ def main() -> int:
             o_cols, o_rows = normalize(odf, strict)
         except DriverCanonError as e:
             print(f"FAIL  {name}: {e}")
+            record(name, "fail:canon", len(sdf), t0)
             n_fail += 1
             continue
         if s_cols != o_cols:
             print(f"FAIL  {name}: columns differ spark={s_cols} oracle={o_cols}")
+            record(name, "fail:columns", len(sdf), t0)
             n_fail += 1
             continue
         if len(s_rows) != len(o_rows):
             print(f"FAIL  {name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
+            record(name, "fail:rowcount", len(sdf), t0)
             n_fail += 1
             continue
         if s_rows != o_rows:
@@ -176,12 +201,37 @@ def main() -> int:
             print(f"FAIL  {name}: values differ at sorted-row {bad}:")
             print(f"      spark : {s_rows[bad]}")
             print(f"      oracle: {o_rows[bad]}")
+            record(name, "fail:values", len(sdf), t0)
             n_fail += 1
             continue
         print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        record(name, "pass", len(s_rows), t0)
         n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only of {len(names)}")
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "hostile": args.hostile,
+                    "strict": strict,
+                    "n_queries": len(names),
+                    "subset": bool(args.names),
+                    "summary": {
+                        "pass": n_pass,
+                        "fail": n_fail,
+                        "rows_only": n_rows_only,
+                    },
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
