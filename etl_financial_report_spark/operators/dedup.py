@@ -29,7 +29,6 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import QUANTIZE_SQL
 from ..functions.hashing import (
     MINHASH_P,
     hash32,
@@ -805,13 +804,8 @@ _EMB_DUP_THRESHOLD = 0.3  # synthetic-corpus threshold; production near-dup ~0.9
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH q AS (
-    SELECT vec_id, {QUANTIZE_SQL} AS qe FROM embeddings
-), ex AS (
-    SELECT vec_id, i, qe[i] AS v FROM q, unnest(generate_series(1, len(qe))) t(i)
-), norms AS (
-    SELECT vec_id, SUM(v * v) AS nsq FROM ex GROUP BY vec_id
-), dots AS (
+WITH {_SIM_Q_CTE},
+dots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
     FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
     GROUP BY 1, 2
@@ -2841,10 +2835,16 @@ def dedup_kmv_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: every position->chunk division is exact in double arithmetic
 DEDUP_CHUNK_W = 16
 
-#: chunk-index packing for the portable lexicographic (doc_id, chunk_idx)
-#: argmin: one BIGINT carries both, valid while docs stay under 2^16 chunks
-#: (a 1M-token doc) and doc_ids under 2^47
-_CHUNK_POS_SHIFT = 65536
+#: chunk-position packing for the portable lexicographic (doc_id,
+#: chunk_idx) argmin: a FIXED-WIDTH sortable string (19-digit doc_id ||
+#: 7-digit chunk idx — the unigram sortable-key grammar). The previous
+#: BIGINT packing (doc_id * 2^16 + idx) overflowed int64 for doc_ids
+#: past 2^47 — a real sparse-id crawl shape, found by
+#: tests/test_hostile_corpus.py's 10^15 id; string min() is identical
+#: byte order in both engines and caps instead at 10^19 ids x 10^7
+#: chunks (160M tokens) per doc.
+_CHUNK_DOC_PAD = 19
+_CHUNK_IDX_PAD = 7
 
 
 def _chunk_occ_sql(where: str = "TRUE") -> str:
@@ -2854,7 +2854,8 @@ def _chunk_occ_sql(where: str = "TRUE") -> str:
     return f"""
     SELECT doc_id, i AS cidx,
            md5(array_to_string(toks[(i * {DEDUP_CHUNK_W} + 1):least((i + 1) * {DEDUP_CHUNK_W}, len(toks))], ' ')) AS ch,
-           doc_id * {_CHUNK_POS_SHIFT} + i AS pos
+           lpad(CAST(doc_id AS VARCHAR), {_CHUNK_DOC_PAD}, '0')
+               || lpad(CAST(i AS VARCHAR), {_CHUNK_IDX_PAD}, '0') AS pos
     FROM t, unnest(generate_series(0, (len(toks) - 1) // {DEDUP_CHUNK_W})) u(i)
     WHERE {where}"""
 
@@ -2885,7 +2886,10 @@ def _chunk_occurrences(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.col("g.cidx").alias("cidx"),
         F.col("g.ch").alias("ch"),
-        (F.col("doc_id") * _CHUNK_POS_SHIFT + F.col("g.cidx")).alias("pos"),
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), _CHUNK_DOC_PAD, "0"),
+            F.lpad(F.col("g.cidx").cast("string"), _CHUNK_IDX_PAD, "0"),
+        ).alias("pos"),
     )
 
 
@@ -2947,10 +2951,12 @@ FROM t JOIN kept k ON t.doc_id = k.doc_id
         "occurrence in (doc_id, chunk_idx) order and later copies are "
         "scrubbed, unlike dedup_span_scrub which drops ALL copies of a "
         "cross-doc span. The global argmin is a two-phase "
-        "groupBy(chunk-md5).min over a single packed BIGINT position "
+        "groupBy(chunk-md5).min over a single fixed-width sortable "
+        "position string "
         "(never a window over a content key, so a boilerplate chunk "
         "shared by millions of docs stays a map-side partial min); "
-        "shuffles carry 16-byte md5 keys and packed integers, never "
+        "shuffles carry 16-byte md5 keys and 26-char position keys, "
+        "never "
         "text — the kept text is rebuilt doc-locally from the kept "
         "chunk-index list in one array projection."
     ),

@@ -65,9 +65,13 @@ top AS (
 SELECT bg.doc_id,
        bg.n_tokens,
        top.top_token_frac,
-       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac,
+       CASE WHEN len(bigrams) > 0
+            THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+            ELSE 0.0 END AS dup_bigram_frac,
        (top.top_token_frac <= 0.30
-        AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) <= 0.90)
+        AND CASE WHEN len(bigrams) > 0
+                 THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                 ELSE 0.0 END <= 0.90)
            AS passes_repetition
 FROM bg JOIN top ON bg.doc_id = top.doc_id
 """,
@@ -89,7 +93,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+    # a 1-token doc has zero bigrams: no duplication evidence -> 0.0, and
+    # under ANSI the unguarded 0/0 double division THROWS (hostile net)
+    dup_frac = F.when(
+        F.size(bigrams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
     doc_level = docs.select(
         "doc_id", n.alias("n_tokens"), dup_frac.alias("dup_bigram_frac")
     )
@@ -142,10 +151,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
     n = F.size(toks)
+    # 1-2 token docs have no trigrams; slice length must clamp at 0 (a
+    # negative length is an ANSI error — hostile net)
+    n3 = F.greatest(F.lit(0), n - 2)
     trigrams = F.zip_with(
-        F.slice(toks, 1, n - 2),
+        F.slice(toks, 1, n3),
         F.zip_with(
-            F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2), lambda b, c: F.concat_ws(" ", b, c)
+            F.slice(toks, 2, n3), F.slice(toks, 3, n3), lambda b, c: F.concat_ws(" ", b, c)
         ),
         lambda a, bc: F.concat_ws(" ", a, bc),
     )

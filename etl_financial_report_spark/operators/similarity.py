@@ -31,10 +31,27 @@ from ..io import load_table, table_row_count, table_size_bytes
 from ..session import parse_bytes_conf
 from ..registry import register
 
+#: the conformance gate every similarity consumer reads through (engine
+#: twin: _quantized). Real crawl sidecars deliver malformed vectors —
+#: wrong dimension (a retrained encoder's rows mixed in) and all-zero /
+#: sub-quantization-scale rows (failed encodes) — and under ANSI even a
+#: DOUBLE division by zero THROWS, so one zero-norm vector would kill
+#: every cosine query in the suite (found by tests/test_hostile_corpus).
+#: Policy: vectors must match the corpus's MODAL dimension (ties break
+#: to the larger dim) and carry a nonzero quantized norm; nonconforming
+#: rows never reach the math (they still verdict as singletons in the
+#: keep-list, whose universe is the raw table). On conforming corpora
+#: (all driver SFs, every smoke) the gate is an identity.
 _Q_CTE = f"""
-q AS MATERIALIZED (
+q0 AS (
     SELECT vec_id, label, {QUANTIZE_SQL} AS qe
     FROM embeddings
+), qd AS (
+    SELECT len(qe) AS d FROM q0 GROUP BY 1 ORDER BY COUNT(*) DESC, 1 DESC LIMIT 1
+), q AS MATERIALIZED (
+    SELECT q0.vec_id, q0.label, q0.qe
+    FROM q0, qd
+    WHERE len(q0.qe) = qd.d AND len(list_filter(q0.qe, x -> x <> 0)) > 0
 ), ex AS MATERIALIZED (
     SELECT vec_id, i, qe[i] AS v
     FROM q, unnest(generate_series(1, len(qe))) t(i)
@@ -45,10 +62,28 @@ q AS MATERIALIZED (
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embeddings behind the conformance gate (_Q_CTE's doc):
+    modal-dimension vectors with a nonzero quantized norm only. The
+    modal-dim frame is a 1-row broadcast derived in-plan (no extra
+    action); under ANSI a single zero-norm vector would otherwise throw
+    DIVIDE_BY_ZERO out of every cosine, and a wrong-dim vector breaks
+    the matmul/zip_with math — both are data bugs that must degrade to
+    exclusion, never kill the job (tests/test_hostile_corpus.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("qe")
-    ).withColumn("nsq", norm_sq_q(F.col("qe")))
+    q0 = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qe"))
+    modal = (
+        q0.groupBy(F.size("qe").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.desc("d"))
+        .limit(1)
+        .select("d")
+    )
+    return (
+        q0.join(F.broadcast(modal), F.size(F.col("qe")) == F.col("d"))
+        .where(F.exists("qe", lambda x: x != 0))
+        .drop("d")
+        .withColumn("nsq", norm_sq_q(F.col("qe")))
+    )
 
 
 @register(
@@ -468,9 +503,7 @@ EMB_DIM = 64
 @register(
     "agg_embedding_centroid",
     oracle=f"""
-WITH q AS (
-    SELECT label, {QUANTIZE_SQL} AS qe FROM embeddings
-),
+WITH {_Q_CTE},
 per_dim AS (
     SELECT label, t.i AS dim, SUM(qe[t.i]) AS s, COUNT(*) AS n
     FROM q, unnest(generate_series(1, len(qe))) t(i)

@@ -211,7 +211,11 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(nums).alias("n_number_tokens"),
-        F.element_at(bpe, 1).alias("first_token"),
+        # try_element_at: an all-symbol-free doc (empty text, control
+        # chars only) has zero tokens — NULL first_token, not an ANSI
+        # INVALID_ARRAY_INDEX (tests/test_hostile_corpus.py); DuckDB's
+        # list[1] already reads NULL out of bounds
+        F.try_element_at(bpe, F.lit(1)).alias("first_token"),
     )
 
 

@@ -1,0 +1,129 @@
+"""Hostile-data robustness net (r10): every registered query must
+EXECUTE (rows-only — no oracle compare) against a corpus spiked with the
+degenerate rows a real crawl delivers daily: empty and single-token
+texts, unicode/control characters, a document that is one enormous
+token, whitespace runs, sources whose names carry no numeric id, an
+all-zero embedding (zero norm -> NaN cosines), a sub-quantization-scale
+vector (quantizes to all zeros), a SHORT vector, and an id far above the
+dense range.
+
+Why this net exists: the r10 streaming skew smoke found
+`_mix_rate_col` hard-casting `substring(source, 4)` to long — an ANSI
+cast error on any source not named srcN, i.e. a whole-pipeline crash on
+the first real-world source label. Degenerate rows must degrade to
+honest NULLs/empties/zero rows, never to a failed job; this net makes
+that a standing guarantee across the full registry instead of a
+per-round discovery. The base corpus is sf0.001 (so id-keyed query
+constants still have their dense rows); the spikes are appended on top.
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_financial_report_spark import registry
+from etl_financial_report_spark.io import TABLES, load_table
+
+SRC_SF = "/root/testdata/sf0.001"
+ARTIFACT = "/root/repo/HOSTILE_SWEEP.json"
+
+pytestmark = pytest.mark.slow
+
+#: long-token doc: one 5,000-char "word" (no spaces at all)
+_LONG_TOKEN = "x" * 5000
+#: unicode torture: combining marks, RTL, emoji, NBSP, control chars
+_UNICODE = "näive ‮RTL‬ \U0001f600 a b c\td e\xadf"
+
+_HOSTILE_DOCS = [
+    # (text, lang, source)
+    ("", "xx", "empty_source_name_with_no_number"),
+    (" ", "xx", "spaces only"),
+    ("     ", "xx", "spaces only"),
+    ("one", "xx", "single-token"),
+    (_LONG_TOKEN, "xx", "one-enormous-token"),
+    (_UNICODE, "xx", "unicode"),
+    ("a b  c   d e", "xx", "whitespace-runs"),
+    ("the the the the the the the the", "en", "pure-repetition"),
+    ("\x00\x01\x02", "xx", "control-chars"),
+]
+
+
+@pytest.fixture(scope="session")
+def hostile_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hostile"))
+    docs = load_table(spark, SRC_SF, "documents")
+    base_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    rows = [
+        (base_max + 1 + i, t, lang, src, len(t))
+        for i, (t, lang, src) in enumerate(_HOSTILE_DOCS)
+    ] + [
+        # an id far above the dense range (mod/bucket arithmetic must hold)
+        (10**15, "far id doc text", "en", "far-id", 15),
+    ]
+    spike = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.unionByName(spike).coalesce(4).write.parquet(f"{root}/documents.parquet")
+
+    emb = load_table(spark, SRC_SF, "embeddings")
+    vmax = emb.agg(F.max("vec_id")).collect()[0][0]
+    dim = 64
+    vrows = [
+        (vmax + 1, [0.0] * dim, 0),              # zero norm -> NaN cosine
+        (vmax + 2, [1e-9] * dim, 0),             # quantizes to all zeros
+        (vmax + 3, [0.5] * 8, 1),                # SHORT vector (8 of 64 dims)
+        (vmax + 4, [-1.0] * dim, 1),             # all-negative signs
+        (10**15, [1.0] * dim, 2),                # far id
+    ]
+    vspike = spark.createDataFrame(
+        vrows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.unionByName(vspike).coalesce(4).write.parquet(f"{root}/embeddings.parquet")
+
+    for name in TABLES:
+        if name not in ("documents", "embeddings"):
+            os.symlink(f"{SRC_SF}/{name}.parquet", f"{root}/{name}.parquet")
+    return root
+
+
+def test_every_query_survives_hostile_rows(spark, hostile_dir):
+    """Execute ALL registered queries on the spiked corpus; collect()
+    each. A failure list beats failing on the first query — one hostile
+    row class often breaks several queries the same way (the first run
+    of this net failed 36: one zero-norm vector threw ANSI
+    DIVIDE_BY_ZERO out of every cosine, a short vector broke every
+    matmul UDF, a sparse 10^15 doc_id overflowed the chunk position
+    packing, and empty/1-token texts hit unguarded slice/element_at/
+    division). Results land in HOSTILE_SWEEP.json."""
+    failures, results = [], {}
+    for name, q in sorted(registry.all_queries().items()):
+        t0 = time.time()
+        try:
+            n = len(q.fn(spark, hostile_dir).collect())
+            results[name] = {"status": "ok", "rows": n, "sec": round(time.time() - t0, 2)}
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:160]
+            results[name] = {"status": f"fail: {type(e).__name__}", "sec": round(time.time() - t0, 2)}
+            failures.append(f"{name}: {type(e).__name__}: {msg}")
+    with open(ARTIFACT, "w") as f:
+        json.dump(
+            {
+                "spikes": {
+                    "documents": [s for _, _, s in _HOSTILE_DOCS] + ["far-id 10^15"],
+                    "embeddings": [
+                        "zero-norm", "sub-quantization-scale", "short-dim-8",
+                        "all-negative", "far-id 10^15",
+                    ],
+                },
+                "n_queries": len(results),
+                "n_failures": len(failures),
+                "queries": results,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    assert not failures, "\n".join(failures)
