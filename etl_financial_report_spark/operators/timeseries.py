@@ -430,12 +430,18 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # a user whose events all share one timestamp has den = 0: NULL slope
+    # with degenerate=true (ANSI throws on the raw division even for
+    # doubles; DuckDB's x/0 is NULL, so the guard IS the oracle match —
+    # tests/test_hostile_corpus.py's same-timestamp burst user)
     return (
         sums.where(F.col("n") >= 2)
         .select(
             "user_id",
             "n",
-            (num.cast("double") / den.cast("double")).alias("slope_per_s"),
+            F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+                "slope_per_s"
+            ),
             (den == 0).alias("degenerate"),
         )
     )

@@ -256,22 +256,29 @@ def events_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+       CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                              THEN json_extract(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(TRY_CAST(CASE WHEN json_valid(props)
+                              THEN json_extract(props, '$.k') END AS BIGINT)) AS BIGINT) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
 """,
     doc=(
-        "Semi-structured props via the Spark 4 VARIANT type: parse_json once, "
-        "variant_get typed paths — the open-schema alternative to from_json "
-        "when the props shape isn't declared up front (events_json_extract "
-        "covers the declared-schema path)."
+        "Semi-structured props via the Spark 4 VARIANT type: "
+        "try_parse_json once, try_variant_get typed paths — the "
+        "open-schema alternative to from_json when the props shape isn't "
+        "declared up front (events_json_extract covers the "
+        "declared-schema path). The try_ forms are load-bearing on real "
+        "data: malformed JSON and a non-numeric $.k read NULL instead of "
+        "killing the job (MALFORMED_RECORD / invalidVariantCast — "
+        "tests/test_hostile_corpus.py), matching the oracle's "
+        "json_valid guard + TRY_CAST."
     ),
 )
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -83,8 +83,31 @@ def hostile_dir(spark, tmp_path_factory):
     )
     emb.unionByName(vspike).coalesce(4).write.parquet(f"{root}/embeddings.parquet")
 
+    ev = load_table(spark, SRC_SF, "events")
+    emax_row = ev.agg(F.max("event_id"), F.max("ts")).collect()[0]
+    emax, tmax = emax_row[0], emax_row[1]
+    erows = []
+    # a burst user: 50 events at the SAME timestamp (window/session tie
+    # storms), valid json props
+    for i in range(50):
+        erows.append(
+            (emax + 1 + i, tmax, 10**15, "click", 0.0, '{"k": "v"}')
+        )
+    # a single-event user; zero/negative values; degenerate props strings
+    erows += [
+        (emax + 100, tmax, 10**15 + 1, "view", -1.5, "{}"),
+        (emax + 101, tmax, 10**15 + 2, "", 0.0, "not json at all"),
+        (emax + 102, tmax, 10**15 + 3, "purchase", 0.0, ""),
+    ]
+    espike = spark.createDataFrame(
+        erows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.unionByName(espike).coalesce(4).write.parquet(f"{root}/events.parquet")
+
     for name in TABLES:
-        if name not in ("documents", "embeddings"):
+        if name not in ("documents", "embeddings", "events"):
             os.symlink(f"{SRC_SF}/{name}.parquet", f"{root}/{name}.parquet")
     return root
 
@@ -116,6 +139,11 @@ def test_every_query_survives_hostile_rows(spark, hostile_dir):
                     "embeddings": [
                         "zero-norm", "sub-quantization-scale", "short-dim-8",
                         "all-negative", "far-id 10^15",
+                    ],
+                    "events": [
+                        "50-event same-timestamp burst user (far id)",
+                        "single-event user", "empty event_type",
+                        "non-json and empty props", "negative value",
                     ],
                 },
                 "n_queries": len(results),
