@@ -34,6 +34,12 @@ ALLOWED_COLLECT = {
     # — vocabulary-bounded, never corpus-scaled; the collected dict
     # becomes the broadcast map literal of the expression-DP segmenter
     "operators/unigram.py": 2,
+    # _modal_dim: the embedding conformance gate's 1-ROW modal-dimension
+    # collect, memoized per (sf_dir, embeddings mtime) — one tiny
+    # size-histogram job per process (the io footer-cache pattern; a
+    # cluster catalog's column statistics serve this role), after which
+    # the gate is a pure pushable row filter with zero plan subtrees
+    "operators/similarity.py": 1,
 }
 
 #: files allowed unpartitioned Window.orderBy, with the count of BOUNDED
