@@ -46,8 +46,8 @@ from ..registry import register
 # ADVICE r6: hoisted from mid-file so the dependency is visible here.
 from .similarity import (
     SEMDEDUP_COSINE,
-    _Q_CTE as _SIM_Q_CTE,
     _PAIR_CTES as _SIM_PAIR_CTES,
+    q_cte as _sim_q_cte,
 )
 
 # ------------------------------------------------------------------ exact
@@ -804,7 +804,7 @@ _EMB_DUP_THRESHOLD = 0.3  # synthetic-corpus threshold; production near-dup ~0.9
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH {_SIM_Q_CTE},
+WITH {_sim_q_cte()},
 dots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
     FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
@@ -1292,8 +1292,10 @@ SIM64_KEY_COMBOS = tuple(
 )
 #: default hot-bucket cap (finite — VERDICT r3). With 32-bit keys any
 #: bucket past this size is a pathological template cluster whose pair
-#: fan-out is quadratic; ``dedup_simhash64_bucket_stats`` reports exactly
-#: what a given cap drops (a lazy plan cannot side-effect a count).
+#: fan-out is quadratic; members of a hot bucket are routed through the
+#: signature-collapse star + bucket-rep probe recovery instead of the
+#: self-join (VERDICT r10 item 2), and ``dedup_simhash64_bucket_stats``
+#: reports exactly how many rows a given cap re-routes.
 SIM64_MAX_BUCKET = 4096
 
 
@@ -1404,25 +1406,84 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash64_signature(spark, sf_dir)
 
 
+_SIM64_KEYS_SQL = f"""
+SELECT doc_id, tbl, key FROM (
+    WITH sub AS (
+        SELECT doc_id,
+               {", ".join(f"{s} AS v{i}" for i, s in enumerate(_sim64_subblock_sql()))}
+        FROM sig
+    )
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {t} AS tbl, (v{i} * 2048 + v{j}) * 2048 + v{k} AS key FROM sub"
+        for t, (i, j, k) in enumerate(SIM64_KEY_COMBOS)
+    )}
+)
+"""
+
+
+def _sim64_pair_ctes(max_bucket: int = SIM64_MAX_BUCKET) -> str:
+    """Oracle CTE chain (appended after ``sig`` and ``keys`` CTEs) mirroring
+    the capped + recovered candidate generation of
+    :func:`dedup_simhash64_hamming` exactly — the simhash twin of
+    :func:`_lsh_pair_ctes` (VERDICT r10 item 2). Produces a ``cand``
+    CTE of distinct (doc_a, doc_b):
+
+      * buckets <= ``max_bucket``: ordinary key self-join;
+      * hot buckets: members collapse by EXACT 64-bit signature — star
+        edges (group-min, member) are hamming-0 by construction — and
+        the distinct-signature group reps probe the bucket-min rep,
+        surviving only if the downstream hamming filter passes.
+    """
+    sigjoin = " AND ".join(f"g.b{j} = h.b{j}" for j in range(N_SIM64_BLOCKS))
+    return f"""socc AS (
+    SELECT tbl, key, COUNT(*) AS bucket_n FROM keys GROUP BY 1, 2
+),
+hotm AS (
+    SELECT k.doc_id, k.tbl, k.key,
+           {", ".join(f"s.b{j}" for j in range(N_SIM64_BLOCKS))}
+    FROM keys k
+    JOIN socc o ON o.tbl = k.tbl AND o.key = k.key AND o.bucket_n > {max_bucket}
+    JOIN sig s ON s.doc_id = k.doc_id
+),
+sgrp AS (
+    SELECT tbl, key, {", ".join(f"b{j}" for j in range(N_SIM64_BLOCKS))},
+           MIN(doc_id) AS grep
+    FROM hotm GROUP BY 1, 2, 3, 4, 5, 6
+),
+bmin AS (SELECT tbl, key, MIN(grep) AS brep FROM sgrp GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a
+        JOIN keys b ON b.tbl = a.tbl AND b.key = a.key AND a.doc_id < b.doc_id
+        JOIN socc o ON o.tbl = a.tbl AND o.key = a.key
+                   AND o.bucket_n <= {max_bucket}
+        UNION ALL
+        SELECT g.grep AS doc_a, h.doc_id AS doc_b
+        FROM hotm h
+        JOIN sgrp g ON g.tbl = h.tbl AND g.key = h.key AND {sigjoin}
+        WHERE h.doc_id > g.grep
+        UNION ALL
+        SELECT m.brep AS doc_a, g.grep AS doc_b
+        FROM sgrp g JOIN bmin m ON m.tbl = g.tbl AND m.key = g.key
+        WHERE g.grep > m.brep
+    )
+)"""
+
+
 @register(
     "dedup_simhash64_hamming",
     oracle=f"""
 WITH sig AS ({_SIM64_SIG_SQL}),
-blocks AS (
-    {" UNION ALL ".join(f"SELECT doc_id, b0, b1, b2, b3, {j} AS block_idx, b{j} AS block_val FROM sig" for j in range(N_SIM64_BLOCKS))}
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {", ".join(f"a.b{j} AS a{j}, b.b{j} AS c{j}" for j in range(N_SIM64_BLOCKS))}
-    FROM blocks a JOIN blocks b
-      ON a.block_idx = b.block_idx AND a.block_val = b.block_val
-     AND a.doc_id < b.doc_id
-)
+keys AS ({_SIM64_KEYS_SQL}),
+{_sim64_pair_ctes()}
 SELECT doc_a, doc_b,
-       CAST({" + ".join(f"bit_count(xor(a{j}, c{j}))" for j in range(N_SIM64_BLOCKS))} AS INTEGER)
+       CAST({" + ".join(f"bit_count(xor(sa.b{j}, sb.b{j}))" for j in range(N_SIM64_BLOCKS))} AS INTEGER)
            AS hamming
 FROM cand
-WHERE {" + ".join(f"bit_count(xor(a{j}, c{j}))" for j in range(N_SIM64_BLOCKS))} <= {MAX_HAMMING64}
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+WHERE {" + ".join(f"bit_count(xor(sa.b{j}, sb.b{j}))" for j in range(N_SIM64_BLOCKS))} <= {MAX_HAMMING64}
 """,
     doc=(
         f"64-bit SimHash near-dup pairs within hamming distance {MAX_HAMMING64} "
@@ -1433,13 +1494,20 @@ WHERE {" + ".join(f"bit_count(xor(a{j}, c{j}))" for j in range(N_SIM64_BLOCKS))}
         "hamming only on collisions. Recall is exact (any <=3 dirty bits "
         "leave >=3 clean sub-blocks, so some 3-subset is clean) while "
         "bucket occupancy stays ~n/2^32 — the blocking that survives 1e9+ "
-        "docs, where the plain 16-bit pigeonhole (kept in the oracle SQL, "
-        "same output set) saturates at occupancy n/2^16. ``max_bucket`` "
-        f"(default {SIM64_MAX_BUCKET}) drops over-common keys before "
-        "pairing — the Dolma-style hash-skew guard; a pair survives unless "
-        "ALL its clean tables are hot, so capping under Manku keys costs "
-        "far less recall than under single-block keys. "
-        "``dedup_simhash64_bucket_stats`` accounts for what a cap drops."
+        "docs, where the plain 16-bit pigeonhole saturates at occupancy "
+        "n/2^16. ``max_bucket`` "
+        f"(default {SIM64_MAX_BUCKET}) removes over-common keys from the "
+        "quadratic self-join — the Dolma-style hash-skew guard — but hot "
+        "buckets are RECOVERED, not silenced (VERDICT r10 item 2, the "
+        "lsh_candidate_pairs pattern): hot-bucket members collapse by "
+        "exact signature (star edges to the group min are hamming-0 true "
+        "pairs, so an identical mega-cluster stays one component at "
+        "O(cluster) cost) and the distinct-signature group reps probe the "
+        "bucket-min rep through the same exact-hamming filter. The oracle "
+        "shares the capped+recovered semantics via _sim64_pair_ctes, so "
+        "parity holds at ANY scale, not just while no bucket is hot. "
+        "``dedup_simhash64_bucket_stats`` accounts the rows the cap "
+        "routes through recovery."
     ),
 )
 def dedup_simhash64_hamming(
@@ -1463,31 +1531,54 @@ def dedup_simhash64_hamming(
     keys = sig.select("doc_id", F.explode(key_structs).alias("g")).select(
         "doc_id", F.col("g.tbl").alias("tbl"), F.col("g.key").alias("key")
     )
+    sigcols = [f"b{j}" for j in range(N_SIM64_BLOCKS)]
     if max_bucket is not None:
         # two-phase hot-key cap: groupBy partial-aggregates the hot key
-        # map-side (a count window over the same key could not), and the
-        # anti-join is AQE-skew-splittable. Hot frame is ~n/max_bucket rows
-        # worst case — joined, not broadcast, so no driver memory bet.
+        # map-side (a count window over the same key could not). The hot
+        # frame is at most n/max_bucket rows by construction — always
+        # broadcastable, so neither the anti-join nor the recovery joins
+        # add a wide exchange.
         hot = (
             keys.groupBy("tbl", "key")
             .agg(F.count(F.lit(1)).alias("bucket_n"))
             .where(F.col("bucket_n") > max_bucket)
+            .select("tbl", "key")
         )
-        keys = keys.join(hot, ["tbl", "key"], "left_anti")
-    a, b = keys.alias("a"), keys.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        live = keys.join(F.broadcast(hot), ["tbl", "key"], "left_anti")
+        # recovery (the lsh_candidate_pairs pattern): hot-bucket members
+        # collapse by exact 64-bit signature — star edges (group-min,
+        # member) are hamming-0 by construction, so an identical
+        # mega-cluster survives as O(cluster) rows instead of silently
+        # vanishing — and the distinct-signature group reps probe the
+        # bucket-min rep, verified by the same exact-hamming filter below.
+        hotm = keys.join(F.broadcast(hot), ["tbl", "key"]).join(sig, "doc_id")
+        grp = hotm.groupBy("tbl", "key", *sigcols).agg(F.min("doc_id").alias("grep"))
+        star = (
+            hotm.join(grp, ["tbl", "key", *sigcols])
+            .where(F.col("doc_id") > F.col("grep"))
+            .select(F.col("grep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        bmin = grp.groupBy("tbl", "key").agg(F.min("grep").alias("brep"))
+        probe = (
+            grp.join(bmin, ["tbl", "key"])
+            .where(F.col("grep") > F.col("brep"))
+            .select(F.col("brep").alias("doc_a"), F.col("grep").alias("doc_b"))
         )
-        .distinct()
+    else:
+        live, star, probe = keys, None, None
+    a, b = live.alias("a"), live.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
+    if star is not None:
+        pairs = pairs.unionByName(star).unionByName(probe)
+    pairs = pairs.distinct()
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(N_SIM64_BLOCKS)],
@@ -1505,21 +1596,6 @@ def dedup_simhash64_hamming(
     )
 
 
-_SIM64_KEYS_SQL = f"""
-SELECT doc_id, tbl, key FROM (
-    WITH sub AS (
-        SELECT doc_id,
-               {", ".join(f"{s} AS v{i}" for i, s in enumerate(_sim64_subblock_sql()))}
-        FROM sig
-    )
-    {" UNION ALL ".join(
-        f"SELECT doc_id, {t} AS tbl, (v{i} * 2048 + v{j}) * 2048 + v{k} AS key FROM sub"
-        for t, (i, j, k) in enumerate(SIM64_KEY_COMBOS)
-    )}
-)
-"""
-
-
 @register(
     "dedup_simhash64_bucket_stats",
     oracle=f"""
@@ -1531,16 +1607,19 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(SUM(CASE WHEN bucket_n > {SIM64_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
            AS hot_buckets,
        CAST(SUM(CASE WHEN bucket_n > {SIM64_MAX_BUCKET} THEN bucket_n ELSE 0 END) AS BIGINT)
-           AS dropped_rows
+           AS capped_rows
 FROM occ
 """,
     doc=(
         "Occupancy accounting for the Manku candidate tables of "
         "``dedup_simhash64_hamming``: bucket count, max occupancy, and "
-        f"exactly what the default cap ({SIM64_MAX_BUCKET}) drops. This is "
-        "the 'logged drop count' for the cap — a lazy plan cannot "
-        "side-effect a count, so drop accounting is its own one-action "
-        "diagnostic (and the scale smoke asserts on it per round)."
+        f"exactly how many key rows the default cap ({SIM64_MAX_BUCKET}) "
+        "routes through the star/probe recovery instead of the quadratic "
+        "self-join (capped_rows — since VERDICT r10 item 2 these rows are "
+        "RECOVERED, not dropped: hot-bucket members re-enter as "
+        "signature-collapse star edges plus bucket-rep probes). A lazy "
+        "plan cannot side-effect a count, so cap accounting is its own "
+        "one-action diagnostic (the scale smoke asserts on it per round)."
     ),
 )
 def dedup_simhash64_bucket_stats(
@@ -1553,7 +1632,7 @@ def dedup_simhash64_bucket_stats(
         F.sum((F.col("bucket_n") > max_bucket).cast("long")).alias("hot_buckets"),
         F.sum(
             F.when(F.col("bucket_n") > max_bucket, F.col("bucket_n")).otherwise(F.lit(0))
-        ).alias("dropped_rows"),
+        ).alias("capped_rows"),
     )
 
 
@@ -3365,16 +3444,14 @@ drop3 AS (
     WHERE CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
               / (sa.n + sb.n - COALESCE(i.n_shared, 0)) >= {VERIFY_JACCARD}
 ),
-s3 AS (
+s3 AS MATERIALIZED (
     SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drop3)
 ),
-{_SIM_Q_CTE},
+{_sim_q_cte("AND vec_id IN (SELECT doc_id FROM s3)")},
 {_SIM_PAIR_CTES},
 drop4 AS (
     SELECT DISTINCT p.vec_b AS doc_id
     FROM spairs p
-    JOIN s3 pa ON pa.doc_id = p.vec_a
-    JOIN s3 pb ON pb.doc_id = p.vec_b
     WHERE p.cosine >= {SEMDEDUP_COSINE}
 ),
 s4 AS (
@@ -3482,14 +3559,22 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = (
         s2docs.select("doc_id").join(drop3, "doc_id", "left_anti")
     ).localCheckpoint()
-    # stage 4: semantic pairs restricted to survivors with vectors
-    spairs = sim_bucketed_cosine_pairs(spark, sf_dir).where(
-        F.col("cosine") >= SEMDEDUP_COSINE
+    # stage 4: semantic certificate RE-ROOTED on survivors (ADVICE r10):
+    # collapse representatives, split buckets, and hot anchors are
+    # recomputed over the s3-filtered vector set, not filtered from a
+    # full-corpus certificate — if stages 1-3 removed a group's
+    # representative, its surviving exact twins still get an edge between
+    # each other (a filtered full-corpus star would have no edge and both
+    # would silently survive). Vectorless survivors pass through.
+    from .similarity import _quantized, bucketed_pairs_of
+
+    svq = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", "qe", "nsq")
+        .join(s3.withColumnRenamed("doc_id", "vec_id"), "vec_id")
     )
-    both = spairs.join(
-        s3.withColumnRenamed("doc_id", "vec_a"), "vec_a"
-    ).join(s3.withColumnRenamed("doc_id", "vec_b"), "vec_b")
-    drop4 = both.select(F.col("vec_b").alias("doc_id")).distinct()
+    spairs = bucketed_pairs_of(svq).where(F.col("cosine") >= SEMDEDUP_COSINE)
+    drop4 = spairs.select(F.col("vec_b").alias("doc_id")).distinct()
     s4 = s3.join(drop4, "doc_id", "left_anti")
 
     def cnt(df: DataFrame, name: str) -> DataFrame:

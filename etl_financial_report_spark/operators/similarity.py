@@ -43,7 +43,13 @@ from ..registry import register
 #: rows never reach the math (they still verdict as singletons in the
 #: keep-list, whose universe is the raw table). On conforming corpora
 #: (all driver SFs, every smoke) the gate is an identity.
-_Q_CTE = f"""
+def q_cte(pred: str = "") -> str:
+    """The gated-quantized CTE chain (qd/q/ex/norms), optionally with an
+    extra predicate on ``q`` (e.g. a survivor-set membership filter —
+    the dedup funnel re-roots its semantic certificate on stage-3
+    survivors this way, ADVICE r10). ``_Q_CTE`` is the unfiltered
+    default every standalone oracle uses."""
+    return f"""
 qd AS (
     SELECT len(embedding) AS d FROM embeddings
     GROUP BY 1 ORDER BY COUNT(*) DESC, 1 DESC LIMIT 1
@@ -53,6 +59,7 @@ qd AS (
     WHERE len(embedding) = qd.d
       AND len(list_filter(embedding,
               x -> abs(CAST(x AS DOUBLE) * {QUANT_SCALE}) >= 0.5)) > 0
+      {pred}
 ), ex AS MATERIALIZED (
     SELECT vec_id, i, qe[i] AS v
     FROM q, unnest(generate_series(1, len(qe))) t(i)
@@ -60,6 +67,9 @@ qd AS (
     SELECT vec_id, SUM(v * v) AS nsq FROM ex GROUP BY vec_id
 )
 """
+
+
+_Q_CTE = q_cte()
 
 
 #: modal embedding dimension per (sf_dir, embeddings mtime): the first
@@ -1280,9 +1290,19 @@ SELECT vec_a, vec_b, cosine FROM spairs
     ),
 )
 def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bucketed_pairs_of(_quantized(spark, sf_dir).select("vec_id", "qe", "nsq"))
+
+
+def bucketed_pairs_of(qv: DataFrame) -> DataFrame:
+    """The collapse -> split -> matmul/probe/star certificate over an
+    arbitrary gated (vec_id, qe, nsq) frame. ``sim_bucketed_cosine_pairs``
+    roots it on the full corpus; the dedup funnel roots it on stage-3
+    SURVIVORS so the certificate's representatives and anchors are
+    recomputed over the live vector set (ADVICE r10: filtering a
+    full-corpus certificate to survivors loses the edges that routed
+    through a removed representative, silently under-deduping)."""
     from pyspark.sql import types as T
 
-    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
     # ONE content groupBy feeds both the member frame and the split
     # chain (identical shuffle subtrees additionally collapse via
     # ReuseExchange inside the single physical plan)
@@ -3330,10 +3350,13 @@ best AS (
 )
 SELECT b.vec_id,
        CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN 'semantic_dup'
+            WHEN bq.vec_id IS NULL THEN 'nonconforming'
             ELSE 'unique' END AS verdict,
        CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN best.c_id END AS match_id,
        CASE WHEN best.cosine >= {SEMDEDUP_COSINE} THEN best.cosine END AS cosine
-FROM bq b LEFT JOIN best ON best.b_id = b.vec_id
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 7) b
+LEFT JOIN bq ON bq.vec_id = b.vec_id
+LEFT JOIN best ON best.b_id = b.vec_id
 """
 
 
@@ -3359,7 +3382,10 @@ FROM bq b LEFT JOIN best ON best.b_id = b.vec_id
         "r8 gap, fixed for text in r9, fixed here for embeddings). "
         "Exact quantized cosine runs only on those candidates; the "
         "best-match window partitions by the batch vec_id (entity key). "
-        "Every batch row verdicts exactly once via the left join."
+        "Every RAW batch row (embeddings where vec_id%10==7) verdicts "
+        "exactly once via the left join — conformance-gate-excluded "
+        "vectors (wrong dim / zero quantized norm) verdict an explicit "
+        "'nonconforming' instead of silently vanishing (ADVICE r10)."
     ),
 )
 def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3423,12 +3449,26 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b_id", "c_id", "cosine")
     )
     hit = F.col("cosine") >= SEMDEDUP_COSINE
+    # verdict universe = the RAW batch slice, not the gated frame (ADVICE
+    # r10): a nonconforming batch vector (wrong dim / zero quantized norm)
+    # never reaches the math, but it must still verdict exactly once —
+    # explicitly 'nonconforming', mirrored in the oracle — or a data bug
+    # in today's crawl silently shrinks the verdict set.
+    raw_batch = (
+        load_table(spark, sf_dir, "embeddings")
+        .where((F.col("vec_id") % 10) == 7)
+        .select("vec_id")
+    )
+    conforming = batch.select("vec_id", F.lit(True).alias("is_conf"))
     return (
-        batch.select(F.col("vec_id")
-        ).join(best.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
+        raw_batch.join(conforming, "vec_id", "left")
+        .join(best.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
-            F.when(hit, F.lit("semantic_dup")).otherwise(F.lit("unique")).alias("verdict"),
+            F.when(hit, F.lit("semantic_dup"))
+            .when(F.col("is_conf").isNull(), F.lit("nonconforming"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
             F.when(hit, F.col("c_id")).alias("match_id"),
             F.when(hit, F.col("cosine")).alias("cosine"),
         )

@@ -502,17 +502,22 @@ FROM vocab2 v LEFT JOIN r2usage u ON u.piece = v.piece
         f"seed {UNIGRAM_PROD_SEED_K}, keep {UNIGRAM_PROD_KEEP_K} "
         f"multi-char pieces, pieces up to {UNIGRAM_PROD_MAX_PIECE} chars "
         "— SentencePiece-class instead of the default query's toy caps). "
-        "Identical pipeline and plan shape to text_unigram_train: the "
-        "seed is one distributed TakeOrdered, both collects stay "
-        "vocabulary-bounded (alphabet + seed_k rows, never corpus-"
-        "scaled), and the Viterbi DP is still one aggregate() expression "
-        "per distinct word with the vocabulary riding a constant-folded "
-        "map literal (a few hundred KB). What this query PROVES for "
-        "100 TB: nothing in the trainer scales with vocabulary except "
-        "the broadcast map and the per-step candidate fan — the corpus "
-        "is still touched exactly once. tests/test_unigram_property.py "
-        "pins the zero-exchange segmentation plan and the bounded "
-        "collect sizes at this geometry."
+        "Identical pipeline to text_unigram_train; the plan differs in "
+        "ONE deliberate way (ADVICE r10): above UNIGRAM_MAP_LITERAL_MAX "
+        f"(256) pieces, the Viterbi DP's vocabulary rides a BROADCAST "
+        "HASH JOIN onto the distinct-word table as a dense per-word "
+        "score array instead of a constant-folded map literal (an 8k-"
+        "entry literal would bloat every codegen'd expression), which "
+        "adds exactly one word-bounded regroup shuffle — "
+        "test_prod_geometry_plan_stays_vocabulary_bounded asserts that "
+        "plan. The seed is one distributed TakeOrdered and both collects "
+        "stay vocabulary-bounded (alphabet + seed_k rows, never corpus-"
+        "scaled). What this query PROVES for 100 TB: nothing in the "
+        "trainer scales with the corpus except the single pass that "
+        "touches it once; vocabulary cost is a broadcast plus a "
+        "word-table regroup. tests/test_unigram_property.py pins the "
+        "segmentation plan and the bounded collect sizes at this "
+        "geometry."
     ),
 )
 def text_unigram_train_prod(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,17 +54,18 @@ def test_containment_is_pair_driven(spark):
 
 def test_simhash64_bucket_cap_prunes_hot_buckets(spark):
     """max_bucket=None is exact; the finite default and a huge cap change
-    nothing at this corpus size (no Manku bucket is hot); cap=1 kills
-    every candidate (any collision implies bucket size >= 2) — the
-    Dolma-style hash-skew guard is a strict pre-join filter, not a
-    post-hoc sample."""
+    nothing at this corpus size (no Manku bucket is hot); cap=1 makes
+    EVERY occupied bucket hot, so all candidates flow through the
+    star/probe recovery (VERDICT r10 item 2) — the result must be a
+    NONEMPTY subset of the exact pairs (output still passes the exact
+    hamming filter) in which every identical-signature pair survives via
+    its hamming-0 star edge: the cap bounds cost, it no longer silences
+    detection."""
     from etl_financial_report_spark.operators.dedup import dedup_simhash64_hamming
 
     sf = "/root/testdata/sf0.001"
-    exact = {
-        (r.doc_a, r.doc_b)
-        for r in dedup_simhash64_hamming(spark, sf, max_bucket=None).collect()
-    }
+    exact_rows = dedup_simhash64_hamming(spark, sf, max_bucket=None).collect()
+    exact = {(r.doc_a, r.doc_b) for r in exact_rows}
     default = {(r.doc_a, r.doc_b) for r in dedup_simhash64_hamming(spark, sf).collect()}
     huge = {
         (r.doc_a, r.doc_b)
@@ -72,7 +73,16 @@ def test_simhash64_bucket_cap_prunes_hot_buckets(spark):
     }
     assert default == exact
     assert huge == exact
-    assert dedup_simhash64_hamming(spark, sf, max_bucket=1).count() == 0
+    probe_rows = dedup_simhash64_hamming(spark, sf, max_bucket=1).collect()
+    probe = {(r.doc_a, r.doc_b) for r in probe_rows}
+    assert probe <= exact
+    # every hamming-0 (identical-signature) pair shares ALL its buckets
+    # with its group rep; the signature-collapse star keeps it reachable
+    # even when every bucket is hot — transitively through the group rep
+    zero_docs = {d for r in exact_rows if r.hamming == 0 for d in (r.doc_a, r.doc_b)}
+    covered = {d for p in probe for d in p}
+    assert zero_docs <= covered
+    assert len(probe) > 0
 
 
 def test_simhash64_manku_tables_recall_equals_single_block_pigeonhole(spark):
@@ -172,3 +182,49 @@ def test_min_label_components_adversarial_ordering_converges(spark, monkeypatch)
     }
     assert len(got) == n
     assert all(got[i] == 0 for i in range(n))
+
+
+def test_funnel_semantic_certificate_reroots_on_survivors(spark, tmp_path):
+    """ADVICE r10 (funnel stage 4): if stages 1-3 remove the REPRESENTATIVE
+    of an exact-embedding group, the surviving exact twins must still get
+    a certificate edge between each other. The old code filtered the
+    full-corpus certificate (star edges all rooted at the dead rep) to
+    survivors — zero edges survived and BOTH twins silently passed
+    stage 4. The re-rooted certificate recomputes representatives over
+    the survivor set, so exactly one twin drops."""
+    from etl_financial_report_spark.operators.dedup import pipeline_dedup_funnel
+
+    root = str(tmp_path)
+    texts = {i: " ".join(f"tok{i}w{j}" for j in range(12)) for i in range(10)}
+    texts[1] = texts[0]  # exact text copy -> stage 1 drops doc 1
+    docs = spark.createDataFrame(
+        [(i, texts[i], "en", "src1", len(texts[i])) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{root}/documents.parquet")
+
+    dim = 16
+    ones = [1.0] * dim
+
+    def onehot(k):
+        v = [0.0] * dim
+        v[k % dim] = 1.0
+        return v
+
+    # vectors 1,2,3 are an exact-identical group (rep = vec 1 = the doc
+    # stage 1 kills); every other vector is one-hot (pairwise cosine 0)
+    emb = spark.createDataFrame(
+        [(i, ones if i in (1, 2, 3) else onehot(i), 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.parquet(f"{root}/embeddings.parquet")
+
+    out = {r.stage: r for r in pipeline_dedup_funnel(spark, root).collect()}
+    assert out["exact"].n_dropped == 1       # doc 1, the group rep
+    assert out["chunk_heavy"].n_dropped == 0
+    assert out["lsh_near_dup"].n_dropped == 0
+    # survivors 2 and 3 are exact embedding twins whose group rep died in
+    # stage 1: the re-rooted certificate pairs them (star edge rooted at
+    # the SURVIVOR-set rep, vec 2), so exactly one drops
+    assert out["semantic"].n_dropped == 1
+    assert out["semantic"].n_out == 8

@@ -71,12 +71,18 @@ def hostile_dir(spark, tmp_path_factory):
     emb = load_table(spark, SRC_SF, "embeddings")
     vmax = emb.agg(F.max("vec_id")).collect()[0][0]
     dim = 64
+    # two nonconforming vectors landing IN the incremental batch slice
+    # (vec_id % 10 == 7): dedup_semantic_incremental must verdict them
+    # 'nonconforming', never drop them (ADVICE r10)
+    batch7 = (vmax // 10 + 2) * 10 + 7
     vrows = [
         (vmax + 1, [0.0] * dim, 0),              # zero norm -> NaN cosine
         (vmax + 2, [1e-9] * dim, 0),             # quantizes to all zeros
         (vmax + 3, [0.5] * 8, 1),                # SHORT vector (8 of 64 dims)
         (vmax + 4, [-1.0] * dim, 1),             # all-negative signs
         (10**15, [1.0] * dim, 2),                # far id
+        (batch7, [0.0] * dim, 3),                # zero norm in batch slice
+        (batch7 + 10, [0.5] * 8, 3),             # short vector in batch slice
     ]
     vspike = spark.createDataFrame(
         vrows, "vec_id long, embedding array<float>, label int"
@@ -139,6 +145,8 @@ def test_every_query_survives_hostile_rows(spark, hostile_dir):
                     "embeddings": [
                         "zero-norm", "sub-quantization-scale", "short-dim-8",
                         "all-negative", "far-id 10^15",
+                        "zero-norm in incremental batch slice",
+                        "short-dim-8 in incremental batch slice",
                     ],
                     "events": [
                         "50-event same-timestamp burst user (far id)",
@@ -155,3 +163,44 @@ def test_every_query_survives_hostile_rows(spark, hostile_dir):
             sort_keys=True,
         )
     assert not failures, "\n".join(failures)
+
+
+def test_semantic_incremental_verdicts_nonconforming_batch_rows(spark, hostile_dir):
+    """ADVICE r10: the incremental verdict universe is the RAW batch slice
+    (embeddings where vec_id % 10 == 7). A nonconforming batch vector
+    (zero quantized norm, wrong dimension) is excluded from the cosine
+    math by the conformance gate but must STILL verdict — explicitly
+    'nonconforming' — so a data bug in today's crawl can never silently
+    shrink the verdict set."""
+    from etl_financial_report_spark.io import load_table
+    from etl_financial_report_spark.operators.similarity import (
+        dedup_semantic_incremental,
+    )
+
+    from etl_financial_report_spark.operators.similarity import _quantized
+
+    emb = load_table(spark, hostile_dir, "embeddings")
+    raw_batch = {
+        r.vec_id for r in emb.where((F.col("vec_id") % 10) == 7).select("vec_id").collect()
+    }
+    gated = {
+        r.vec_id
+        for r in _quantized(spark, hostile_dir)
+        .where((F.col("vec_id") % 10) == 7)
+        .select("vec_id")
+        .collect()
+    }
+    expect_nonconf = raw_batch - gated
+    assert len(expect_nonconf) == 2  # the fixture's two in-batch spikes
+
+    out = dedup_semantic_incremental(spark, hostile_dir)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert set(rows) == raw_batch  # every raw batch row verdicts once
+    for vid in expect_nonconf:
+        r = rows[vid]
+        assert r.verdict == "nonconforming"
+        assert r.match_id is None and r.cosine is None
+    # and conforming rows are untouched by the universe change
+    assert all(
+        rows[v].verdict in ("semantic_dup", "unique") for v in gated
+    )
