@@ -828,3 +828,143 @@ def test_corpus_build_stream_absorbs_mega_cluster(spark, skew_dir, skew_record):
     assert last_doc < MEGA_DOC_BASE
     # replay no-op: same snapshot version after a fresh-checkpoint re-run
     assert snap.current_version() == v_first
+
+
+# ------------------------------------------------- hostility x skew
+
+#: spike ids for the hostile-vector overlay; 9e8 is far above both the
+#: background (base + rep*1e7) and mega (5e8 + 20k) id ranges
+HOSTILE_VEC_BASE = 900_000_000
+
+
+@pytest.fixture(scope="session")
+def hostile_skew_dir(spark, skew_dir, tmp_path_factory):
+    """VERDICT r10 item 5: scale and hostility must COMPOSE. This corpus
+    overlays the skew fixture (50k-doc / 20k-vector identical
+    mega-clusters, Zipf sources) with the hostile net's degenerate rows
+    (zero-norm / sub-quantization / wrong-dim vectors — two of them in
+    the incremental batch slice — plus empty/unicode/far-id documents
+    and non-JSON event props), proving the conformance gate and the
+    hot-bucket caps/splits do not interact badly when both engage in the
+    same run."""
+    import os
+
+    root = tmp_path_factory.mktemp("hostile_skew")
+    dim = 64
+    B = HOSTILE_VEC_BASE
+
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    drows = [
+        (B + 1, "", "xx", "hostile empty", 0),
+        (B + 2, " ", "xx", "hostile spaces", 1),
+        (B + 3, "näive \U0001f600 a b", "xx", "hostile unicode", 10),
+        (10**15, "far id doc text", "en", "far-id", 15),
+    ]
+    dspike = spark.createDataFrame(
+        drows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.unionByName(dspike).write.parquet(str(root / "documents.parquet"))
+
+    emb = spark.read.parquet(f"{skew_dir}/embeddings.parquet")
+    vrows = [
+        (B + 7, [0.0] * dim, 9),        # zero norm, IN the batch slice
+        (B + 17, [0.5] * 8, 9),         # wrong dim, IN the batch slice
+        (B + 20, [1e-9] * dim, 9),      # sub-quantization-scale, corpus side
+        (10**15, [1.0] * dim, 9),       # far id, conforming
+    ]
+    vspike = spark.createDataFrame(
+        vrows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.unionByName(vspike).write.parquet(str(root / "embeddings.parquet"))
+
+    ev = load_table(spark, SRC_SF, "events")
+    emax_row = ev.agg(F.max("event_id"), F.max("ts")).collect()[0]
+    erows = [
+        (emax_row[0] + 1, emax_row[1], 10**15, "click", 0.0, "not json at all"),
+        (emax_row[0] + 2, emax_row[1], 10**15, "view", -1.5, ""),
+    ]
+    espike = spark.createDataFrame(
+        erows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.unionByName(espike).write.parquet(str(root / "events.parquet"))
+
+    for name in TABLES:
+        if name not in ("documents", "embeddings", "events"):
+            os.symlink(f"{SRC_SF}/{name}.parquet", str(root / f"{name}.parquet"))
+    return str(root)
+
+
+def test_hostility_composes_with_mega_cluster_caps(
+    spark, hostile_skew_dir, skew_record
+):
+    """The conformance gate must exclude exactly the nonconforming spikes
+    while the exact collapse still folds the 20k-copy mega-cluster, the
+    keep-list still verdicts EVERY raw vector (nonconforming rows as
+    singletons), the incremental batch still verdicts its nonconforming
+    members explicitly, and the events path still absorbs non-JSON props
+    — all in one corpus, so cap engagement and gate exclusion are proven
+    compatible rather than separately assumed."""
+    from etl_financial_report_spark.operators.similarity import _quantized
+
+    d = hostile_skew_dir
+    emb = load_table(spark, d, "embeddings")
+    raw_n = emb.count()
+    gated_n = _quantized(spark, d).count()
+    excluded = raw_n - gated_n
+    # exactly the three nonconforming spikes (zero-norm, wrong-dim,
+    # sub-quantization) are excluded; the far-id conforming spike is not
+    assert excluded == 3
+
+    keep, ksec = _timed(
+        lambda: registry.all_queries()["dedup_semantic_keep_list"]
+        .fn(spark, d)
+        .localCheckpoint()
+    )
+    n_keep = keep.count()
+    assert n_keep == raw_n  # universe is the raw table: zero dropped rows
+    B = HOSTILE_VEC_BASE
+    nonconf = {
+        r.vec_id: r for r in keep.where(F.col("vec_id").isin(B + 7, B + 17, B + 20)).collect()
+    }
+    assert len(nonconf) == 3
+    assert all(r.keep for r in nonconf.values())  # singleton components
+    mega = keep.where(
+        (F.col("vec_id") >= MEGA_DOC_BASE) & (F.col("vec_id") < B)
+    )
+    assert mega.count() == MEGA_VECS
+    assert mega.select("component").distinct().count() == 1
+
+    inc, isec = _timed(
+        lambda: registry.all_queries()["dedup_semantic_incremental"]
+        .fn(spark, d)
+        .localCheckpoint()
+    )
+    verdicts = {
+        r.vec_id: r.verdict
+        for r in inc.where(F.col("vec_id").isin(B + 7, B + 17)).collect()
+    }
+    assert verdicts == {B + 7: "nonconforming", B + 17: "nonconforming"}
+    mega_dup = inc.where(
+        (F.col("vec_id") >= MEGA_DOC_BASE)
+        & (F.col("vec_id") < B)
+        & (F.col("verdict") == "semantic_dup")
+    ).count()
+    assert mega_dup == MEGA_VECS // 10  # the batch slice of the mega-cluster
+
+    ev_rows, esec = _timed(
+        lambda: registry.all_queries()["events_variant_extract"].fn(spark, d).count()
+    )
+
+    skew_record["hostile_skew_compose"] = {
+        "raw_vectors": raw_n,
+        "gate_excluded": excluded,
+        "keep_list_rows": n_keep,
+        "keep_list_sec": ksec,
+        "mega_components": 1,
+        "incremental_nonconforming": 2,
+        "incremental_sec": isec,
+        "events_variant_rows": ev_rows,
+        "events_sec": esec,
+    }
