@@ -126,3 +126,43 @@ def table_row_count(sf_dir: str, name: str) -> int:
             cached = pq.ParquetFile(path).metadata.num_rows
         _ROW_COUNT_CACHE[key] = cached
     return cached
+
+
+#: FIFO-capped memo store for corpus-level materialized frames — the
+#: persisted-index pattern (a production pipeline builds signatures /
+#: certificates ONCE per corpus snapshot and every consumer reads the
+#: table; the per-query registry shape would otherwise recompute the
+#: shared subtree per query). Keyed by (session app id, sf_dir, source
+#: mtime, builder tag, extra policy constants) so a regenerated corpus,
+#: a new session, or a monkeypatched policy can never hit a stale frame.
+_MEMO_FRAMES: dict[tuple, DataFrame] = {}
+_MEMO_FRAMES_MAX = 24
+
+
+def memo_checkpoint(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    tag: str,
+    build,
+    extra_key: tuple = (),
+) -> DataFrame:
+    """Materialize ``build()`` once per (session, corpus snapshot, tag,
+    policy) via localCheckpoint and reuse it across queries. On a real
+    cluster this is a persisted index/signature table with the corpus
+    snapshot id in its path; in this single-session engine the
+    checkpoint plays that role (same device as the memoized modal-dim
+    statistic). FIFO-capped so long test sessions over many tmp corpora
+    don't pin unbounded executor memory."""
+    try:
+        mt = os.stat(table_path(sf_dir, table)).st_mtime_ns
+    except OSError:
+        mt = 0
+    key = (spark.sparkContext.applicationId, sf_dir, mt, tag, *extra_key)
+    df = _MEMO_FRAMES.get(key)
+    if df is None:
+        df = build().localCheckpoint()
+        while len(_MEMO_FRAMES) >= _MEMO_FRAMES_MAX:
+            _MEMO_FRAMES.pop(next(iter(_MEMO_FRAMES)))
+        _MEMO_FRAMES[key] = df
+    return df

@@ -67,20 +67,51 @@ def load_queries(path: str) -> dict[str, float]:
     return dict(parsed.get("queries", {}))
 
 
+def load_band_mid(path: str) -> float | None:
+    """Tracker-band midpoint ((min+max)/2 of host_band) if the artifact
+    carries one (bench.py emits it since r11 — VERDICT r10 item 1). The
+    driver wrapper's tail keeps host_band near the END of the JSON line,
+    so it survives the tail truncation that eats the queries dict."""
+    try:
+        with open(path) as f:
+            txt = f.read()
+    except OSError:
+        return None
+    m = re.search(
+        r'"host_band":\s*\{[^{}]*"min":\s*([0-9.]+)[^{}]*"max":\s*([0-9.]+)', txt
+    )
+    if not m:
+        m = re.search(
+            r'"host_band":\s*\{[^{}]*"max":\s*([0-9.]+)[^{}]*"min":\s*([0-9.]+)', txt
+        )
+    if not m:
+        return None
+    lo, hi = sorted((float(m.group(1)), float(m.group(2))))
+    return (lo + hi) / 2 if lo > 0 else None
+
+
 def _abbrev(names: list[str], cap: int = 12) -> str:
     if len(names) <= cap:
         return str(names)
     return f"{names[:cap]} ... (+{len(names) - cap} more)"
 
 
-def delta_report(old: dict[str, float], new: dict[str, float], threshold: float):
+def delta_report(
+    old: dict[str, float],
+    new: dict[str, float],
+    threshold: float,
+    norm: float = 1.0,
+):
+    """``norm`` = old_band_mid / new_band_mid: when both artifacts carry a
+    tracker band, per-query ratios are host-normalized (new * norm / old)
+    so a uniformly loaded run stops reading as a code regression."""
     common = sorted(set(old) & set(new))
     flagged = []
     for name in common:
         a, b = old[name], new[name]
         if max(a, b) < MIN_FLAG_SEC or a <= 0:
             continue
-        ratio = b / a
+        ratio = b * norm / a
         if ratio > threshold or ratio < 1 / threshold:
             flagged.append((name, a, b, ratio))
     flagged.sort(key=lambda t: -abs(t[3] if t[3] >= 1 else 1 / t[3]))
@@ -131,13 +162,21 @@ def main() -> None:
         old_path, new_path = args.old, args.new
 
     old, new = load_queries(old_path), load_queries(new_path)
-    common, flagged = delta_report(old, new, args.threshold)
+    ob, nb = load_band_mid(old_path), load_band_mid(new_path)
+    norm = (ob / nb) if (ob and nb) else 1.0
+    common, flagged = delta_report(old, new, args.threshold, norm)
 
+    band_note = (
+        f"tracker mids {ob:.2f}s -> {nb:.2f}s, ratios normalized by {norm:.3f}"
+        if ob and nb
+        else "no tracker band on one/both sides; ratios are RAW seconds"
+    )
     lines = [
         "# BENCH delta",
         "",
         f"- old: `{os.path.basename(old_path)}` ({len(old)} queries)",
         f"- new: `{os.path.basename(new_path)}` ({len(new)} queries)",
+        f"- host normalization: {band_note}",
         f"- common: {len(common)}; flagged (>{args.threshold}x either way, "
         f"both sides >= {MIN_FLAG_SEC}s): {len(flagged)}",
         f"- added: {_abbrev(sorted(set(new) - set(old)))}",
