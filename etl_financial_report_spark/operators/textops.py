@@ -862,6 +862,36 @@ def bpe_final_sequences(
     return seq
 
 
+def bpe_corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard (tok, n) word-frequency frame over the documents
+    table — the one corpus-sized pass every BPE consumer starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_corpus_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, n, seq) under the default training geometry, memoized per
+    (session, corpus snapshot) — the persisted-tokenizer pattern: five
+    registered queries (encode, doc-ids, packing, round-trip, fertility)
+    consume the SAME trained state, and a real pipeline trains once and
+    ships the artifact rather than re-running the merge chain per
+    query. Non-default geometries keep calling bpe_final_sequences."""
+    from ..io import memo_checkpoint
+
+    return memo_checkpoint(
+        spark,
+        sf_dir,
+        "documents",
+        "bpe_sequences",
+        lambda: bpe_final_sequences(bpe_corpus_words(spark, sf_dir)),
+        extra_key=(BPE_ROUNDS,),
+    )
+
+
 #: lineage truncation cadence for the BPE trainer: every K merge rounds
 #: the (1-row) winning pair and the rewritten sequence frame are pinned
 #: with localCheckpoint, so plan depth is bounded by K no matter how many
@@ -1190,13 +1220,7 @@ FROM seq{BPE_ROUNDS}
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.canon import joined_strings
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    seq = bpe_final_sequences(words)
+    seq = bpe_corpus_sequences(spark, sf_dir)
     subwords = F.split(F.trim(F.col("seq")), "  ")
     return seq.select(
         "tok",
@@ -1252,13 +1276,7 @@ def bpe_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets dense lexicographic ids via the one-sorted-array pattern (no
     global window), and each word's segmentation maps through the
     broadcast id table position-by-position."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    wseg = bpe_final_sequences(words).select(
+    wseg = bpe_corpus_sequences(spark, sf_dir).select(
         "tok", F.split(F.trim(F.col("seq")), "  ").alias("subs")
     )
     subvocab = (
@@ -1628,13 +1646,7 @@ FROM wseg
     ),
 )
 def text_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    wseg = bpe_final_sequences(words).select(
+    wseg = bpe_corpus_sequences(spark, sf_dir).select(
         "tok", F.split(F.trim(F.col("seq")), "  ").alias("subs")
     )
     subvocab = (
