@@ -2436,33 +2436,29 @@ def _sub_structs_of(col_name: str) -> F.Column:
     )
 
 
-def _ivf_residual_scored(
-    spark: SparkSession, sf_dir: str, nq: int = 1
-) -> DataFrame:
-    """Residual IVF-PQ scoring — the composition FAISS actually defaults
-    to: the coarse quantizer's INTEGER-QUANTIZED centroid c~ (per-dim
-    floor((2*S + n) / (2*n)), the portable exact half-up grammar, so
-    residuals live at the SAME quantized scale as vectors — no n-scaled
-    ints, no overflow at depth) is subtracted from every vector, spherical
-    PQ trains on the RESIDUALS (bit-identical _pq_train_subs machinery),
-    and the ADC decomposes against the exact reconstruction
-    x^ = c~ + r^:  q.x^ = q.c~ + sum_m q_m.Rsum_m/Rcnt_m and
-    ||x^||^2 = ||c~||^2 + sum_m (2 c~_m.Rsum_m/Rcnt_m + ||Rsum_m||^2/Rcnt_m^2)
-    — every inner product an exact int64, one fixed-order double
-    combination, so the whole composition stays oracle-exact. Residual
-    codes have far less variance than raw subvectors (the coarse cell
-    explains most of the vector), which is why this recalls more at the
-    SAME compression — sim_ann_ivfpq_recall_eval measures both. Each
-    query probes its IVF_NPROBE nearest cells.
+#: memoized query-independent residual IVF-PQ index per (session,
+#: corpus snapshot): coarse centroids, integer-quantized centroids,
+#: corpus cell assignment, residual PQ codebooks + codes, and the
+#: (coarse cell x residual code) cross-dot table. Four registered
+#: queries train against the same corpus; a production system persists
+#: this as the FAISS index file.
+_RESIDUAL_INDEX_CACHE: dict[tuple, dict] = {}
+_RESIDUAL_INDEX_MAX = 4
 
-    ``nq`` (VERDICT r5 item 3): vec_id < nq form the query block, the
-    rest the corpus; output carries (q_id, vec_id, cosine_pq). All
-    training (coarse cells, quantized centroids, residual codebooks) is
-    query-independent and runs ONCE regardless of nq — only the probe,
-    ADC dots, and scoring fan out per query. nq=1 is the original
-    single-query semantics (q_id always 0)."""
-    from pyspark.sql import Window
 
+def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
+    import os
+
+    from ..io import table_path
+
+    try:
+        mt = os.stat(table_path(sf_dir, "embeddings")).st_mtime_ns
+    except OSError:
+        mt = 0
+    key = (spark.sparkContext.applicationId, sf_dir, mt, N_CELLS, PQ_M, PQ_K)
+    idx = _RESIDUAL_INDEX_CACHE.get(key)
+    if idx is not None:
+        return idx
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
     seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
         F.col("vec_id").alias("cid"),
@@ -2488,7 +2484,84 @@ def _ivf_residual_scored(
         .withColumn("cqn", norm_sq_q(F.col("cq")))
         .localCheckpoint()
     )
-    assign = _assign_cells(qv, cents)
+    assign = _assign_cells(qv, cents).localCheckpoint()
+    # exact integer residuals at vector scale
+    res = (
+        qv.join(assign, "vec_id")
+        .join(F.broadcast(cq.select(F.col("cid").alias("cell"), "cq")), "cell")
+        .select(
+            "vec_id", "cell", F.zip_with("qe", "cq", lambda a, b: a - b).alias("re")
+        )
+    )
+    rsubs = (
+        res.select("vec_id", F.explode(_sub_structs_of("re")).alias("g"))
+        .select("vec_id", F.col("g.m").alias("m"), F.col("g.s").alias("s"))
+        .withColumn("snsq", norm_sq_q(F.col("s")))
+        .localCheckpoint()
+    )
+    rbook = _pq_train_subs(rsubs).localCheckpoint()
+    rcodes = _pq_spherical_assign(
+        rsubs, rbook.select("m", "cid", "c_qe", "c_nsq")
+    ).localCheckpoint()
+    ccq_sub = cq.select("cid", F.explode(_sub_structs_of("cq")).alias("g")).select(
+        F.col("cid").alias("cell"),
+        F.col("g.m").alias("m"),
+        F.col("g.s").alias("cs"),
+    )
+    crd = (
+        ccq_sub.join(rbook.select("m", F.col("cid").alias("rcell"), "c_qe"), "m")
+        .select("cell", "m", "rcell", dot_q(F.col("cs"), F.col("c_qe")).alias("crdot"))
+        .localCheckpoint()
+    )
+    idx = {
+        "cents": cents,
+        "cq": cq,
+        "assign": assign,
+        "rbook": rbook,
+        "rcodes": rcodes,
+        "crd": crd,
+    }
+    while len(_RESIDUAL_INDEX_CACHE) >= _RESIDUAL_INDEX_MAX:
+        _RESIDUAL_INDEX_CACHE.pop(next(iter(_RESIDUAL_INDEX_CACHE)))
+    _RESIDUAL_INDEX_CACHE[key] = idx
+    return idx
+
+
+def _ivf_residual_scored(
+    spark: SparkSession, sf_dir: str, nq: int = 1
+) -> DataFrame:
+    """Residual IVF-PQ scoring — the composition FAISS actually defaults
+    to: the coarse quantizer's INTEGER-QUANTIZED centroid c~ (per-dim
+    floor((2*S + n) / (2*n)), the portable exact half-up grammar, so
+    residuals live at the SAME quantized scale as vectors — no n-scaled
+    ints, no overflow at depth) is subtracted from every vector, spherical
+    PQ trains on the RESIDUALS (bit-identical _pq_train_subs machinery),
+    and the ADC decomposes against the exact reconstruction
+    x^ = c~ + r^:  q.x^ = q.c~ + sum_m q_m.Rsum_m/Rcnt_m and
+    ||x^||^2 = ||c~||^2 + sum_m (2 c~_m.Rsum_m/Rcnt_m + ||Rsum_m||^2/Rcnt_m^2)
+    — every inner product an exact int64, one fixed-order double
+    combination, so the whole composition stays oracle-exact. Residual
+    codes have far less variance than raw subvectors (the coarse cell
+    explains most of the vector), which is why this recalls more at the
+    SAME compression — sim_ann_ivfpq_recall_eval measures both. Each
+    query probes its IVF_NPROBE nearest cells.
+
+    ``nq`` (VERDICT r5 item 3): vec_id < nq form the query block, the
+    rest the corpus; output carries (q_id, vec_id, cosine_pq). All
+    training (coarse cells, quantized centroids, residual codebooks) is
+    query-independent and MEMOIZED per (session, corpus snapshot) via
+    :func:`_residual_index` — four registered queries (residual top-k,
+    refine top-k, single and batch recall evals) share one trained
+    index, the persisted-FAISS-index pattern — only the probe, ADC
+    dots, and scoring fan out per query. nq=1 is the original
+    single-query semantics (q_id always 0)."""
+    from pyspark.sql import Window
+
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    idx = _residual_index(spark, sf_dir)
+    cents, cq, assign, rbook, rcodes, crd = (
+        idx["cents"], idx["cq"], idx["assign"], idx["rbook"], idx["rcodes"], idx["crd"],
+    )
 
     # nprobe>1: candidates from the query's top-P cells (same cosine
     # ranking expression as the assignment, so tie behavior matches)
@@ -2514,23 +2587,6 @@ def _ivf_residual_scored(
         .select("q_id", "vec_id")
     )
 
-    # exact integer residuals at vector scale
-    res = (
-        qv.join(assign, "vec_id")
-        .join(F.broadcast(cq.select(F.col("cid").alias("cell"), "cq")), "cell")
-        .select(
-            "vec_id", "cell", F.zip_with("qe", "cq", lambda a, b: a - b).alias("re")
-        )
-    )
-    rsubs = (
-        res.select("vec_id", F.explode(_sub_structs_of("re")).alias("g"))
-        .select("vec_id", F.col("g.m").alias("m"), F.col("g.s").alias("s"))
-        .withColumn("snsq", norm_sq_q(F.col("s")))
-        .localCheckpoint()
-    )
-    rbook = _pq_train_subs(rsubs)
-    rcodes = _pq_spherical_assign(rsubs, rbook.select("m", "cid", "c_qe", "c_nsq"))
-
     q_sub = (
         qv.where(F.col("vec_id") < nq)
         .select(F.col("vec_id").alias("q_id"), F.explode(_sub_structs_of("qe")).alias("g"))
@@ -2543,14 +2599,6 @@ def _ivf_residual_scored(
         dot_q(F.col("c_qe"), F.col("q_s")).alias("qrdot"),
         "cnt",
         F.col("c_nsq").alias("rcnsq"),
-    )
-    ccq_sub = cq.select("cid", F.explode(_sub_structs_of("cq")).alias("g")).select(
-        F.col("cid").alias("cell"),
-        F.col("g.m").alias("m"),
-        F.col("g.s").alias("cs"),
-    )
-    crd = ccq_sub.join(rbook.select("m", F.col("cid").alias("rcell"), "c_qe"), "m").select(
-        "cell", "m", "rcell", dot_q(F.col("cs"), F.col("c_qe")).alias("crdot")
     )
 
     contrib = (
