@@ -138,6 +138,13 @@ def table_row_count(sf_dir: str, name: str) -> int:
 _MEMO_FRAMES: dict[tuple, DataFrame] = {}
 _MEMO_FRAMES_MAX = 24
 
+#: plan-audit escape hatch: when False, every memo site (this function
+#: AND the family-specific caches in similarity/unigram) builds the pure
+#: un-checkpointed frame so the plan nets and tools/dump_plans.py audit
+#: the REAL build plan — a checkpoint scan would hide the band self-join
+#: or signature aggregation the audits exist to inspect.
+MEMO_ENABLED = True
+
 
 def memo_checkpoint(
     spark: SparkSession,
@@ -154,6 +161,8 @@ def memo_checkpoint(
     checkpoint plays that role (same device as the memoized modal-dim
     statistic). FIFO-capped so long test sessions over many tmp corpora
     don't pin unbounded executor memory."""
+    if not MEMO_ENABLED:
+        return build()
     try:
         mt = os.stat(table_path(sf_dir, table)).st_mtime_ns
     except OSError:

@@ -1307,8 +1307,13 @@ SELECT vec_a, vec_b, cosine FROM spairs
 def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from .. import io as _io
     from ..io import table_path
 
+    if not _io.MEMO_ENABLED:  # plan-audit escape hatch (io.MEMO_ENABLED doc)
+        return bucketed_pairs_of(
+            _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+        )
     try:
         mt = os.stat(table_path(sf_dir, "embeddings")).st_mtime_ns
     except OSError:
@@ -2449,6 +2454,7 @@ _RESIDUAL_INDEX_MAX = 4
 def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
     import os
 
+    from .. import io as _io
     from ..io import table_path
 
     try:
@@ -2456,8 +2462,9 @@ def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
     except OSError:
         mt = 0
     key = (spark.sparkContext.applicationId, sf_dir, mt, N_CELLS, PQ_M, PQ_K)
-    idx = _RESIDUAL_INDEX_CACHE.get(key)
-    if idx is not None:
+    if not _io.MEMO_ENABLED:  # plan-audit escape hatch: build, don't cache
+        key = None
+    elif (idx := _RESIDUAL_INDEX_CACHE.get(key)) is not None:
         return idx
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
     seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
@@ -2521,9 +2528,10 @@ def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
         "rcodes": rcodes,
         "crd": crd,
     }
-    while len(_RESIDUAL_INDEX_CACHE) >= _RESIDUAL_INDEX_MAX:
-        _RESIDUAL_INDEX_CACHE.pop(next(iter(_RESIDUAL_INDEX_CACHE)))
-    _RESIDUAL_INDEX_CACHE[key] = idx
+    if key is not None:
+        while len(_RESIDUAL_INDEX_CACHE) >= _RESIDUAL_INDEX_MAX:
+            _RESIDUAL_INDEX_CACHE.pop(next(iter(_RESIDUAL_INDEX_CACHE)))
+        _RESIDUAL_INDEX_CACHE[key] = idx
     return idx
 
 

@@ -357,8 +357,12 @@ def unigram_corpus_trained(spark: SparkSession, sf_dir: str):
     materialization."""
     import os
 
+    from .. import io as _io
     from ..io import table_path
 
+    if not _io.MEMO_ENABLED:  # plan-audit escape hatch (io.MEMO_ENABLED doc)
+        words = unigram_words(load_table(spark, sf_dir, "documents"))
+        return unigram_train_collected(words)
     try:
         mt = os.stat(table_path(sf_dir, "documents")).st_mtime_ns
     except OSError:

@@ -12,6 +12,20 @@ from etl_financial_report_spark.plans import formatted_plan
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _audit_real_build_plans():
+    """Disable the cross-query memo checkpoints for every plan assertion:
+    a memoized frame plans as a checkpoint scan, which would HIDE the
+    band self-joins / signature aggregations these audits exist to
+    inspect (io.MEMO_ENABLED doc)."""
+    import etl_financial_report_spark.io as IO
+
+    old = IO.MEMO_ENABLED
+    IO.MEMO_ENABLED = False
+    yield
+    IO.MEMO_ENABLED = old
+
+
 def plan_of(spark, name: str) -> str:
     return formatted_plan(registry.all_queries()[name].fn(spark, SF))
 

@@ -15,9 +15,13 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from etl_financial_report_spark import io as _io  # noqa: E402
 from etl_financial_report_spark import registry  # noqa: E402
 from etl_financial_report_spark.plans import formatted_plan  # noqa: E402
 from etl_financial_report_spark.session import get_spark  # noqa: E402
+
+# dump the REAL build plans, not memoized checkpoint scans (io.MEMO_ENABLED)
+_io.MEMO_ENABLED = False
 
 HEADLINERS = {
     "flagship_statement_report": (
