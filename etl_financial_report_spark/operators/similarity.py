@@ -1300,8 +1300,11 @@ SELECT vec_a, vec_b, cosine FROM spairs
         "task memory is O(bucket x tile). Same exact quantized math as "
         "cosine_pairs; the emitted frame is a sparse CERTIFICATE of the "
         "near-dup graph (stars + representative graph), sufficient for "
-        "every SemDeDup consumer (components, keep-list, sweep, funnel) "
-        "without materializing quadratic intra-group pairs."
+        "every SemDeDup consumer (components, keep-list, sweep) without "
+        "materializing quadratic intra-group pairs — and since r11 it is "
+        "memoized per (session, corpus snapshot, policy) so those "
+        "consumers share ONE materialization (the funnel instead "
+        "re-roots the certificate on its stage-3 survivors)."
     ),
 )
 def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
