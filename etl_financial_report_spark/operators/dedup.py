@@ -1512,9 +1512,12 @@ cand AS (
 
 @register(
     "dedup_simhash64_hamming",
+    # sig/keys MATERIALIZED: DuckDB otherwise inlines the whole
+    # shingle->md5->majority aggregation into all 20 key-table branches
+    # AND both self-join sides (measured 38.5 s -> 1.1 s at sf0.01)
     oracle=f"""
-WITH sig AS ({_SIM64_SIG_SQL}),
-keys AS ({_SIM64_KEYS_SQL}),
+WITH sig AS MATERIALIZED ({_SIM64_SIG_SQL}),
+keys AS MATERIALIZED ({_SIM64_KEYS_SQL}),
 {_sim64_pair_ctes()}
 SELECT doc_a, doc_b,
        CAST({" + ".join(f"bit_count(xor(sa.b{j}, sb.b{j}))" for j in range(N_SIM64_BLOCKS))} AS INTEGER)
@@ -1638,8 +1641,8 @@ def dedup_simhash64_hamming(
 @register(
     "dedup_simhash64_bucket_stats",
     oracle=f"""
-WITH sig AS ({_SIM64_SIG_SQL}),
-keys AS ({_SIM64_KEYS_SQL}),
+WITH sig AS MATERIALIZED ({_SIM64_SIG_SQL}),
+keys AS MATERIALIZED ({_SIM64_KEYS_SQL}),
 occ AS (SELECT tbl, key, COUNT(*) AS bucket_n FROM keys GROUP BY tbl, key)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(MAX(bucket_n) AS BIGINT) AS max_occupancy,
