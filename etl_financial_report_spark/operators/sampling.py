@@ -1144,3 +1144,130 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("source_docs") > DOMAIN_CAP_DOCS).alias("cap_bound"),
         )
     )
+
+
+# ------------------------------------------------- DSIR importance selection
+
+#: hashed-feature space for the DSIR profiles (2^13 buckets — the paper
+#: uses 10^4-ish hashed n-gram buckets; both profiles broadcast at ~8k
+#: rows regardless of corpus size)
+DSIR_NF = 8192
+#: deterministic "target domain" stand-in: doc_id % 10 == 3 (the
+#: INCR_BATCH_MOD slice convention — a real run would pass a curated
+#: target corpus; the math is identical)
+DSIR_TARGET_MOD = 10
+DSIR_TARGET_REM = 3
+#: docs selected from the source pool
+DSIR_KEEP_DOCS = 50
+
+
+@register(
+    "sample_dsir_selection",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id, {hash32_sql("tok")} % {DSIR_NF} AS f
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+tprof AS (
+    SELECT f, COUNT(*) AS tc FROM feats
+    WHERE doc_id % {DSIR_TARGET_MOD} = {DSIR_TARGET_REM} GROUP BY f
+),
+sprof AS (SELECT f, COUNT(*) AS sc FROM feats GROUP BY f),
+tots AS (
+    SELECT (SELECT COUNT(*) FROM feats
+            WHERE doc_id % {DSIR_TARGET_MOD} = {DSIR_TARGET_REM}) AS t_tot,
+           (SELECT COUNT(*) FROM feats) AS s_tot
+),
+lift AS (
+    SELECT s.f,
+           (1000000 * (COALESCE(t.tc, 0) + 1) * (tots.s_tot + {DSIR_NF}))
+               // ((s.sc + 1) * (tots.t_tot + {DSIR_NF})) AS lift_ppm
+    FROM sprof s LEFT JOIN tprof t ON t.f = s.f, tots
+),
+scored AS (
+    SELECT fe.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(l.lift_ppm - 1000000) // COUNT(*) AS avg_lift_ppm
+    FROM feats fe JOIN lift l ON l.f = fe.f
+    WHERE fe.doc_id % {DSIR_TARGET_MOD} <> {DSIR_TARGET_REM}
+    GROUP BY fe.doc_id
+),
+sel AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY avg_lift_ppm DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= {DSIR_KEEP_DOCS}
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.avg_lift_ppm AS BIGINT) AS avg_lift_ppm,
+       (sel.doc_id IS NOT NULL) AS selected
+FROM scored s LEFT JOIN sel ON sel.doc_id = s.doc_id
+""",
+    doc=(
+        "DSIR-style importance selection (Xie et al. 2023, 'Data Selection "
+        "for Language Models via Importance Resampling'): hashed unigram "
+        f"features ({DSIR_NF} buckets) build a target profile (the "
+        f"doc_id%{DSIR_TARGET_MOD}=={DSIR_TARGET_REM} slice stands in for "
+        "the curated target corpus) and a raw-pool profile; every source-"
+        "pool document scores the mean per-token importance lift "
+        "floor(1e6*(t_f+1)*(s_tot+NF)/((s_f+1)*(t_tot+NF))) - 1e6 — the "
+        "add-1-smoothed target/source ratio in EXACT integer ppm (the "
+        "paper's log-ratio sum is float-ordered and engine-divergent; the "
+        "repo-wide exact-numerator grammar keeps the ranking oracle-"
+        f"checkable) — and the top {DSIR_KEEP_DOCS} by (lift DESC, doc_id) "
+        "are selected deterministically (hash-based no-RNG discipline in "
+        "place of the paper's Gumbel resampling). Scale shape: the corpus "
+        "streams ONCE into per-occurrence hashed features; both profiles "
+        f"are <= {DSIR_NF}-row broadcasts; per-doc scoring is map-side "
+        "after the broadcast joins + one doc_id groupBy; selection is a "
+        "TakeOrdered head joined back — no global sort, no window over a "
+        "corpus-sized frame. int64 overflow headroom: the ppm numerator "
+        "is ~1e6*count*total, safe below ~3e9 tokens; past that widen to "
+        "DECIMAL or the decomposed DIV grammar (_INV0 discipline)."
+    ),
+)
+def sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", (hash32(F.col("tok")) % DSIR_NF).alias("f"))
+    is_target = (F.col("doc_id") % DSIR_TARGET_MOD) == DSIR_TARGET_REM
+    tprof = feats.where(is_target).groupBy("f").agg(F.count(F.lit(1)).alias("tc"))
+    sprof = feats.groupBy("f").agg(F.count(F.lit(1)).alias("sc"))
+    tots = feats.agg(
+        F.sum(is_target.cast("long")).alias("t_tot"),
+        F.count(F.lit(1)).alias("s_tot"),
+    )
+    lift = (
+        sprof.join(tprof, "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "f",
+            F.expr(
+                f"(1000000 * (COALESCE(tc, 0) + 1) * (s_tot + {DSIR_NF}))"
+                f" DIV ((sc + 1) * (t_tot + {DSIR_NF}))"
+            ).alias("lift_ppm"),
+        )
+    )
+    scored = (
+        feats.where(~is_target)
+        .join(F.broadcast(lift), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("SUM(lift_ppm - 1000000) DIV COUNT(*)").alias("avg_lift_ppm"),
+        )
+    )
+    head = (
+        scored.orderBy(F.desc("avg_lift_ppm"), F.asc("doc_id"))
+        .limit(DSIR_KEEP_DOCS)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return scored.join(F.broadcast(head), "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("avg_lift_ppm").cast("long").alias("avg_lift_ppm"),
+        F.coalesce("sel", F.lit(False)).alias("selected"),
+    )

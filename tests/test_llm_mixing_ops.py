@@ -296,3 +296,50 @@ def test_quality_dup_matrix_cells_are_exact(spark, tmp_path):
     # single-doc cells, whose token counts are unambiguous
     assert cells[(True, False)].cell_tokens == 20
     assert cells[(False, False)].cell_tokens == 2
+
+
+def test_dsir_selection_prefers_target_like_docs(spark, tmp_path):
+    """DSIR importance selection (r11): with a target slice
+    (doc_id % 10 == 3) written in a distinctive vocabulary, source-pool
+    docs sharing that vocabulary must outscore and be selected over
+    docs in an unrelated vocabulary — and the scoring is deterministic
+    across reruns (no-RNG discipline)."""
+    from etl_financial_report_spark.operators.sampling import (
+        DSIR_KEEP_DOCS,
+        sample_dsir_selection,
+    )
+
+    med = "patient dosage clinical trial symptom therapy diagnosis"
+    web = "click subscribe celebrity gossip viral trending meme"
+    rows = []
+    # target slice: ids ≡ 3 (mod 10), medical vocabulary
+    for k in range(10):
+        rows.append((3 + 10 * k, f"{med} study {k}", "target"))
+    # source pool: 20 medical-like docs and 60 web-like docs
+    for k in range(20):
+        rows.append((10_000 + 10 * k, f"{med} report {k}", "pool-med"))
+    for k in range(60):
+        rows.append((20_000 + 10 * k, f"{web} post {k}", "pool-web"))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    out = {r.doc_id: r for r in sample_dsir_selection(spark, sf).collect()}
+    # the target slice itself never appears in the scored pool
+    assert all(d % 10 != 3 for d in out)
+    med_ids = {10_000 + 10 * k for k in range(20)}
+    web_ids = {20_000 + 10 * k for k in range(60)}
+    assert set(out) == med_ids | web_ids
+    # every medical doc outscores every web doc
+    worst_med = min(out[d].avg_lift_ppm for d in med_ids)
+    best_web = max(out[d].avg_lift_ppm for d in web_ids)
+    assert worst_med > best_web
+    # all 20 target-like docs are selected; the rest of the K budget
+    # falls to web docs by (score, doc_id) determinism
+    selected = {d for d, r in out.items() if r.selected}
+    assert med_ids <= selected
+    assert len(selected) == min(DSIR_KEEP_DOCS, len(out))
+    again = {
+        d for d, r in
+        ((r.doc_id, r) for r in sample_dsir_selection(spark, sf).collect())
+        if r.selected
+    }
+    assert selected == again

@@ -66,6 +66,8 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_bucket_occupancy_stats",
     # 8-row anchor-block broadcast (sim_ann_topk_batch's shape)
     "sim_hard_negative_mining",
+    # 1-row (t_tot, s_tot) profile-totals broadcast onto the 8k-row lift table
+    "sample_dsir_selection",
     # 1-row cross-source totals broadcast onto the per-source aggregate
     "sample_temperature_mixture",
     # same 1-row totals broadcast, over token counts (the repeat plan)
