@@ -4626,3 +4626,144 @@ def sim_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(rr_ppm) DIV COUNT(*)").cast("long").alias("mrr_ppm"),
         F.min("rr_ppm").cast("long").alias("worst_rr_ppm"),
     )
+
+
+# ------------------------------------------------- coreset / FPS selection
+
+#: farthest-point picks after the deterministic seed (output = FPS_K + 1
+#: rows — the coreset and its coverage-radius curve)
+FPS_K = 8
+
+
+def _fps_oracle() -> str:
+    """Unrolled farthest-point CTE chain: one MATERIALIZED stage per
+    pick, each stage = dots vs the single new pick + a running max-cos
+    column (min distance to the selected set = 1 - max cosine)."""
+    cos = "CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(p.pnsq AS DOUBLE)))"
+    parts = [
+        "nz AS MATERIALIZED (SELECT q.vec_id, norms.nsq FROM q "
+        "JOIN norms ON norms.vec_id = q.vec_id WHERE norms.nsq > 0)",
+        "s0 AS (SELECT MIN(vec_id) AS vid FROM nz)",
+        "p0 AS (SELECT vec_id AS pvid, nsq AS pnsq FROM nz "
+        "WHERE vec_id = (SELECT vid FROM s0))",
+    ]
+    sel_union = "SELECT vid AS vec_id FROM s0"
+    for r in range(1, FPS_K + 1):
+        prev_mc = "mc0" if r == 1 else f"mc{r - 1}"
+        parts.append(
+            f"d{r - 1} AS (SELECT e.vec_id, SUM(e.v * p.v) AS dot "
+            f"FROM ex e JOIN ex p ON p.i = e.i "
+            f"AND p.vec_id = (SELECT pvid FROM p{r - 1}) GROUP BY e.vec_id)"
+        )
+        base = (
+            f"SELECT n.vec_id, {cos} AS mc FROM nz n "
+            f"JOIN d{r - 1} d ON d.vec_id = n.vec_id, p{r - 1} p"
+            if r == 1
+            else f"SELECT m.vec_id, GREATEST(m.mc, {cos}) AS mc FROM {prev_mc} m "
+            f"JOIN nz n ON n.vec_id = m.vec_id "
+            f"JOIN d{r - 1} d ON d.vec_id = m.vec_id, p{r - 1} p"
+        )
+        parts.append(f"mc{r} AS MATERIALIZED ({base})")
+        parts.append(
+            f"pk{r} AS (SELECT vec_id, mc FROM mc{r} "
+            f"WHERE vec_id NOT IN ({sel_union}) "
+            f"ORDER BY mc, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT n.vec_id AS pvid, n.nsq AS pnsq "
+            f"FROM nz n JOIN pk{r} k ON k.vec_id = n.vec_id)"
+        )
+        sel_union += f" UNION ALL SELECT vec_id FROM pk{r}"
+    rows = ["SELECT 0 AS sel_idx, vid AS vec_id, CAST(NULL AS DOUBLE) AS max_cos_to_prior FROM s0"]
+    rows += [
+        f"SELECT {r} AS sel_idx, vec_id, mc AS max_cos_to_prior FROM pk{r}"
+        for r in range(1, FPS_K + 1)
+    ]
+    return (
+        f"WITH {_Q_CTE},\n"
+        + ",\n".join(parts)
+        + "\nSELECT CAST(sel_idx AS BIGINT) AS sel_idx, vec_id, max_cos_to_prior FROM ("
+        + " UNION ALL ".join(rows)
+        + ")"
+    )
+
+
+@register(
+    "sample_coreset_fps",
+    oracle=_fps_oracle(),
+    doc=(
+        f"Farthest-point-sampling coreset selection ({FPS_K} picks after "
+        "the deterministic min-id seed) — the k-center/greedy-coreset "
+        "data-selection primitive (Sener & Savarese 2018 active-learning "
+        "coresets; diversity-first subset selection for training data): "
+        "each round picks the vector FARTHEST from the selected set "
+        "(cosine distance; argmin of the running max-cosine, vec_id "
+        "tiebreak) and emits the pick order plus max_cos_to_prior — "
+        "1 - coverage radius, the non-decreasing curve that tells a "
+        "curation run when additional coreset points stop buying "
+        "diversity. Exactness: the running max rides the same "
+        "exact-int64 dot / deterministic double cosine grammar as the "
+        "ANN family, so both engines agree bit-for-bit; the oracle "
+        "unrolls one MATERIALIZED stage per pick. Scale shape: each "
+        "round is ONE linear corpus pass scoring against the previous "
+        f"pick as a LITERAL vector (never pairwise) — {FPS_K}+1 one-ROW "
+        "driver round trips total (the BPE-winners collect discipline: "
+        "K-bounded, never corpus-scaled), with the running max "
+        "checkpoint-pinned per round; at 100 TB the same loop runs over "
+        "the persisted quantized table with the running max stored as a "
+        "column, K passes total."
+    ),
+)
+def sample_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", "qe", "nsq")
+        .where(F.col("nsq") > 0)
+        .localCheckpoint()
+    )
+    # K+1 driver round trips of ONE ROW each (seed + one pick per round) —
+    # the BPE-winners collect discipline: the next round's literal pick
+    # vector rewrites the running-max projection with zero joins, so each
+    # round is exactly one linear corpus pass. Row count is K-bounded,
+    # never corpus-scaled (ALLOWED_COLLECT justification).
+    def one_row(df):
+        return df.limit(1).collect()[0]
+
+    seed = one_row(qv.orderBy(F.asc("vec_id")))
+    picked = [(0, int(seed["vec_id"]), None)]
+    sel_ids = {int(seed["vec_id"])}
+    p_qe, p_nsq = list(seed["qe"]), int(seed["nsq"])
+
+    def lit_vec(v):
+        return F.array(*[F.lit(int(x)).cast("long") for x in v])
+
+    mc = qv.select(
+        "vec_id",
+        "qe",
+        "nsq",
+        cosine_q(
+            dot_q(F.col("qe"), lit_vec(p_qe)), F.col("nsq"), F.lit(p_nsq)
+        ).alias("mc"),
+    ).localCheckpoint()
+    for r in range(1, FPS_K + 1):
+        pick = one_row(
+            mc.where(~F.col("vec_id").isin(*sorted(sel_ids))).orderBy(
+                F.asc("mc"), F.asc("vec_id")
+            )
+        )
+        picked.append((r, int(pick["vec_id"]), float(pick["mc"])))
+        sel_ids.add(int(pick["vec_id"]))
+        if r < FPS_K:
+            newcos = cosine_q(
+                dot_q(F.col("qe"), lit_vec(list(pick["qe"]))),
+                F.col("nsq"),
+                F.lit(int(pick["nsq"])),
+            )
+            mc = mc.select(
+                "vec_id", "qe", "nsq", F.greatest(F.col("mc"), newcos).alias("mc")
+            )
+            if r % 4 == 0:  # lineage cadence: plan depth stays <= 4 rounds
+                mc = mc.localCheckpoint()
+    return spark.createDataFrame(
+        picked, "sel_idx long, vec_id long, max_cos_to_prior double"
+    )

@@ -343,3 +343,44 @@ def test_dsir_selection_prefers_target_like_docs(spark, tmp_path):
         if r.selected
     }
     assert selected == again
+
+
+def test_coreset_fps_covers_clusters_before_revisiting(spark, tmp_path):
+    """FPS coreset selection (r11): with three tight orthogonal clusters,
+    the seed plus the first two picks must land in three DIFFERENT
+    clusters (farthest-first covers modes before densifying), and the
+    coverage curve max_cos_to_prior is non-decreasing by construction of
+    the greedy argmin."""
+    from etl_financial_report_spark.operators.similarity import sample_coreset_fps
+
+    dim = 16
+
+    def vec(axis, jitter):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 5) % dim] = 0.001 * jitter  # tight within-cluster spread
+        return v
+
+    rows = []
+    for c, axis in enumerate((0, 1, 2)):
+        for j in range(10):
+            rows.append((100 * c + j, vec(axis, j), c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = sorted(
+        sample_coreset_fps(spark, str(tmp_path)).collect(),
+        key=lambda r: r.sel_idx,
+    )
+    assert [r.sel_idx for r in out] == list(range(len(out)))
+    assert out[0].vec_id == 0 and out[0].max_cos_to_prior is None  # min-id seed
+    first_three_clusters = {r.vec_id // 100 for r in out[:3]}
+    assert first_three_clusters == {0, 1, 2}
+    curve = [r.max_cos_to_prior for r in out[1:]]
+    assert all(a <= b + 1e-12 for a, b in zip(curve, curve[1:]))
+    # picks 1-2 are cross-cluster: orthogonal axes, cosine ~0; pick 3
+    # onward revisits a covered cluster at high cosine
+    assert curve[0] < 0.1 and curve[1] < 0.1
+    assert curve[2] > 0.9

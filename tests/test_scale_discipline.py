@@ -38,8 +38,11 @@ ALLOWED_COLLECT = {
     # collect, memoized per (sf_dir, embeddings mtime) — one tiny
     # size-histogram job per process (the io footer-cache pattern; a
     # cluster catalog's column statistics serve this role), after which
-    # the gate is a pure pushable row filter with zero plan subtrees
-    "operators/similarity.py": 1,
+    # the gate is a pure pushable row filter with zero plan subtrees;
+    # sample_coreset_fps: FPS_K+1 one-ROW pick collects (the BPE-winners
+    # discipline — K-bounded driver round trips, the next round scores
+    # against the pick as a literal vector, never corpus-scaled rows)
+    "operators/similarity.py": 2,
 }
 
 #: files allowed unpartitioned Window.orderBy, with the count of BOUNDED
