@@ -28,6 +28,7 @@ from ..functions.vectors import (
     sign_bucket,
     sign_bucket_sql,
 )
+from ..functions.hashing import hash32, hash32_sql
 from ..io import load_table, table_row_count, table_size_bytes
 from ..session import parse_bytes_conf
 from ..registry import register
@@ -4766,4 +4767,87 @@ def sample_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mc = mc.localCheckpoint()
     return spark.createDataFrame(
         picked, "sel_idx long, vec_id long, max_cos_to_prior double"
+    )
+
+
+# ------------------------------------------------- cluster-balanced sampling
+
+#: per-cluster document quota for the balanced subset
+CLUSTER_QUOTA = 25
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=f"""
+WITH {_Q_CTE},
+{_KMEANS_R1_CTES},
+{_IVF_ASSIGN_CTES},
+pop AS (SELECT cell, COUNT(*) AS cell_n FROM ivfa1 GROUP BY cell),
+ranked AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY {hash32_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+           ) AS rk
+    FROM ivfa1
+)
+SELECT r.vec_id, r.cell,
+       CAST(p.cell_n AS BIGINT) AS cell_n,
+       CAST(CASE WHEN r.rk <= {CLUSTER_QUOTA} THEN r.rk END AS BIGINT) AS rk,
+       r.rk <= {CLUSTER_QUOTA} AS keep,
+       p.cell_n > {CLUSTER_QUOTA} AS quota_bound
+FROM ranked r JOIN pop p ON p.cell = r.cell
+""",
+    doc=(
+        "Cluster-balanced subset selection — the semantic twin of "
+        "sample_domain_cap (per-SOURCE quotas) with quotas on TRAINED "
+        "semantic clusters instead: the corpus assigns to the one-round "
+        "spherical-Lloyd cells (sim_ann_kmeans_train's exact machinery, "
+        "the same composed CTE blocks the IVF queries verify) and at "
+        f"most {CLUSTER_QUOTA} vectors per cell survive by deterministic "
+        "hash rank (hash32(vec_id), vec_id — the no-RNG seeded-sample "
+        "discipline), so a topic that dominates the crawl cannot "
+        "dominate the training mix (the cluster-quota rebalancing step "
+        "of diversity-curated pipelines). Drop rows still emit with "
+        "NULL rank for auditability, per-cell population and a "
+        "quota_bound flag make the binding cells visible. Scale shape: "
+        "one corpus pass per assignment stage against the K-row "
+        "broadcast centroid set; the per-cell quota rides the salted "
+        "two-level top-k (never a raw content-keyed window); populations "
+        "are a K-row broadcast join-back."
+    ),
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.topk import topk_per_key
+
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("c_qe"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    cents = _update_centroids(qv, _assign_cells(qv, seeds)).localCheckpoint()
+    assign = _assign_cells(qv, cents)
+    pop = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    head = topk_per_key(
+        assign,
+        keys=["cell"],
+        order=[
+            F.asc(hash32(F.col("vec_id").cast("string"))),
+            F.asc("vec_id"),
+        ],
+        k=CLUSTER_QUOTA,
+        tiebreak=F.col("vec_id"),
+    ).select("vec_id", F.col("rk").cast("long").alias("rk"))
+    return (
+        assign.join(F.broadcast(pop), "cell")
+        .join(head, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("cell_n").cast("long").alias("cell_n"),
+            "rk",
+            F.col("rk").isNotNull().alias("keep"),
+            (F.col("cell_n") > CLUSTER_QUOTA).alias("quota_bound"),
+        )
     )

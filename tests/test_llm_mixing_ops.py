@@ -384,3 +384,51 @@ def test_coreset_fps_covers_clusters_before_revisiting(spark, tmp_path):
     # onward revisits a covered cluster at high cosine
     assert curve[0] < 0.1 and curve[1] < 0.1
     assert curve[2] > 0.9
+
+
+def test_cluster_balanced_quota_semantics(spark, tmp_path):
+    """Cluster-balanced sampling (r11): quotas bind per trained cell —
+    kept rows per cell never exceed CLUSTER_QUOTA, drop rows still emit
+    with NULL rank, keep == (rk not null), at least one cell is
+    quota_bound on a 310-vector corpus (8 cells x 25 = 200 < 310 by
+    pigeonhole), and the kept set is deterministic across reruns."""
+    from etl_financial_report_spark.operators.similarity import (
+        CLUSTER_QUOTA,
+        sample_cluster_balanced,
+    )
+
+    dim = 16
+
+    def vec(axis, j):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 7) % dim] = 0.001 * (j % 9)
+        return v
+
+    rows = [(j, vec(0, j), 0) for j in range(300)]
+    rows += [(1000 + j, vec(1, j), 1) for j in range(10)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = sample_cluster_balanced(spark, str(tmp_path)).collect()
+    assert len(out) == 310  # every vector verdicts, kept or not
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    total_kept = 0
+    for cell, rs in by_cell.items():
+        kept = [r for r in rs if r.keep]
+        assert len(kept) <= CLUSTER_QUOTA
+        assert len(kept) == min(len(rs), CLUSTER_QUOTA)
+        assert sorted(r.rk for r in kept) == list(range(1, len(kept) + 1))
+        assert all(r.rk is None for r in rs if not r.keep)
+        assert all((r.cell_n == len(rs)) for r in rs)
+        assert all(r.quota_bound == (len(rs) > CLUSTER_QUOTA) for r in rs)
+        total_kept += len(kept)
+    assert any(len(rs) > CLUSTER_QUOTA for rs in by_cell.values())
+    assert total_kept == sum(min(len(rs), CLUSTER_QUOTA) for rs in by_cell.values())
+    again = {
+        r.vec_id for r in sample_cluster_balanced(spark, str(tmp_path)).collect() if r.keep
+    }
+    assert again == {r.vec_id for r in out if r.keep}

@@ -66,6 +66,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_bucket_occupancy_stats",
     # 8-row anchor-block broadcast (sim_ann_topk_batch's shape)
     "sim_hard_negative_mining",
+    # N_CELLS(=8)-row centroid-block broadcasts (_assign_cells, the same
+    # shape as sim_ann_ivf_trained) feeding the per-cell quota
+    "sample_cluster_balanced",
     # 1-row (t_tot, s_tot) profile-totals broadcast onto the 8k-row lift table
     "sample_dsir_selection",
     # 1-row cross-source totals broadcast onto the per-source aggregate

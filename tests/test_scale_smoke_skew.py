@@ -968,3 +968,35 @@ def test_hostility_composes_with_mega_cluster_caps(
         "events_variant_rows": ev_rows,
         "events_sec": esec,
     }
+
+
+def test_coreset_fps_gives_mega_cluster_one_slot(spark, skew_dir, skew_record):
+    """FPS coreset selection under power-law skew: the 20k identical
+    mega vectors are ONE point in cosine space, so the coreset grants
+    the cluster at most one slot (its copies have max-cosine 1.0 to the
+    selected set the moment any twin is selected — the greedy argmin
+    never returns there while anything else remains). Diversity by
+    construction, not by sampling luck; and the whole selection stays
+    K linear passes over the 60k vectors."""
+    from etl_financial_report_spark.operators.similarity import sample_coreset_fps
+
+    out, sec = _timed(lambda: sample_coreset_fps(spark, skew_dir).collect())
+    mega = [r for r in out if r.vec_id >= MEGA_DOC_BASE]
+    # the mega embedding equals base vector 0's embedding (and its
+    # identical replicas), so the identical-point set may be represented
+    # by EITHER a base twin or a mega id — count the whole identity class
+    picked_ids = {r.vec_id for r in out}
+    identical_class = {r.vec_id for r in out if r.max_cos_to_prior is not None
+                       and r.max_cos_to_prior > 0.999999}
+    skew_record["sample_coreset_fps"] = {
+        "sec": sec,
+        "picks": len(out),
+        "mega_picks": len(mega),
+        "near_duplicate_picks": len(identical_class),
+    }
+    assert len(out) == 9
+    assert len(mega) <= 1
+    # no two picks are near-identical: every pick past the seed was the
+    # FARTHEST point at its round, so a 1.0-cosine twin of an earlier
+    # pick can never be chosen while distinct content remains
+    assert len(identical_class) == 0
