@@ -348,7 +348,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents",
         "minhash_lsh_pairs",
         lambda: lsh_candidate_pairs(_minhash_signature(spark, sf_dir)),
-        extra_key=(LSH_MAX_BUCKET,),
+        # full hash/band geometry rides the key, mirroring the signature
+        # memo: a monkeypatched N_HASHES or BAND_SIZE rebuilds the
+        # signature frame, and the pairs frame derived from it must
+        # rebuild too, not serve stale banding (ADVICE r11)
+        extra_key=(LSH_MAX_BUCKET, N_HASHES, BAND_SIZE),
     )
 
 

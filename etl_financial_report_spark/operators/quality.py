@@ -1000,3 +1000,359 @@ def pipeline_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_tokens").cast("long").alias("cell_tokens"),
         F.expr("(n_docs * 1000000) DIV total").alias("share_ppm"),
     )
+
+
+# ----------------------------------------- trained quality classifier
+
+#: hashed-feature space for the classifier (one weight per bucket + the
+#: bias at f = -1; the weight table broadcasts at <= QC_NF + 1 rows
+#: regardless of corpus size — the fineweb-edu/DCLM classifier shape)
+QC_NF = 4096
+#: fixed perceptron epochs, unrolled in both engines (no convergence
+#: loop: a data-dependent round count would make the oracle text
+#: data-dependent; 3 batch epochs separate the weak labels well past
+#: the base rate on every test corpus)
+QC_ROUNDS = 3
+#: held-out slice for honest eval: doc_id % QC_EVAL_MOD == 0 never
+#: contributes a gradient (the INCR_BATCH_MOD slice convention)
+QC_EVAL_MOD = 5
+
+# the weak-label rule — the Gopher composite gate (text_gopher_gate) in
+# its EXACT-INTEGER form: mean_word_len BETWEEN 4.0 AND 5.0 is restated
+# as 4*n <= sum_len <= 5*n (division by the positive token count is
+# monotonic, so the forms are mathematically identical, and the integer
+# form removes the one double rounding from the LABEL definition) — the
+# standard model-based-filter bootstrap: rule-gate a slice, train a
+# cheap model, gate the rest with the model.
+_QC_MWL_LO = int(GOPHER_MIN_MEAN_WORD_LEN)
+_QC_MWL_HI = int(GOPHER_MAX_MEAN_WORD_LEN)
+
+#: the five shape-indicator features (one per way a doc can VIOLATE the
+#: gate), at reserved negative ids next to the bias at -1 — the
+#: handcrafted-statistics block every production quality classifier
+#: feeds alongside the token features (raw counts alone cannot express
+#: the gate's two-sided length band: margin>0 for 16<=n<=90 but <0 on
+#: BOTH sides of it is not a linear function of nonnegative counts)
+_QC_VIOLATIONS = (
+    (-2, f"n < {GOPHER_MIN_TOKENS}"),
+    (-3, f"n > {GOPHER_MAX_TOKENS}"),
+    (-4, f"sl < {_QC_MWL_LO} * n"),
+    (-5, f"sl > {_QC_MWL_HI} * n"),
+    (-6, f"ns < {GOPHER_MIN_STOPWORDS}"),
+)
+
+#: static feature scale for the indicator block — the per-feature
+#: learning rate of the standard feature-scaling trick: indicators fire
+#: with value SCALE while token counts sum to ~doc length, so a rare but
+#: decisive shape signal is not drowned by the dense count block (the
+#: margin contribution of a fired indicator is SCALE^2 x its update
+#: count, vs ~doc_len x net count imbalance for the token block — with
+#: 64^2 = 4096 the indicator block dominates by construction, and since
+#: a violation fires ONLY on y = -1 docs, the batch perceptron separates
+#: instead of oscillating between the two all-one-class update states)
+QC_VIOL_SCALE = 64
+
+
+def _qc_ctes() -> str:
+    """Unrolled batch-perceptron training + scoring CTE chain. Round 1
+    is closed-form (w=0 misclassifies every train doc); each later round
+    scores train docs under the previous weights and folds the
+    misclassified docs' count-weighted labels into the weight table.
+    All-integer: margins in HUGEINT, weights in BIGINT — bit-exact
+    against the Spark twin's DECIMAL grammar."""
+    from ..functions.hashing import hash32_sql
+
+    viol_rows = " ".join(
+        f"UNION ALL SELECT doc_id, {fid} AS f, {QC_VIOL_SCALE} AS c FROM st WHERE {cond}"
+        for fid, cond in _QC_VIOLATIONS
+    )
+    parts = [
+        "tk AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)",
+        "st AS MATERIALIZED (SELECT doc_id, len(toks) AS n, "
+        "list_aggregate(list_transform(toks, w -> len(w)), 'sum') AS sl, "
+        f"len(list_intersect(list_distinct(toks), {_GOPHER_STOP_SQL})) AS ns FROM tk)",
+        f"lab AS MATERIALIZED (SELECT doc_id, CASE WHEN n BETWEEN {GOPHER_MIN_TOKENS} "
+        f"AND {GOPHER_MAX_TOKENS} AND sl BETWEEN {_QC_MWL_LO} * n AND {_QC_MWL_HI} * n "
+        f"AND ns >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE -1 END AS y, "
+        f"(doc_id % {QC_EVAL_MOD} = 0) AS held_out FROM st)",
+        f"fb AS MATERIALIZED (SELECT doc_id, {hash32_sql('tok')} % {QC_NF} AS f, COUNT(*) AS c "
+        "FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2 "
+        f"UNION ALL SELECT doc_id, -1 AS f, 1 AS c FROM lab {viol_rows})",
+        "tr AS (SELECT doc_id, y FROM lab WHERE NOT held_out)",
+        "mis0 AS (SELECT doc_id, y FROM tr)",
+    ]
+    for r in range(1, QC_ROUNDS + 1):
+        parts.append(
+            f"up{r} AS (SELECT fb.f, CAST(SUM(fb.c * m.y) AS BIGINT) AS dw "
+            f"FROM fb JOIN mis{r - 1} m USING (doc_id) GROUP BY fb.f)"
+        )
+        if r == 1:
+            parts.append("w1 AS MATERIALIZED (SELECT f, dw AS w FROM up1)")
+        else:
+            parts.append(
+                f"w{r} AS MATERIALIZED (SELECT f, CAST(SUM(x) AS BIGINT) AS w FROM "
+                f"(SELECT f, w AS x FROM w{r - 1} UNION ALL SELECT f, dw AS x FROM up{r}) "
+                "GROUP BY f)"
+            )
+        if r < QC_ROUNDS:
+            parts.append(
+                f"m{r} AS (SELECT fb.doc_id, SUM(fb.c::HUGEINT * w{r}.w) AS dot "
+                f"FROM fb JOIN w{r} ON w{r}.f = fb.f GROUP BY 1)"
+            )
+            parts.append(
+                f"mis{r} AS (SELECT t.doc_id, t.y FROM tr t "
+                f"JOIN m{r} ON m{r}.doc_id = t.doc_id WHERE t.y * m{r}.dot <= 0)"
+            )
+    parts.append(
+        f"sc AS (SELECT fb.doc_id, CAST(SUM(fb.c::HUGEINT * w{QC_ROUNDS}.w) AS BIGINT) AS margin "
+        f"FROM fb JOIN w{QC_ROUNDS} ON w{QC_ROUNDS}.f = fb.f GROUP BY 1)"
+    )
+    return ",\n".join(parts)
+
+
+def _qc_stats_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, sl, ns): token count, summed token length, distinct
+    stopword count — all integers, one projection over the scan."""
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x).alias(
+            "sl"
+        ),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+            )
+        ).alias("ns"),
+    )
+
+
+def _qc_label_frame(st: DataFrame) -> DataFrame:
+    keep = (
+        F.col("n").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("sl").between(_QC_MWL_LO * F.col("n"), _QC_MWL_HI * F.col("n"))
+        & (F.col("ns") >= GOPHER_MIN_STOPWORDS)
+    )
+    return st.select(
+        "doc_id",
+        F.when(keep, 1).otherwise(-1).alias("y"),
+        ((F.col("doc_id") % QC_EVAL_MOD) == 0).alias("held_out"),
+    )
+
+
+def _qc_feats(docs: DataFrame, st: DataFrame) -> DataFrame:
+    """(doc_id, f, c) hashed-unigram counts plus the bias feature
+    (f = -1, every doc) and the five shape-violation indicators
+    (f = -2..-6, _QC_VIOLATIONS) — folding them into the feature stream
+    lets ONE weight table carry the whole model."""
+    from ..functions.hashing import hash32
+
+    base = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .select("doc_id", (hash32(F.col("tok")) % QC_NF).alias("f"))
+        .groupBy("doc_id", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = base.unionByName(
+        st.select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("f"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    for fid, cond in _QC_VIOLATIONS:
+        out = out.unionByName(
+            st.where(F.expr(cond)).select(
+                "doc_id",
+                F.lit(fid).cast("long").alias("f"),
+                F.lit(QC_VIOL_SCALE).cast("long").alias("c"),
+            )
+        )
+    return out
+
+
+#: decimal dot product of a doc's counts against the broadcast weights —
+#: DuckDB sums the HUGEINT products; Spark must widen past int64 the
+#: same way (the sample_dsir_selection overflow discipline: |w| is
+#: corpus-token bounded, c is doc bounded, so c*w can cross 2^63 long
+#: before any doc is mis-scored)
+_QC_DOT = "SUM(CAST(c AS DECIMAL(20,0)) * w)"
+
+
+def _qc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained weight table (f, w) with bias at f = -1 — memoized and
+    PERSISTED per (corpus snapshot, geometry) through io.memo_checkpoint:
+    the model is a corpus-level artifact like the trained tokenizers
+    (train once, every scorer and every later session reads it back)."""
+    from ..io import memo_checkpoint
+
+    return memo_checkpoint(
+        spark,
+        sf_dir,
+        "documents",
+        "quality_classifier_w",
+        lambda: _qc_weights_build(spark, sf_dir),
+        extra_key=(QC_NF, QC_ROUNDS, QC_EVAL_MOD),
+    )
+
+
+def _qc_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = _qc_stats_frame(docs)
+    lab = _qc_label_frame(st)
+    # reused 2x per round: pin once (NF-bucketed counts, corpus-sized)
+    fb = _qc_feats(docs, st).localCheckpoint()
+    tr = lab.where(~F.col("held_out")).select("doc_id", "y")
+    mis = tr  # round 1: w = 0 misclassifies everything (y * 0 <= 0)
+    w = None
+    for r in range(1, QC_ROUNDS + 1):
+        up = (
+            fb.join(mis, "doc_id")
+            .groupBy("f")
+            .agg(F.sum(F.col("c") * F.col("y")).cast("long").alias("dw"))
+        )
+        if w is None:
+            w = up.select("f", F.col("dw").alias("w"))
+        else:
+            w = (
+                w.select("f", F.col("w").alias("x"))
+                .unionByName(up.select("f", F.col("dw").alias("x")))
+                .groupBy("f")
+                .agg(F.sum("x").cast("long").alias("w"))
+            )
+        # NF+1-bounded rows; pinning per round keeps the next round's
+        # margin pass from re-executing the whole training prefix
+        w = w.localCheckpoint()
+        if r < QC_ROUNDS:
+            m = (
+                fb.join(F.broadcast(w), "f")
+                .groupBy("doc_id")
+                .agg(F.expr(_QC_DOT).alias("dot"))
+            )
+            mis = (
+                tr.join(m, "doc_id")
+                .where(F.col("y") * F.col("dot") <= 0)
+                .select("doc_id", "y")
+            )
+    return w
+
+
+def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = _qc_stats_frame(docs)
+    lab = _qc_label_frame(st)
+    w = _qc_weights(spark, sf_dir)
+    m = (
+        _qc_feats(docs, st)
+        .join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.expr(_QC_DOT).alias("dot"))
+    )
+    return lab.join(m, "doc_id", "left").select(
+        "doc_id",
+        "y",
+        "held_out",
+        F.coalesce(F.col("dot"), F.lit(0)).cast("long").alias("margin"),
+    )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+WITH {_qc_ctes()}
+SELECT l.doc_id,
+       CAST(l.y AS BIGINT) AS weak_label,
+       l.held_out,
+       CAST(COALESCE(sc.margin, 0) AS BIGINT) AS margin,
+       (COALESCE(sc.margin, 0) > 0) AS predicted_keep
+FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id
+""",
+    doc=(
+        "Model-based quality classifier (the fineweb-edu/DCLM pipeline "
+        "stage: train a cheap linear scorer on weak labels, gate the "
+        f"corpus with it): hashed unigram counts ({QC_NF} buckets), a "
+        "bias feature, and five shape-statistic indicators (length/"
+        "mean-word-length/stopword violations — the handcrafted-stats "
+        "block production quality models feed beside token features; "
+        "raw nonnegative counts alone cannot express the gate's "
+        "two-sided length band) train a batch perceptron for exactly "
+        f"{QC_ROUNDS} unrolled epochs against the Gopher composite gate "
+        "(exact-integer form) as the weak label, with the doc_id % "
+        f"{QC_EVAL_MOD} == 0 slice held out of every gradient; every "
+        "document then scores margin = <counts, w> and gates at the "
+        "data-derived margin > 0. EXACT integer discipline end-to-end "
+        "(the sim_centroid_classifier rule): updates are count-weighted "
+        "±1 sums in int64, margins in DECIMAL (Spark) / HUGEINT "
+        "(DuckDB) so one hot bucket can never wrap a score, ties "
+        "(margin == 0) misclassify deterministically in BOTH the update "
+        "rule and the gate. Scale shape: the weight table is <= "
+        f"{QC_NF}+1 rows — training is {QC_ROUNDS} broadcast-join "
+        "passes over the hashed-count stream (each a map-side join + "
+        "one doc_id groupBy, no corpus shuffle beyond the count "
+        "aggregation), scoring is one more; weights persist through the "
+        "index store so later sessions score without retraining. Output "
+        "margin cast to BIGINT is exact while doc_tokens x corpus_tokens "
+        "< 9.2e18 (at 1e5-token docs: corpora to ~1e13 tokens)."
+    ),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qc_scored(spark, sf_dir).select(
+        "doc_id",
+        F.col("y").cast("long").alias("weak_label"),
+        "held_out",
+        "margin",
+        (F.col("margin") > 0).alias("predicted_keep"),
+    )
+
+
+@register(
+    "text_quality_classifier_eval",
+    oracle=f"""
+WITH {_qc_ctes()},
+ev AS (
+    SELECT (l.y = 1) AS actual_keep,
+           (COALESCE(sc.margin, 0) > 0) AS predicted_keep
+    FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id
+    WHERE l.held_out
+),
+conf AS (
+    SELECT actual_keep, predicted_keep, COUNT(*) AS n
+    FROM ev GROUP BY 1, 2
+),
+tot AS (SELECT actual_keep, SUM(n) AS actual_total FROM conf GROUP BY 1)
+SELECT c.actual_keep, c.predicted_keep, CAST(c.n AS BIGINT) AS n,
+       CAST(t.actual_total AS BIGINT) AS actual_total,
+       CAST((c.n * 1000000) // t.actual_total AS BIGINT) AS cell_ppm
+FROM conf c JOIN tot t USING (actual_keep)
+ORDER BY actual_keep, predicted_keep
+""",
+    doc=(
+        "Held-out confusion matrix for text_quality_classifier — the "
+        "honest-eval half of the model-based filter loop: only doc_id % "
+        f"{QC_EVAL_MOD} == 0 docs (which contributed NO gradient) are "
+        "scored, cells carry per-actual-class recall in exact-integer "
+        "ppm (the sim_centroid_classifier confusion shape, so embedding- "
+        "and text-side weak classifiers read identically in a data "
+        "card). A curation run promotes the model only when the held-out "
+        "diagonal clears its bar — never on training-slice accuracy."
+    ),
+)
+def text_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _qc_scored(spark, sf_dir).where("held_out")
+    conf = ev.groupBy(
+        (F.col("y") == 1).alias("actual_keep"),
+        (F.col("margin") > 0).alias("predicted_keep"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = conf.groupBy("actual_keep").agg(F.sum("n").alias("actual_total"))
+    return (
+        conf.join(tot, "actual_keep")
+        .select(
+            "actual_keep",
+            "predicted_keep",
+            F.col("n").cast("long").alias("n"),
+            F.col("actual_total").cast("long").alias("actual_total"),
+            F.expr("(n * 1000000) div actual_total").cast("long").alias("cell_ppm"),
+        )
+        .orderBy("actual_keep", "predicted_keep")
+    )

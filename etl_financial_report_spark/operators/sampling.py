@@ -1180,14 +1180,14 @@ tots AS (
 ),
 lift AS (
     SELECT s.f,
-           (1000000 * (COALESCE(t.tc, 0) + 1) * (tots.s_tot + {DSIR_NF}))
-               // ((s.sc + 1) * (tots.t_tot + {DSIR_NF})) AS lift_ppm
+           CAST((1000000::HUGEINT * (COALESCE(t.tc, 0) + 1) * (tots.s_tot + {DSIR_NF}))
+               // ((s.sc + 1)::HUGEINT * (tots.t_tot + {DSIR_NF})) AS BIGINT) AS lift_ppm
     FROM sprof s LEFT JOIN tprof t ON t.f = s.f, tots
 ),
 scored AS (
     SELECT fe.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(l.lift_ppm - 1000000) // COUNT(*) AS avg_lift_ppm
+           CAST(SUM(l.lift_ppm::HUGEINT - 1000000) // COUNT(*) AS BIGINT) AS avg_lift_ppm
     FROM feats fe JOIN lift l ON l.f = fe.f
     WHERE fe.doc_id % {DSIR_TARGET_MOD} <> {DSIR_TARGET_REM}
     GROUP BY fe.doc_id
@@ -1223,9 +1223,12 @@ FROM scored s LEFT JOIN sel ON sel.doc_id = s.doc_id
         f"are <= {DSIR_NF}-row broadcasts; per-doc scoring is map-side "
         "after the broadcast joins + one doc_id groupBy; selection is a "
         "TakeOrdered head joined back — no global sort, no window over a "
-        "corpus-sized frame. int64 overflow headroom: the ppm numerator "
-        "is ~1e6*count*total, safe below ~3e9 tokens; past that widen to "
-        "DECIMAL or the decomposed DIV grammar (_INV0 discipline)."
+        "corpus-sized frame. Overflow discipline: the ppm numerator is "
+        "computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the old "
+        "int64 form wrapped once a single hot bucket had tc*s_tot > "
+        "~9.2e12, i.e. ~3e6 tokens under full skew; the widened grammar "
+        "is exact to s_tot ~ 3e15 tokens REGARDLESS of bucket skew, and "
+        "the quotient (<= 1e6*s_tot) always fits the int64 lift column."
     ),
 )
 def sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,14 +1243,25 @@ def sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_target.cast("long")).alias("t_tot"),
         F.count(F.lit(1)).alias("s_tot"),
     )
+    # the ppm ratio in DECIMAL: the int64 numerator 1e6*(tc+1)*(s_tot+NF)
+    # wraps silently (ANSI off) once ONE hot hashed bucket has
+    # tc*s_tot > ~9.2e12 — under skew that is ~3e6 tokens total, far
+    # below the corpus sizes this targets. DECIMAL(38,0) numerator /
+    # denominator keeps the quotient exact (Spark integral DIV on
+    # decimals is exact floor division whenever the QUOTIENT fits int64,
+    # which it does: lift_ppm <= 1e6 * s_tot) and moves the headroom
+    # bound to s_tot ~ 3e15 tokens INDEPENDENT of bucket skew; DuckDB
+    # computes the same thing in HUGEINT (ADVICE r11).
     lift = (
         sprof.join(tprof, "f", "left")
         .crossJoin(F.broadcast(tots))
         .select(
             "f",
             F.expr(
-                f"(1000000 * (COALESCE(tc, 0) + 1) * (s_tot + {DSIR_NF}))"
-                f" DIV ((sc + 1) * (t_tot + {DSIR_NF}))"
+                f"(CAST(COALESCE(tc, 0) + 1 AS DECIMAL(19,0)) * 1000000"
+                f" * CAST(s_tot + {DSIR_NF} AS DECIMAL(19,0)))"
+                f" DIV (CAST(sc + 1 AS DECIMAL(19,0))"
+                f" * CAST(t_tot + {DSIR_NF} AS DECIMAL(19,0)))"
             ).alias("lift_ppm"),
         )
     )
@@ -1257,7 +1271,12 @@ def sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.expr("SUM(lift_ppm - 1000000) DIV COUNT(*)").alias("avg_lift_ppm"),
+            # per-doc sum widened to DECIMAL too: DuckDB's SUM(BIGINT) is
+            # already HUGEINT, Spark's SUM(long) wraps — widening keeps
+            # the engines in lockstep at any document length
+            F.expr(
+                "SUM(CAST(lift_ppm AS DECIMAL(38,0)) - 1000000) DIV COUNT(*)"
+            ).alias("avg_lift_ppm"),
         )
     )
     head = (

@@ -1259,19 +1259,12 @@ def sim_ann_batch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: memoized full-corpus certificate per (app, sf_dir, mtime, policy):
-#: the collapse -> split -> matmul/probe/star pipeline is the most
-#: expensive shared subtree in the semantic family — the pair query,
-#: the keep-list, and the threshold sweep each re-derived it per query
-#: (VERDICT r10 item 4). One localCheckpoint materializes it once per
-#: corpus per session (the build_corpus_dedup_index pattern: on a
-#: cluster this is the persisted semantic-index table, parameterizing
-#: consumers the way dedup_lsh_verified is over candidate pairs). The
-#: key carries the policy constants so monkeypatched caps/tiles in
-#: tests can never hit a stale entry; FIFO-capped so long test sessions
-#: over many tmp corpora don't pin unbounded checkpoint memory.
-_CERT_CACHE: dict[tuple, DataFrame] = {}
-_CERT_CACHE_MAX = 8
+# The full-corpus certificate — the collapse -> split -> matmul/probe/
+# star pipeline, the most expensive shared subtree in the semantic
+# family (the pair query, the keep-list, and the threshold sweep all
+# consume it) — is memoized AND persisted through io.memo_checkpoint
+# under the "sim_certificate" artifact family (see the function body);
+# r12 retired the private session cache this comment used to describe.
 
 
 @register(
@@ -1309,37 +1302,23 @@ SELECT vec_a, vec_b, cosine FROM spairs
     ),
 )
 def sim_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
+    # the io.memo_checkpoint three-tier path (session memo -> persisted
+    # index store -> build+publish): the certificate is the single most
+    # expensive shared subtree in the semantic family, and since r12 a
+    # FRESH SESSION reads it back from the snapshot store instead of
+    # re-running collapse/split/matmul (VERDICT r11 item 1)
     from .. import io as _io
-    from ..io import table_path
 
-    if not _io.MEMO_ENABLED:  # plan-audit escape hatch (io.MEMO_ENABLED doc)
-        return bucketed_pairs_of(
-            _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-        )
-    try:
-        mt = os.stat(table_path(sf_dir, "embeddings")).st_mtime_ns
-    except OSError:
-        mt = 0
-    key = (
-        spark.sparkContext.applicationId,
+    return _io.memo_checkpoint(
+        spark,
         sf_dir,
-        mt,
-        SIM_SPLIT_CAP,
-        SIM_MAX_BUCKET,
-        SIM_PAIR_THRESHOLD,
-        PAIR_TILE_ROWS,
-    )
-    cert = _CERT_CACHE.get(key)
-    if cert is None:
-        cert = bucketed_pairs_of(
+        "embeddings",
+        "sim_certificate",
+        lambda: bucketed_pairs_of(
             _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-        ).localCheckpoint()
-        while len(_CERT_CACHE) >= _CERT_CACHE_MAX:
-            _CERT_CACHE.pop(next(iter(_CERT_CACHE)))
-        _CERT_CACHE[key] = cert
-    return cert
+        ),
+        extra_key=(SIM_SPLIT_CAP, SIM_MAX_BUCKET, SIM_PAIR_THRESHOLD, PAIR_TILE_ROWS),
+    )
 
 
 def bucketed_pairs_of(qv: DataFrame) -> DataFrame:
@@ -2451,25 +2430,51 @@ def _sub_structs_of(col_name: str) -> F.Column:
 #: (coarse cell x residual code) cross-dot table. Four registered
 #: queries train against the same corpus; a production system persists
 #: this as the FAISS index file.
-_RESIDUAL_INDEX_CACHE: dict[tuple, dict] = {}
+_RESIDUAL_INDEX_CACHE: dict[tuple, tuple] = {}  # key -> (index dict, rdd ids)
 _RESIDUAL_INDEX_MAX = 4
 
 
 def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
-    import os
-
     from .. import io as _io
-    from ..io import table_path
 
-    try:
-        mt = os.stat(table_path(sf_dir, "embeddings")).st_mtime_ns
-    except OSError:
-        mt = 0
-    key = (spark.sparkContext.applicationId, sf_dir, mt, N_CELLS, PQ_M, PQ_K)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _io.corpus_fingerprint(sf_dir, "embeddings"),
+        N_CELLS,
+        PQ_M,
+        PQ_K,
+    )
+    skey = _io._index_key(
+        sf_dir, "embeddings", "residual_index", (N_CELLS, PQ_M, PQ_K), __file__
+    )
+    _IDX_PARTS = ("cents", "cq", "assign", "rbook", "rcodes", "crd")
     if not _io.MEMO_ENABLED:  # plan-audit escape hatch: build, don't cache
         key = None
-    elif (idx := _RESIDUAL_INDEX_CACHE.get(key)) is not None:
-        return idx
+    elif (hit := _RESIDUAL_INDEX_CACHE.get(key)) is not None:
+        return hit[0]
+    elif key is not None:
+        # persisted-index hit: a fresh session reads the six index frames
+        # (the FAISS index file of this engine) from the snapshot store
+        # instead of re-running train/assign/encode (VERDICT r11 item 1)
+        loaded = {
+            n: _io.index_store_lookup(spark, f"residual_{n}", skey)
+            for n in _IDX_PARTS
+        }
+        if all(v is not None for v in loaded.values()):
+            entry = (loaded, frozenset())
+            while len(_RESIDUAL_INDEX_CACHE) >= _RESIDUAL_INDEX_MAX:
+                _old, old_ids = _RESIDUAL_INDEX_CACHE.pop(
+                    next(iter(_RESIDUAL_INDEX_CACHE))
+                )
+                _io.unpersist_tracked(spark, old_ids)
+            _RESIDUAL_INDEX_CACHE[key] = entry
+            return loaded
+    # snapshot-diff the persistent RDDs around the whole build: every
+    # localCheckpoint below (the six index frames plus the rsubs
+    # intermediate) is attributed to this entry, so eviction can free
+    # ALL its blocks (io.checkpoint_tracked doc)
+    ids_before = _io._persistent_rdd_ids(spark)
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
     seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
         F.col("vec_id").alias("cid"),
@@ -2533,9 +2538,27 @@ def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
         "crd": crd,
     }
     if key is not None:
+        build_ids = _io._persistent_rdd_ids(spark) - ids_before
+        # publish the six frames; on full success the disk-backed reads
+        # REPLACE the checkpoints (and their blocks free immediately) —
+        # a partial publish keeps the checkpoint-backed index for this
+        # session and the next session rebuilds
+        pub = {
+            n: _io.index_store_publish(spark, f"residual_{n}", skey, idx[n])
+            for n in _IDX_PARTS
+        }
+        if all(v is not None for v in pub.values()):
+            _io.unpersist_tracked(spark, build_ids)
+            entry = (pub, frozenset())
+            idx = pub
+        else:
+            entry = (idx, build_ids)
         while len(_RESIDUAL_INDEX_CACHE) >= _RESIDUAL_INDEX_MAX:
-            _RESIDUAL_INDEX_CACHE.pop(next(iter(_RESIDUAL_INDEX_CACHE)))
-        _RESIDUAL_INDEX_CACHE[key] = idx
+            _old, old_ids = _RESIDUAL_INDEX_CACHE.pop(
+                next(iter(_RESIDUAL_INDEX_CACHE))
+            )
+            _io.unpersist_tracked(spark, old_ids)
+        _RESIDUAL_INDEX_CACHE[key] = entry
     return idx
 
 
@@ -4634,6 +4657,10 @@ def sim_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: farthest-point picks after the deterministic seed (output = FPS_K + 1
 #: rows — the coreset and its coverage-radius curve)
 FPS_K = 8
+#: hard ceiling on FPS_K — enforced loudly at call time (each pick is a
+#: sequential driver round trip and an unrolled oracle CTE stage, so K is
+#: a latency knob, not a data knob; VERDICT r11 item 5)
+FPS_K_MAX = 64
 
 
 def _fps_oracle() -> str:
@@ -4675,7 +4702,13 @@ def _fps_oracle() -> str:
             f"FROM nz n JOIN pk{r} k ON k.vec_id = n.vec_id)"
         )
         sel_union += f" UNION ALL SELECT vec_id FROM pk{r}"
-    rows = ["SELECT 0 AS sel_idx, vid AS vec_id, CAST(NULL AS DOUBLE) AS max_cos_to_prior FROM s0"]
+    # vid IS NOT NULL: MIN over an empty nz still yields one all-NULL row;
+    # the guard keeps the oracle emitting ZERO rows for a conformant-empty
+    # corpus, matching the Spark side's empty frame (ADVICE r11)
+    rows = [
+        "SELECT 0 AS sel_idx, vid AS vec_id, CAST(NULL AS DOUBLE) AS max_cos_to_prior "
+        "FROM s0 WHERE vid IS NOT NULL"
+    ]
     rows += [
         f"SELECT {r} AS sel_idx, vec_id, mc AS max_cos_to_prior FROM pk{r}"
         for r in range(1, FPS_K + 1)
@@ -4716,6 +4749,18 @@ def _fps_oracle() -> str:
     ),
 )
 def sample_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if FPS_K > FPS_K_MAX:
+        # each pick is one driver round trip AND one unrolled oracle CTE
+        # stage — past the cap both the collect loop and the SQL text
+        # grow without bound, so fail LOUDLY (the repeat-upsampling
+        # overflow-guard discipline), never silently grind
+        raise ValueError(
+            f"FPS_K={FPS_K} exceeds FPS_K_MAX={FPS_K_MAX}: farthest-point "
+            "sampling is O(K) sequential corpus passes; for larger coresets "
+            "use sample_cluster_balanced (one pass) or raise FPS_K_MAX "
+            "deliberately"
+        )
+    out_schema = "sel_idx long, vec_id long, max_cos_to_prior double"
     qv = (
         _quantized(spark, sf_dir)
         .select("vec_id", "qe", "nsq")
@@ -4728,9 +4773,15 @@ def sample_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round is exactly one linear corpus pass. Row count is K-bounded,
     # never corpus-scaled (ALLOWED_COLLECT justification).
     def one_row(df):
-        return df.limit(1).collect()[0]
+        got = df.limit(1).collect()
+        return got[0] if got else None
 
     seed = one_row(qv.orderBy(F.asc("vec_id")))
+    if seed is None:
+        # zero conforming nonzero vectors: degrade to the empty pick list
+        # exactly like the oracle's empty-pk chain (ADVICE r11 — the old
+        # [0] crashed here while DuckDB returned fewer rows)
+        return spark.createDataFrame([], out_schema)
     picked = [(0, int(seed["vec_id"]), None)]
     sel_ids = {int(seed["vec_id"])}
     p_qe, p_nsq = list(seed["qe"]), int(seed["nsq"])
@@ -4752,6 +4803,11 @@ def sample_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.asc("mc"), F.asc("vec_id")
             )
         )
+        if pick is None:
+            # corpus exhausted before K picks (fewer than K+1 conforming
+            # nonzero vectors): emit the picks gathered so far — the
+            # oracle's pk{r} LIMIT 1 stages go empty at the same round
+            break
         picked.append((r, int(pick["vec_id"]), float(pick["mc"])))
         sel_ids.add(int(pick["vec_id"]))
         if r < FPS_K:
@@ -4765,9 +4821,7 @@ def sample_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if r % 4 == 0:  # lineage cadence: plan depth stays <= 4 rounds
                 mc = mc.localCheckpoint()
-    return spark.createDataFrame(
-        picked, "sel_idx long, vec_id long, max_cos_to_prior double"
-    )
+    return spark.createDataFrame(picked, out_schema)
 
 
 # ------------------------------------------------- cluster-balanced sampling

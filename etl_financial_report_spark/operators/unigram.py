@@ -355,35 +355,51 @@ def unigram_corpus_trained(spark: SparkSession, sf_dir: str):
     the documents table, memoized per (session, corpus snapshot); the
     seg frame is localCheckpoint-pinned so every consumer reuses one
     materialization."""
-    import os
-
     from .. import io as _io
-    from ..io import table_path
 
     if not _io.MEMO_ENABLED:  # plan-audit escape hatch (io.MEMO_ENABLED doc)
         words = unigram_words(load_table(spark, sf_dir, "documents"))
         return unigram_train_collected(words)
-    try:
-        mt = os.stat(table_path(sf_dir, "documents")).st_mtime_ns
-    except OSError:
-        mt = 0
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        mt,
+        _io.corpus_fingerprint(sf_dir, "documents"),
         UNIGRAM_MAX_PIECE,
         UNIGRAM_SEED_K,
         UNIGRAM_KEEP_K,
     )
     hit = _TRAINED_CACHE.get(key)
     if hit is None:
-        words = unigram_words(load_table(spark, sf_dir, "documents"))
-        vocab2, seg = unigram_train_collected(words)
-        hit = (vocab2, seg.localCheckpoint())
+        geometry = (UNIGRAM_MAX_PIECE, UNIGRAM_SEED_K, UNIGRAM_KEEP_K)
+        skey = _io._index_key(sf_dir, "documents", "unigram_trained", geometry, __file__)
+        vocab_df = _io.index_store_lookup(spark, "unigram_vocab", skey)
+        seg_df = _io.index_store_lookup(spark, "unigram_seg", skey)
+        if vocab_df is not None and seg_df is not None:
+            # persisted-tokenizer hit: a fresh session ships the trained
+            # artifact from the snapshot store instead of re-running the
+            # seed/segment/prune EM chain. The vocab collect is
+            # UNIGRAM_KEEP_K + alphabet bounded — the same vocabulary-
+            # bounded collect the trainer itself makes, never corpus rows.
+            vocab2 = {r["piece"]: r["score"] for r in vocab_df.collect()}
+            hit = (vocab2, seg_df, frozenset())
+        else:
+            words = unigram_words(load_table(spark, sf_dir, "documents"))
+            vocab2, seg = unigram_train_collected(words)
+            vdf = spark.createDataFrame(
+                sorted(vocab2.items()), "piece string, score long"
+            )
+            _io.index_store_publish(spark, "unigram_vocab", skey, vdf)
+            disk_seg = _io.index_store_publish(spark, "unigram_seg", skey, seg)
+            if disk_seg is not None:
+                hit = (vocab2, disk_seg, frozenset())
+            else:
+                ck, ids = _io.checkpoint_tracked(seg)
+                hit = (vocab2, ck, ids)
         while len(_TRAINED_CACHE) >= _TRAINED_CACHE_MAX:
-            _TRAINED_CACHE.pop(next(iter(_TRAINED_CACHE)))
+            old = _TRAINED_CACHE.pop(next(iter(_TRAINED_CACHE)))
+            _io.unpersist_tracked(spark, old[2])
         _TRAINED_CACHE[key] = hit
-    return hit
+    return hit[0], hit[1]
 
 
 # --------------------------------------------------------------- SQL twin

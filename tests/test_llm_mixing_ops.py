@@ -432,3 +432,78 @@ def test_cluster_balanced_quota_semantics(spark, tmp_path):
         r.vec_id for r in sample_cluster_balanced(spark, str(tmp_path)).collect() if r.keep
     }
     assert again == {r.vec_id for r in out if r.keep}
+
+
+def test_coreset_fps_degrades_gracefully_on_tiny_corpus(spark, tmp_path):
+    """ADVICE r11: a corpus with fewer than FPS_K+1 conforming nonzero
+    vectors must emit the picks it can make (like the oracle's empty
+    pk stages), and a corpus with ZERO conforming vectors must emit the
+    empty frame — never IndexError."""
+    from etl_financial_report_spark.operators.similarity import sample_coreset_fps
+
+    dim = 8
+
+    def vec(axis):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    rows = [(i, vec(i % dim), 0) for i in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = sorted(
+        sample_coreset_fps(spark, str(tmp_path)).collect(), key=lambda r: r.sel_idx
+    )
+    assert [r.vec_id for r in out] == [0, 1, 2]  # 3 picks, then exhausted
+
+    zero = spark.createDataFrame(
+        [(0, [0.0] * dim, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    zero.coalesce(1).write.parquet(f"{tmp_path}/z/embeddings.parquet")
+    assert sample_coreset_fps(spark, f"{tmp_path}/z").collect() == []
+
+
+def test_coreset_fps_k_cap_raises_loudly(spark, monkeypatch):
+    """VERDICT r11 item 5: FPS_K past FPS_K_MAX must fail with a loud
+    ValueError before any Spark work (K is sequential driver latency)."""
+    import pytest
+
+    from etl_financial_report_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "FPS_K", S.FPS_K_MAX + 1)
+    with pytest.raises(ValueError, match="FPS_K_MAX"):
+        S.sample_coreset_fps(spark, "/root/testdata/sf0.001")
+
+
+def test_dsir_lift_grammar_exact_past_int64(spark):
+    """ADVICE r11: the DECIMAL lift grammar must match Python big-int
+    floor division on profile counts far past the old int64 numerator
+    bound (tc*s_tot > 9.2e12 used to wrap silently with ANSI off)."""
+    from pyspark.sql import functions as F
+
+    NF = 8192
+    cases = [
+        # (tc, sc, t_tot, s_tot) — last two rows wrap the old grammar
+        (0, 5, 100, 1000),
+        (17, 40, 12_345, 678_901),
+        (4_000_000_000, 9_000_000_000, 5_000_000_000, 3_000_000_000_000),
+        (9_000_000_000_000, 9_000_000_000_000, 9_200_000_000_000, 9_300_000_000_000),
+    ]
+    df = spark.createDataFrame(
+        cases, "tc long, sc long, t_tot long, s_tot long"
+    ).select(
+        "*",
+        F.expr(
+            f"(CAST(COALESCE(tc, 0) + 1 AS DECIMAL(19,0)) * 1000000"
+            f" * CAST(s_tot + {NF} AS DECIMAL(19,0)))"
+            f" DIV (CAST(sc + 1 AS DECIMAL(19,0))"
+            f" * CAST(t_tot + {NF} AS DECIMAL(19,0)))"
+        ).alias("lift_ppm"),
+    )
+    for r in df.collect():
+        want = (1_000_000 * (r.tc + 1) * (r.s_tot + NF)) // (
+            (r.sc + 1) * (r.t_tot + NF)
+        )
+        assert r.lift_ppm == want, (r, want)

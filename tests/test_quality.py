@@ -153,3 +153,49 @@ def test_redaction_removes_every_digit(spark, sf_dir):
     assert rows.where(F.col("redacted").rlike("[0-9]")).count() == 0
     # the synthetic props payloads all carry at least one numeric literal
     assert rows.where(F.col("n_redactions") >= 1).count() == rows.count()
+
+
+def test_quality_classifier_learns_separable_gate(spark, tmp_path):
+    """r12 trained quality classifier: on a corpus where the weak label
+    is cleanly determined by doc shape, the perceptron must classify the
+    HELD-OUT slice (doc_id % QC_EVAL_MOD == 0, which contributed no
+    gradient) essentially perfectly, and the scored frame must flag
+    exactly that slice as held out."""
+    import etl_financial_report_spark.io as IO
+    from etl_financial_report_spark.operators.quality import (
+        QC_EVAL_MOD,
+        text_quality_classifier,
+        text_quality_classifier_eval,
+    )
+
+    # keep docs: 2 stopwords + 18 five-letter words -> n=20,
+    # mean_wl=(3+3+18*5)/20=4.8, stopwords=2 (all three gates pass);
+    # reject docs: 8 tokens (word-count violation)
+    good = "the and " + " ".join(f"alpha" for _ in range(18))
+    bad = " ".join("beta" for _ in range(8))
+    rows = []
+    for i in range(60):
+        rows.append((i, good if i % 2 == 0 else bad, "en", "s", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    saved = dict(IO._MEMO_FRAMES)
+    try:
+        out = {r.doc_id: r for r in text_quality_classifier(spark, str(tmp_path)).collect()}
+        assert len(out) == 60
+        for d, r in out.items():
+            assert r.held_out == (d % QC_EVAL_MOD == 0)
+            assert r.weak_label == (1 if d % 2 == 0 else -1)
+        held = [r for r in out.values() if r.held_out]
+        assert held and all(
+            r.predicted_keep == (r.weak_label == 1) for r in held
+        ), "held-out slice must be separated on a separable corpus"
+        ev = text_quality_classifier_eval(spark, str(tmp_path)).collect()
+        assert sum(r.n for r in ev) == len(held)
+        diag = {(r.actual_keep, r.predicted_keep): r for r in ev}
+        assert diag[(True, True)].cell_ppm == 1_000_000
+        assert diag[(False, False)].cell_ppm == 1_000_000
+    finally:
+        IO._MEMO_FRAMES.clear()
+        IO._MEMO_FRAMES.update(saved)

@@ -32,8 +32,10 @@ ALLOWED_COLLECT = {
     # unigram trainer: seed vocabulary (alphabet + UNIGRAM_SEED_K rows
     # after a distributed TakeOrdered) and piece-usage counts (<= |seed|)
     # — vocabulary-bounded, never corpus-scaled; the collected dict
-    # becomes the broadcast map literal of the expression-DP segmenter
-    "operators/unigram.py": 2,
+    # becomes the broadcast map literal of the expression-DP segmenter;
+    # plus the persisted-index hit path re-collecting the stored vocab
+    # table (UNIGRAM_KEEP_K + alphabet rows, same bound as the trainer)
+    "operators/unigram.py": 3,
     # _modal_dim: the embedding conformance gate's 1-ROW modal-dimension
     # collect, memoized per (sf_dir, embeddings mtime) — one tiny
     # size-histogram job per process (the io footer-cache pattern; a
