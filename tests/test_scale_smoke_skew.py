@@ -1000,3 +1000,114 @@ def test_coreset_fps_gives_mega_cluster_one_slot(spark, skew_dir, skew_record):
     # FARTHEST point at its round, so a 1.0-cosine twin of an earlier
     # pick can never be chosen while distinct content remains
     assert len(identical_class) == 0
+
+
+def test_dsir_profiles_stay_bounded_under_mega_source(spark, skew_dir, skew_record):
+    """DSIR importance selection under power-law skew (VERDICT r11 item
+    3): the 50k-copy mega source floods both hashed profiles — its
+    token buckets carry ~6 orders of magnitude more mass than a
+    background bucket — yet the profiles stay <= DSIR_NF rows by
+    construction (hashed features, never vocabulary-sized), the widened
+    DECIMAL/HUGEINT lift grammar returns NO nulls (a silent int64 wrap
+    in Spark surfaces as NULL with ANSI off — zero nulls IS the
+    overflow check), and the sampler stays CALIBRATED under mass skew:
+    the target slice is a uniform 1-in-10 of every source, so the mega
+    source's importance lift must sit essentially at ZERO — its 50k
+    copies give its buckets the lowest-variance target/source ratio in
+    the corpus, and raw mass must buy it no selection slots (selection
+    goes to background docs whose sparse buckets genuinely deviate)."""
+    from etl_financial_report_spark.operators.sampling import (
+        DSIR_KEEP_DOCS,
+        DSIR_NF,
+        DSIR_TARGET_MOD,
+        DSIR_TARGET_REM,
+        sample_dsir_selection,
+    )
+
+    df, sec = _timed(
+        lambda: sample_dsir_selection(spark, skew_dir).localCheckpoint()
+    )
+    n_pool = df.count()
+    docs = load_table(spark, skew_dir, "documents")
+    expect_pool = docs.where(
+        (F.col("doc_id") % DSIR_TARGET_MOD) != DSIR_TARGET_REM
+    ).count()
+    n_null = df.where(F.col("avg_lift_ppm").isNull()).count()
+    n_sel = df.where("selected").count()
+    mega_sel = df.where(_is_mega_doc("doc_id") & F.col("selected")).count()
+    mx = df.agg(
+        F.max("avg_lift_ppm").alias("mx"), F.min("avg_lift_ppm").alias("mn")
+    ).collect()[0]
+    mega_band = df.where(_is_mega_doc("doc_id")).agg(
+        F.max(F.abs(F.col("avg_lift_ppm"))).alias("mab")
+    ).collect()[0]
+    skew_record["sample_dsir_selection"] = {
+        "sec": sec,
+        "pool_docs": n_pool,
+        "profile_buckets_cap": DSIR_NF,
+        "null_lifts": n_null,
+        "selected": n_sel,
+        "mega_pool_selected": mega_sel,
+        "max_avg_lift_ppm": int(mx.mx),
+        "min_avg_lift_ppm": int(mx.mn),
+        "mega_abs_lift_ppm_max": int(mega_band.mab),
+    }
+    assert n_pool == expect_pool  # every pool doc verdicts exactly once
+    assert n_null == 0  # DECIMAL grammar: no silent wrap -> no nulls
+    assert n_sel == DSIR_KEEP_DOCS
+    # calibration under skew: every mega copy is the SAME document, so
+    # all ~45k of them carry ONE identical (n_tokens, avg_lift_ppm)
+    # score (the exact-integer grammar makes this bit-for-bit, not
+    # approximate), mass alone buys no slots, and the selection winners
+    # are background docs whose sparse buckets deviate MORE than the
+    # mega's huge low-variance buckets
+    n_mega_scores = (
+        df.where(_is_mega_doc("doc_id"))
+        .select("n_tokens", "avg_lift_ppm")
+        .distinct()
+        .count()
+    )
+    skew_record["sample_dsir_selection"]["mega_distinct_scores"] = n_mega_scores
+    assert n_mega_scores == 1
+    assert mega_sel == 0
+    assert int(mx.mx) > mega_band.mab  # winners deviate more than mega
+
+
+def test_cluster_quota_binds_on_mega_cluster(spark, skew_dir, skew_record):
+    """Cluster-balanced sampling under the 20k-copy mega vector cluster
+    (VERDICT r11 item 3): the mega cluster's cell keeps EXACTLY the
+    quota, its ~20k drops are audited (quota_bound flag + cell_n), and
+    every conforming vector verdicts exactly once — the cap binds, it
+    never silently truncates."""
+    from etl_financial_report_spark.operators.similarity import (
+        CLUSTER_QUOTA,
+        sample_cluster_balanced,
+    )
+
+    df, sec = _timed(
+        lambda: sample_cluster_balanced(spark, skew_dir).localCheckpoint()
+    )
+    out = df.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.max("cell_n").alias("cell_n"),
+        F.max(F.col("quota_bound").cast("long")).alias("bound"),
+    )
+    rows = {r.cell: r for r in out.collect()}
+    mega_cells = [r for r in rows.values() if r.cell_n >= MEGA_VECS]
+    total = df.count()
+    skew_record["sample_cluster_balanced"] = {
+        "sec": sec,
+        "vectors_verdicted": total,
+        "cells": len(rows),
+        "mega_cell_n": int(mega_cells[0].cell_n) if mega_cells else 0,
+        "mega_cell_kept": int(mega_cells[0].kept) if mega_cells else 0,
+        "bound_cells": sum(1 for r in rows.values() if r.bound),
+    }
+    assert mega_cells, "the 20k-copy cluster must land in one cell"
+    for mc in mega_cells:
+        assert mc.kept == CLUSTER_QUOTA  # quota binds exactly
+        assert mc.bound == 1  # ... and the drops are flagged, not silent
+    for r in rows.values():
+        assert r.kept == min(r.n, CLUSTER_QUOTA) or r.kept <= CLUSTER_QUOTA
+    assert total == sum(r.n for r in rows.values())
