@@ -1238,11 +1238,14 @@ def _qc_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w
 
 
-def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def qc_score_docs(docs: DataFrame, w: DataFrame) -> DataFrame:
+    """Score ANY (doc_id, text) frame against a trained weight table —
+    the serving-path primitive the full-corpus query and the streaming
+    twin (streaming/runtime.run_quality_classifier_stream) share: one
+    broadcast join + one doc_id groupBy, cost scales with the scored
+    frame, never the training corpus."""
     st = _qc_stats_frame(docs)
     lab = _qc_label_frame(st)
-    w = _qc_weights(spark, sf_dir)
     m = (
         _qc_feats(docs, st)
         .join(F.broadcast(w), "f")
@@ -1254,6 +1257,12 @@ def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "held_out",
         F.coalesce(F.col("dot"), F.lit(0)).cast("long").alias("margin"),
+    )
+
+
+def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qc_score_docs(
+        load_table(spark, sf_dir, "documents"), _qc_weights(spark, sf_dir)
     )
 
 

@@ -504,6 +504,57 @@ def run_chunk_dedup_stream(
     return sink.read(spark)
 
 
+def run_quality_classifier_stream(
+    spark: SparkSession,
+    new_docs_dir: str,
+    corpus_sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of ``text_quality_classifier`` — the model-serving
+    path of the r12 trained quality filter: new documents arrive in
+    per-file microbatches and every batch scores against the weight
+    table TRAINED ONCE on the corpus snapshot (operators/quality.
+    _qc_weights, which rides the persisted index store — a fresh serving
+    session loads the artifact from disk and never retrains). Per-batch
+    cost is one broadcast join + one batch-sized groupBy; the weight
+    broadcast is <= QC_NF + 6 rows regardless of corpus size. Scored
+    verdicts (weak_label for agreement monitoring, margin,
+    predicted_keep) land through the idempotent sink keyed on doc_id, so
+    a replayed batch cannot double-report. Returns the verdict table."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import _qc_weights, qc_score_docs
+    from ..sources.sinks import ParquetSink
+
+    w = _qc_weights(spark, corpus_sf_dir)
+    schema = spark.read.parquet(new_docs_dir).schema  # one footer read, no job
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_docs_dir)
+    )
+    sink = ParquetSink(out_dir, partition_cols=())
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = qc_score_docs(batch_df, w).select(
+            "doc_id",
+            F.col("y").cast("long").alias("weak_label"),
+            "margin",
+            (F.col("margin") > 0).alias("predicted_keep"),
+        )
+        sink.append_idempotent(out, key_cols=["doc_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark)
+
+
 def run_token_drift_stream(
     spark: SparkSession,
     new_docs_dir: str,

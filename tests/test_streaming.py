@@ -618,3 +618,48 @@ def test_unigram_train_stream_matches_batch_operator(spark, tmp_path):
         spark, docs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt2")
     )
     assert {tuple(r) for r in got2.select(*want.columns).collect()} == w
+
+
+def test_quality_classifier_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming twin of text_quality_classifier (r12): held-out-mod
+    docs stream in two file chunks and score against the corpus-trained
+    persisted weights; landed verdicts must EXACTLY match the batch
+    operator's rows for the same docs (weak_label, margin,
+    predicted_keep — bit-exact integer margins), and a replayed append
+    must not double-report."""
+    from pyspark.sql import functions as F
+
+    from etl_financial_report_spark.registry import all_queries
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    new_dir = str(tmp_path / "new_docs")
+    slice_ = docs.where((F.col("doc_id") % 10) == 7)
+    slice_.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(new_dir)
+    slice_.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(new_dir)
+
+    got = runtime.run_quality_classifier_stream(
+        spark,
+        new_dir,
+        SMOKE_SF_DIR,
+        str(tmp_path / "scored"),
+        str(tmp_path / "ckpt"),
+    )
+    want = (
+        all_queries()["text_quality_classifier"]
+        .fn(spark, SMOKE_SF_DIR)
+        .where((F.col("doc_id") % 10) == 7)
+    )
+    g = {(r.doc_id, r.weak_label, r.margin, r.predicted_keep) for r in got.collect()}
+    w = {
+        (r.doc_id, r.weak_label, r.margin, r.predicted_keep) for r in want.collect()
+    }
+    assert g == w and len(g) == slice_.count()
+
+    got2 = runtime.run_quality_classifier_stream(
+        spark,
+        new_dir,
+        SMOKE_SF_DIR,
+        str(tmp_path / "scored"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert got2.count() == len(g)
