@@ -1111,3 +1111,51 @@ def test_cluster_quota_binds_on_mega_cluster(spark, skew_dir, skew_record):
     for r in rows.values():
         assert r.kept == min(r.n, CLUSTER_QUOTA) or r.kept <= CLUSTER_QUOTA
     assert total == sum(r.n for r in rows.values())
+
+
+def test_quality_classifier_margins_survive_mega_cluster(spark, skew_dir, skew_record):
+    """Trained quality classifier under the 50k-copy mega source (r12):
+    the mega text floods a handful of hashed buckets with ~6 orders of
+    magnitude more count mass than background buckets — the DECIMAL
+    margin grammar must return NO null margins (a wrapped int64 sum
+    surfaces as NULL with ANSI off), all mega copies must carry ONE
+    identical (weak_label, margin) verdict, and the weight table stays
+    bounded."""
+    from etl_financial_report_spark.operators.quality import (
+        QC_NF,
+        _qc_weights,
+    )
+
+    df, sec = _timed(
+        lambda: registry.all_queries()["text_quality_classifier"]
+        .fn(spark, skew_dir)
+        .localCheckpoint()
+    )
+    n = df.count()
+    n_null = df.where(F.col("margin").isNull()).count()
+    mega_scores = (
+        df.where(_is_mega_doc("doc_id")).select("weak_label", "margin").distinct()
+    ).count()
+    w_rows = _qc_weights(spark, skew_dir).count()
+    held_ok = (
+        df.where("held_out")
+        .select(
+            F.sum(((F.col("weak_label") == 1) == F.col("predicted_keep")).cast("long")
+            ).alias("ok"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    skew_record["text_quality_classifier"] = {
+        "sec": sec,
+        "docs": n,
+        "null_margins": n_null,
+        "mega_distinct_verdicts": mega_scores,
+        "weight_rows": w_rows,
+        "held_out_acc_ppm": int(held_ok.ok) * 1_000_000 // int(held_ok.n),
+    }
+    assert n == 150_000
+    assert n_null == 0
+    assert mega_scores == 1
+    assert w_rows <= QC_NF + 6
+    assert held_ok.ok * 1_000_000 // held_ok.n >= 950_000

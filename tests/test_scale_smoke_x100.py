@@ -626,3 +626,33 @@ def test_coreset_fps_x100(spark, sf10_dir, smoke_record):
     curve = [r.max_cos_to_prior for r in out[1:]]
     assert all(a <= b for a, b in zip(curve, curve[1:]))  # non-decreasing
     assert all(c < 0.999999 for c in curve)  # no identical-twin pick
+
+
+def test_quality_classifier_x100(spark, sf10_dir, smoke_record):
+    """Trained quality classifier at 500k docs (r12): training is three
+    broadcast-join passes whose model state stays <= QC_NF + 6 rows no
+    matter the corpus, scoring is one more pass, and the held-out
+    confusion (100k docs that contributed no gradient) must stay
+    essentially diagonal — the mutated-replica vocabulary (~90 suffix
+    families) stresses the hashed feature space while the shape
+    indicators keep the weak label separable."""
+    from etl_financial_report_spark.operators.quality import QC_NF, _qc_weights
+
+    df, n = _run(
+        spark,
+        "text_quality_classifier_eval",
+        lambda: registry.all_queries()["text_quality_classifier_eval"].fn(
+            spark, sf10_dir
+        ),
+        smoke_record,
+    )
+    rows = {(r.actual_keep, r.predicted_keep): r for r in df.collect()}
+    total = sum(r.n for r in rows.values())
+    diag = sum(r.n for (a, p), r in rows.items() if a == p)
+    w_rows = _qc_weights(spark, sf10_dir).count()
+    smoke_record["text_quality_classifier_eval"]["held_out_docs"] = total
+    smoke_record["text_quality_classifier_eval"]["diag_ppm"] = diag * 1_000_000 // total
+    smoke_record["text_quality_classifier_eval"]["weight_rows"] = w_rows
+    assert w_rows <= QC_NF + 6  # model state is corpus-size independent
+    assert total == 100_000  # every held-out doc verdicts exactly once
+    assert diag * 1_000_000 // total >= 950_000  # >= 95% held-out accuracy
