@@ -337,6 +337,15 @@ HEADLINERS = {
         "Viterbi DP itself ran as expressions over the vocabulary-bounded "
         "distinct-word table."
     ),
+    "text_quality_classifier": (
+        "Model-based quality gate, scoring pass: the trained weight table "
+        "(<= QC_NF + 6 rows) BROADCASTS into the hashed-count stream; the "
+        "margin is one partial+final doc_id HashAggregate over the DECIMAL "
+        "products; token counts and shape-indicator features are "
+        "projections fused into the documents scan stage (the plan is one "
+        "corpus pass + map-side join — training cost lives in the "
+        "persisted weight artifact, not in this plan)."
+    ),
     "multimodal_routing_manifest": (
         "Decode routing + resolution gates stay fused in the same map-only "
         "codegen projection as the dimension parse — the decoder-sizing pass "
