@@ -4905,3 +4905,128 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_n") > CLUSTER_QUOTA).alias("quota_bound"),
         )
     )
+
+
+# ------------------------------------------------- cluster term profiles
+
+#: salient terms reported per semantic cluster
+CLUSTER_TOP_TERMS = 5
+#: minimum in-cluster occurrences before a token can be "salient" —
+#: keeps hapax/near-hapax noise out of the lift ranking
+CLUSTER_TERM_MIN_C = 5
+
+
+@register(
+    "sim_cluster_term_profile",
+    oracle=f"""
+WITH {_Q_CTE},
+{_KMEANS_R1_CTES},
+{_IVF_ASSIGN_CTES},
+ct AS MATERIALIZED (
+    SELECT a.cell, t.tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    JOIN ivfa1 a ON a.vec_id = t.doc_id
+    GROUP BY 1, 2
+),
+tot AS (SELECT cell, SUM(c) AS cell_tokens FROM ct GROUP BY 1),
+corp AS (SELECT tok, SUM(c) AS tc FROM ct GROUP BY 1),
+t_all AS (SELECT SUM(c) AS tt FROM ct),
+lifted AS (
+    SELECT ct.cell, ct.tok, ct.c, tot.cell_tokens,
+           CAST((1000000::HUGEINT * ct.c * t_all.tt)
+               // (tot.cell_tokens::HUGEINT * corp.tc) AS BIGINT) AS lift_ppm
+    FROM ct
+    JOIN tot ON tot.cell = ct.cell
+    JOIN corp ON corp.tok = ct.tok, t_all
+    WHERE ct.c >= {CLUSTER_TERM_MIN_C}
+)
+SELECT cell, tok, CAST(c AS BIGINT) AS c,
+       CAST(cell_tokens AS BIGINT) AS cell_tokens, lift_ppm,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cell ORDER BY lift_ppm DESC, tok
+    ) AS rk
+    FROM lifted
+) WHERE rk <= {CLUSTER_TOP_TERMS}
+""",
+    doc=(
+        "Per-cluster salient-term profile — the data-map/cluster-labeling "
+        "artifact (Nomic-Atlas / corpus-cartography shape) a curation run "
+        "reads to learn WHAT each semantic cluster contains before "
+        "quota-ing or dropping it (the human-legible companion to "
+        "sample_cluster_balanced, sharing its trained one-round "
+        "spherical-Lloyd cells): every conforming vector assigns to its "
+        "cell, documents join their vectors on the shared id, and each "
+        f"cell reports its top {CLUSTER_TOP_TERMS} tokens by exact "
+        "integer lift ppm — floor(1e6 * (c/cell_tokens) / (tc/T)) — the "
+        "in-cluster rate over the assigned-corpus rate, with a "
+        f">= {CLUSTER_TERM_MIN_C} occurrence floor so hapax noise can't "
+        "top the ranking (the text_salient_terms grammar transplanted "
+        "from sources to trained clusters). Scale shape: one token pass "
+        "joined to the K-row-broadcast cell assignment, two-phase "
+        "(cell, tok) counts, the corpus profile reduced per token "
+        "(vocabulary-bounded), the per-cell head via the salted "
+        "two-level top-k — never a raw content-keyed window; the lift "
+        "numerator rides the DECIMAL/HUGEINT grammar so one mega-cluster "
+        "token can never wrap it."
+    ),
+)
+def sim_cluster_term_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.topk import topk_per_key
+
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("c_qe"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    cents = _update_centroids(qv, _assign_cells(qv, seeds)).localCheckpoint()
+    assign = _assign_cells(qv, cents).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    ct = (
+        # corpus-sized assignment: a plain id equi-join (co-partitioned /
+        # bucketed on the shared id in a real deployment) — never a
+        # broadcast of a corpus-scaled frame
+        toks.join(assign, "doc_id")
+        .groupBy("cell", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tot = ct.groupBy("cell").agg(F.sum("c").alias("cell_tokens"))
+    corp = ct.groupBy("tok").agg(F.sum("c").alias("tc"))
+    t_all = ct.agg(F.sum("c").alias("tt"))
+    lifted = (
+        ct.where(F.col("c") >= CLUSTER_TERM_MIN_C)
+        .join(F.broadcast(tot), "cell")
+        .join(corp, "tok")
+        .crossJoin(F.broadcast(t_all))
+        .select(
+            "cell",
+            "tok",
+            "c",
+            "cell_tokens",
+            F.expr(
+                "(CAST(c AS DECIMAL(19,0)) * 1000000 * CAST(tt AS DECIMAL(19,0)))"
+                " DIV (CAST(cell_tokens AS DECIMAL(19,0)) * CAST(tc AS DECIMAL(19,0)))"
+            ).alias("lift_ppm"),
+        )
+    )
+    return topk_per_key(
+        lifted,
+        keys=["cell"],
+        order=[F.desc("lift_ppm"), F.asc("tok")],
+        k=CLUSTER_TOP_TERMS,
+        tiebreak=F.col("tok"),
+    ).select(
+        "cell",
+        "tok",
+        F.col("c").cast("long").alias("c"),
+        F.col("cell_tokens").cast("long").alias("cell_tokens"),
+        F.col("lift_ppm").cast("long").alias("lift_ppm"),
+        F.col("rk").cast("long").alias("rk"),
+    )

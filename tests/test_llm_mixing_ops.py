@@ -507,3 +507,55 @@ def test_dsir_lift_grammar_exact_past_int64(spark):
             (r.sc + 1) * (r.t_tot + NF)
         )
         assert r.lift_ppm == want, (r, want)
+
+
+def test_cluster_term_profile_labels_clusters(spark, tmp_path):
+    """r12 sim_cluster_term_profile: with three orthogonal embedding
+    clusters whose documents carry cluster-specific marker vocabulary,
+    every cell's top lifted term must be a marker of the cluster that
+    dominates the cell, never the shared filler vocabulary."""
+    from etl_financial_report_spark.operators.similarity import (
+        CLUSTER_TERM_MIN_C,
+        sim_cluster_term_profile,
+    )
+
+    dim = 16
+    markers = ["medicine", "astronomy", "cooking"]
+    filler = "the common shared words appear everywhere equally"
+    erows, drows = [], []
+    for cidx in range(3):
+        for j in range(12):
+            vid = 100 * cidx + j
+            v = [0.0] * dim
+            v[cidx] = 1.0
+            v[(cidx + 5) % dim] = 0.001 * j
+            erows.append((vid, v, cidx))
+            text = f"{filler} " + " ".join([markers[cidx]] * CLUSTER_TERM_MIN_C)
+            drows.append((vid, text, "en", "s", len(text)))
+    spark.createDataFrame(
+        erows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    spark.createDataFrame(
+        drows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = sim_cluster_term_profile(spark, str(tmp_path)).collect()
+    assert out, "profile must emit rows"
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in by_cell.items():
+        top = min(rs, key=lambda r: r.rk)
+        assert top.tok in markers, (cell, top)
+        # markers concentrate in one cell: lift far above the corpus rate
+        assert top.lift_ppm > 1_000_000
+        # filler words are flat across cells -> never the top term
+        assert all(r.tok in markers for r in rs if r.lift_ppm > 1_500_000)
+    # the seed rule (vec_id < N_CELLS) draws every seed from cluster 0,
+    # so clusters 1 and 2 can tie into one cell after the single Lloyd
+    # round — at least two cells must still be marker-labeled, and every
+    # marker must surface SOMEWHERE in the profiles with above-corpus lift
+    tops = {min(rs, key=lambda r: r.rk).tok for rs in by_cell.values()}
+    assert tops <= set(markers) and len(tops) >= 2
+    lifted_toks = {r.tok for r in out if r.lift_ppm > 1_000_000}
+    assert set(markers) <= lifted_toks
