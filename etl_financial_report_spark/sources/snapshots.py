@@ -353,6 +353,66 @@ class SnapshotTable:
         files = self._write_files(merged, version)
         return self._publish(version, files, "merge", file_meta=self._meta_for(files))
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        tag: str | None = None,
+    ) -> dict:
+        """Bin-pack the CURRENT snapshot's small files (the Delta
+        OPTIMIZE / Iceberg rewrite_data_files semantics): files smaller
+        than ``target_bytes // 2`` are read together and rewritten as
+        ~``target_bytes`` files under a new version; files already at
+        size are CARRIED OVER by reference — their bytes are never
+        rewritten, so compaction cost is O(small bytes), not O(table).
+        Copy-on-write like everything here: the base version stays
+        readable (time travel) until vacuumed, and a crashed compaction
+        publishes nothing. Returns an accounting dict; no-ops (returning
+        ``{"compacted": 0, ...}``) when fewer than two small files
+        exist — one small file gains nothing from a rewrite.
+
+        Why it exists: a streaming sink committing per-trigger creates
+        thousands of KB-sized files; at 100 TB a scan's task count (and
+        the manifest itself) grows with FILE count, not data volume —
+        periodic compaction is what keeps both proportional to data."""
+        base = self.current_version()
+        if base is None:
+            raise FileNotFoundError(f"{self.path}: no committed version")
+        m = self._read_manifest(base)
+        meta = m.get("file_meta", {})
+        small, big = [], []
+        for rel in m["files"]:
+            try:
+                sz = os.path.getsize(os.path.join(self.path, rel))
+            except OSError:
+                sz = target_bytes  # unreadable size: leave it alone
+            (small if sz < target_bytes // 2 else big).append((rel, sz))
+        if len(small) < 2:
+            return {"compacted": 0, "carried": len(m["files"]), "version": base}
+        small_bytes = sum(sz for _rel, sz in small)
+        n_out = max(1, (small_bytes + target_bytes - 1) // target_bytes)
+        df = spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel, _sz in small]
+        ).coalesce(int(n_out))
+        version = base + 1
+        new_files = self._write_files(df, version)
+        carried = [rel for rel, _sz in big]
+        carried_meta = {rel: meta[rel] for rel in carried if rel in meta}
+        self._publish(
+            version,
+            carried + new_files,
+            "compact",
+            tag=tag,
+            file_meta={**carried_meta, **self._meta_for(new_files)},
+        )
+        return {
+            "compacted": len(small),
+            "rewritten_files": len(new_files),
+            "carried": len(carried),
+            "small_bytes": small_bytes,
+            "version": version,
+        }
+
     # --------------------------------------------------------------- read
 
     def files(
