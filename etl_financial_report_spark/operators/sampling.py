@@ -1290,3 +1290,172 @@ def sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_lift_ppm").cast("long").alias("avg_lift_ppm"),
         F.coalesce("sel", F.lit(False)).alias("selected"),
     )
+
+
+# ------------------------------------------------- DoReMi-style reweighting
+
+#: multiplicative-weights rounds, unrolled in both engines
+DOREMI_ROUNDS = 3
+#: per-round learning rate in ppm (0.25): the max per-round boost for
+#: the hardest domain is 1.25x, so |w| <= 1e6 * 1.25^3 < 2e6 — int64-safe
+DOREMI_ETA_PPM = 250_000
+
+
+def _doremi_round_ctes() -> str:
+    """Unrolled minimax reweighting rounds over the domain-bounded stats
+    table: each round recomputes the WEIGHTED corpus mean margin under
+    the current weights, a domain's excess = max(0, weighted_mean - its
+    mean) (hard domains sit below the mixture mean), excess normalizes
+    to ppm of the round's max, and weights multiply by
+    (1 + eta * excess_norm). All rows are domain-bounded (|sources|),
+    all arithmetic exact integer on SHIFTED-nonnegative margins."""
+    # dm-prefixed names: the classifier chain this composes with already
+    # owns w1..wN for the perceptron weights
+    parts = ["dmw0 AS (SELECT source, CAST(1000000 AS BIGINT) AS w FROM dstat)"]
+    for r in range(1, DOREMI_ROUNDS + 1):
+        prev = f"dmw{r - 1}"
+        parts += [
+            f"dmavg{r} AS (SELECT CAST(SUM({prev}.w::HUGEINT * s.n_docs * s.avg_sm)"
+            f" // SUM({prev}.w::HUGEINT * s.n_docs) AS BIGINT) AS wavg"
+            f" FROM {prev} JOIN dstat s USING (source))",
+            f"dmexc{r} AS (SELECT s.source, GREATEST(dmavg{r}.wavg - s.avg_sm, 0) AS exc"
+            f" FROM dstat s, dmavg{r})",
+            f"dmexcn{r} AS (SELECT source, CAST(1000000::HUGEINT * exc"
+            f" // ((SELECT MAX(exc) FROM dmexc{r}) + 1) AS BIGINT) AS en FROM dmexc{r})",
+            f"dmw{r} AS (SELECT {prev}.source, CAST({prev}.w::HUGEINT"
+            f" * (1000000 + {DOREMI_ETA_PPM}::HUGEINT * e.en // 1000000)"
+            f" // 1000000 AS BIGINT) AS w"
+            f" FROM {prev} JOIN dmexcn{r} e USING (source))",
+        ]
+    return ",\n".join(parts)
+
+
+def _doremi_oracle() -> str:
+    from .quality import _qc_ctes
+
+    R = DOREMI_ROUNDS
+    return f"""
+WITH {_qc_ctes()},
+marg AS (
+    SELECT d.doc_id, d.source, COALESCE(sc.margin, 0) AS margin
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+),
+minm AS (SELECT MIN(margin) AS mn FROM marg),
+dstat AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(margin) AS BIGINT) AS margin_sum,
+           CAST(SUM(margin::HUGEINT - minm.mn) // COUNT(*) AS BIGINT) AS avg_sm
+    FROM marg, minm GROUP BY source, minm.mn
+),
+{_doremi_round_ctes()},
+tot AS (SELECT SUM(w) AS tw FROM dmw{R})
+SELECT s.source,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       s.margin_sum,
+       s.avg_sm AS avg_shifted_margin,
+       dmexcn{R}.en AS excess_norm_ppm,
+       dmw{R}.w AS w_raw,
+       CAST(1000000::HUGEINT * dmw{R}.w // tot.tw AS BIGINT) AS weight_ppm
+FROM dstat s
+JOIN dmw{R} USING (source)
+JOIN dmexcn{R} USING (source)
+CROSS JOIN tot
+"""
+
+
+@register(
+    "sample_doremi_weights",
+    oracle=_doremi_oracle(),
+    doc=(
+        "DoReMi-style domain reweighting (Xie et al. 2023, 'DoReMi: "
+        "Optimizing Data Mixtures Speeds Up Language Model Pretraining' "
+        "— the minimax multiplicative-weights loop, with the trained "
+        "quality classifier's margin as the DETERMINISTIC stand-in for "
+        "proxy-model excess loss, documented honestly as such): each of "
+        f"{DOREMI_ROUNDS} unrolled rounds recomputes the mixture-weighted "
+        "corpus mean margin under the CURRENT weights, scores every "
+        "domain's excess = max(0, weighted_mean - domain_mean) (domains "
+        "below the mixture mean are the hard ones), normalizes to ppm of "
+        "the round max, and multiplies weights by (1 + eta * excess) at "
+        f"eta = {DOREMI_ETA_PPM} ppm — a genuine fixed-point chase: as "
+        "hard domains upweight, the weighted mean moves toward them and "
+        "their excess SHRINKS, which is the minimax dynamic (static "
+        "excess would make the loop decorative). Exactness: margins "
+        "shift by the corpus min so every numerator is nonnegative, all "
+        "updates are integer ppm in HUGEINT (DuckDB) / DECIMAL-guarded "
+        "int64 (Spark; max weight 1e6 * 1.25^3 < 2e6), final weights "
+        "floor-normalize to ppm of their sum. Scale shape: ONE corpus "
+        "pass builds the per-domain stats (classifier margins ride the "
+        "persisted weight artifact); every round is arithmetic over the "
+        "DOMAIN-bounded table (|sources| rows) — iteration cost is "
+        "independent of corpus size."
+    ),
+)
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import _qc_scored
+
+    R = DOREMI_ROUNDS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    marg = docs.join(
+        _qc_scored(spark, sf_dir).select("doc_id", "margin"), "doc_id", "left"
+    ).select("source", F.coalesce("margin", F.lit(0)).alias("margin"))
+    minm = marg.agg(F.min("margin").alias("mn"))
+    dstat = (
+        marg.crossJoin(F.broadcast(minm))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("margin").cast("long").alias("margin_sum"),
+            F.expr(
+                "SUM(CAST(margin AS DECIMAL(19,0)) - mn) DIV COUNT(*)"
+            ).alias("avg_sm"),
+        )
+        .localCheckpoint()  # domain-bounded rows, consumed 2x per round
+    )
+    w = dstat.select("source", F.lit(1_000_000).cast("long").alias("w"))
+    excn = None
+    for _r in range(1, R + 1):
+        wavg = (
+            w.join(dstat, "source")
+            .agg(
+                F.expr(
+                    "SUM(CAST(w AS DECIMAL(19,0)) * n_docs * avg_sm)"
+                    " DIV SUM(CAST(w AS DECIMAL(19,0)) * n_docs)"
+                ).alias("wavg")
+            )
+        )
+        exc = (
+            dstat.crossJoin(F.broadcast(wavg))
+            .select("source", F.greatest(F.col("wavg") - F.col("avg_sm"), F.lit(0)).alias("exc"))
+        )
+        mx = exc.agg(F.max("exc").alias("mxe"))
+        excn = exc.crossJoin(F.broadcast(mx)).select(
+            "source",
+            F.expr("CAST(1000000 AS DECIMAL(19,0)) * exc DIV (mxe + 1)").alias("en"),
+        )
+        w = (
+            w.join(excn, "source")
+            .select(
+                "source",
+                F.expr(
+                    f"CAST(w AS DECIMAL(19,0))"
+                    f" * (1000000 + CAST({DOREMI_ETA_PPM} AS DECIMAL(19,0)) * en DIV 1000000)"
+                    " DIV 1000000"
+                ).cast("long").alias("w"),
+            )
+        )
+    tot = w.agg(F.sum("w").alias("tw"))
+    return (
+        dstat.join(w, "source")
+        .join(excn.select("source", F.col("en").cast("long").alias("excess_norm_ppm")), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "margin_sum",
+            F.col("avg_sm").cast("long").alias("avg_shifted_margin"),
+            "excess_norm_ppm",
+            F.col("w").cast("long").alias("w_raw"),
+            F.expr("CAST(1000000 AS DECIMAL(19,0)) * w DIV tw").cast("long").alias("weight_ppm"),
+        )
+    )

@@ -559,3 +559,42 @@ def test_cluster_term_profile_labels_clusters(spark, tmp_path):
     assert tops <= set(markers) and len(tops) >= 2
     lifted_toks = {r.tok for r in out if r.lift_ppm > 1_000_000}
     assert set(markers) <= lifted_toks
+
+
+def test_doremi_upweights_hard_domains(spark, tmp_path):
+    """r12 sample_doremi_weights: a domain whose documents fail the
+    quality weak label (negative classifier margins) must end with the
+    LARGEST mixture weight (the minimax chase upweights below-mean
+    domains), a uniformly-easy corpus must stay uniform, and final
+    weights floor-normalize to <= 1e6 ppm total."""
+    from etl_financial_report_spark.operators.sampling import sample_doremi_weights
+
+    good = "the and " + " ".join("alpha" for _ in range(18))  # gate-pass
+    bad = " ".join("beta" for _ in range(8))  # word-count violation
+    rows = []
+    for i in range(40):
+        rows.append((i, good, "en", "easy_a", len(good)))
+    for i in range(40, 80):
+        rows.append((i, good, "en", "easy_b", len(good)))
+    for i in range(80, 120):
+        rows.append((i, bad, "en", "hard", len(bad)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r.source: r for r in sample_doremi_weights(spark, str(tmp_path)).collect()}
+    assert set(out) == {"easy_a", "easy_b", "hard"}
+    assert out["hard"].weight_ppm > out["easy_a"].weight_ppm
+    assert out["hard"].weight_ppm > out["easy_b"].weight_ppm
+    assert out["hard"].excess_norm_ppm > 0
+    # identical-content domains tie exactly (deterministic integer math)
+    assert out["easy_a"].weight_ppm == out["easy_b"].weight_ppm
+    assert sum(r.weight_ppm for r in out.values()) <= 1_000_000
+
+    # uniform corpus: zero excess everywhere -> uniform weights
+    u = [(i, good, "en", f"s{i % 4}", len(good)) for i in range(200, 280)]
+    spark.createDataFrame(
+        u, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/u/documents.parquet")
+    uout = sample_doremi_weights(spark, f"{tmp_path}/u").collect()
+    assert len({r.weight_ppm for r in uout}) == 1
