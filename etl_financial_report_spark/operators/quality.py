@@ -1365,3 +1365,127 @@ def text_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual_keep", "predicted_keep")
     )
+
+
+#: decile ranks probed by the threshold sweep (k/10 of the held-out
+#: margin distribution, discrete — rank-indexed, never interpolated)
+QC_SWEEP_DECILES = tuple(range(1, 10))
+
+
+@register(
+    "text_quality_threshold_sweep",
+    oracle=f"""
+WITH {_qc_ctes()},
+ev AS (
+    SELECT l.doc_id, (l.y = 1) AS actual_keep,
+           COALESCE(sc.margin, 0) AS margin
+    FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id
+    WHERE l.held_out
+),
+nheld AS (SELECT COUNT(*) AS n FROM ev),
+ranked AS (
+    SELECT margin, ROW_NUMBER() OVER (ORDER BY margin, doc_id) AS rnk FROM ev
+),
+bars AS (
+    SELECT k, r.margin AS bar
+    FROM (SELECT unnest({list(QC_SWEEP_DECILES)}) AS k) ks
+    JOIN nheld ON TRUE
+    JOIN ranked r ON r.rnk = GREATEST((ks.k * nheld.n) // 10, 1)
+),
+cells AS (
+    SELECT b.k, b.bar,
+           COUNT(*) FILTER (ev.margin > b.bar) AS n_keep,
+           COUNT(*) FILTER (ev.margin > b.bar AND ev.actual_keep) AS tp,
+           COUNT(*) FILTER (ev.margin > b.bar AND NOT ev.actual_keep) AS fp,
+           COUNT(*) FILTER (ev.margin <= b.bar AND ev.actual_keep) AS fn
+    FROM bars b CROSS JOIN ev
+    GROUP BY 1, 2
+)
+SELECT CAST(c.k AS BIGINT) AS decile, c.bar,
+       CAST(c.n_keep AS BIGINT) AS n_keep,
+       CAST((c.n_keep * 1000000) // nheld.n AS BIGINT) AS keep_ppm,
+       CAST(CASE WHEN c.tp + c.fp > 0
+                 THEN (c.tp * 1000000) // (c.tp + c.fp) END AS BIGINT)
+           AS precision_ppm,
+       CAST(CASE WHEN c.tp + c.fn > 0
+                 THEN (c.tp * 1000000) // (c.tp + c.fn) END AS BIGINT)
+           AS recall_ppm
+FROM cells c CROSS JOIN nheld
+ORDER BY decile
+""",
+    doc=(
+        "Margin-threshold operating-point sweep for the trained quality "
+        "classifier — the artifact the gate's threshold is CHOSEN from "
+        "(the nprobe-sweep/banding-sweep discipline applied to the "
+        "model-based filter; VERDICT r11's 'gate at a data-derived "
+        "threshold'): the nine decile margins of the HELD-OUT "
+        "distribution (discrete rank-indexed values via ROW_NUMBER — "
+        "never interpolated percentiles, whose float midpoints are "
+        "engine-divergent) each become a candidate bar, and every bar "
+        "reports its keep volume plus precision/recall against the weak "
+        "label in exact integer ppm. A curation run picks the bar that "
+        "clears its precision target at the largest keep rate — from "
+        "data, not from the margin>0 default. Scale shape: the sweep "
+        "costs ONE pass over the held-out slice (9 bars x conditional "
+        "aggregates; the bar table is 9 broadcast rows), margins ride "
+        "the persisted weight artifact, the rank probe is one window "
+        "over the held-out slice only."
+    ),
+)
+def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _qc_scored(spark, sf_dir)
+        .where("held_out")
+        .select("doc_id", (F.col("y") == 1).alias("actual_keep"), "margin")
+    )
+    from pyspark.sql import Window
+
+    nheld = ev.agg(F.count(F.lit(1)).alias("n"))
+    ranked = ev.select(
+        "margin",
+        F.row_number()
+        .over(Window.orderBy(F.asc("margin"), F.asc("doc_id")))
+        .alias("rnk"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    bars = (
+        ks.crossJoin(F.broadcast(nheld))
+        .select("k", F.greatest(F.expr("(k * n) DIV 10"), F.lit(1)).alias("rnk"))
+        .join(ranked, "rnk")
+        .select("k", F.col("margin").alias("bar"))
+    )
+    cells = (
+        F.broadcast(bars)
+        .crossJoin(ev)
+        .groupBy("k", "bar")
+        .agg(
+            F.sum((F.col("margin") > F.col("bar")).cast("long")).alias("n_keep"),
+            F.sum(
+                ((F.col("margin") > F.col("bar")) & F.col("actual_keep")).cast("long")
+            ).alias("tp"),
+            F.sum(
+                ((F.col("margin") > F.col("bar")) & ~F.col("actual_keep")).cast("long")
+            ).alias("fp"),
+            F.sum(
+                ((F.col("margin") <= F.col("bar")) & F.col("actual_keep")).cast("long")
+            ).alias("fn"),
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(nheld))
+        .select(
+            F.col("k").cast("long").alias("decile"),
+            "bar",
+            F.col("n_keep").cast("long").alias("n_keep"),
+            F.expr("(n_keep * 1000000) DIV n").cast("long").alias("keep_ppm"),
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.expr("(tp * 1000000) DIV (tp + fp)"),
+            ).cast("long").alias("precision_ppm"),
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.expr("(tp * 1000000) DIV (tp + fn)"),
+            ).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -199,3 +199,26 @@ def test_quality_classifier_learns_separable_gate(spark, tmp_path):
     finally:
         IO._MEMO_FRAMES.clear()
         IO._MEMO_FRAMES.update(saved)
+
+
+def test_quality_threshold_sweep_monotone(spark, sf_dir):
+    """r12 operating-point sweep: bars are the held-out margin deciles
+    (non-decreasing), raising the bar can only shrink the keep set and
+    the recall, and every row's counts come from the same held-out
+    population."""
+    from etl_financial_report_spark.operators.quality import (
+        text_quality_threshold_sweep,
+    )
+
+    rows = sorted(
+        text_quality_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 10))
+    for a, b in zip(rows, rows[1:]):
+        assert a.bar <= b.bar
+        assert a.n_keep >= b.n_keep
+        assert a.keep_ppm >= b.keep_ppm
+        assert (a.recall_ppm or 0) >= (b.recall_ppm or 0)
+    # keep_ppm is exactly rank arithmetic on the decile bars
+    assert all(r.keep_ppm <= 1_000_000 for r in rows)
