@@ -424,9 +424,25 @@ def memo_checkpoint(
         skey = _index_key(sf_dir, table, tag, extra_key, mod_file)
         df = index_store_lookup(spark, tag, skey)
         if df is None:
+            ids_before = _persistent_rdd_ids(spark)
             built = build()
             df = index_store_publish(spark, tag, skey, built)
-            hit = (df, frozenset()) if df is not None else checkpoint_tracked(built)
+            if df is not None:
+                # the disk read replaces every frame the build pinned —
+                # free the build's internal checkpoints NOW instead of at
+                # session end, EXCEPT ids owned by a nested memo entry
+                # (a builder may call another memo_checkpoint whose miss
+                # cached a checkpoint inside this window; freeing that
+                # would leave a live cache entry with dead blocks)
+                protected: set = set()
+                for _f, ids in _MEMO_FRAMES.values():
+                    protected |= ids
+                unpersist_tracked(
+                    spark, (_persistent_rdd_ids(spark) - ids_before) - protected
+                )
+                hit = (df, frozenset())
+            else:
+                hit = checkpoint_tracked(built)
         else:
             hit = (df, frozenset())
         while len(_MEMO_FRAMES) >= _MEMO_FRAMES_MAX:

@@ -383,6 +383,7 @@ def unigram_corpus_trained(spark: SparkSession, sf_dir: str):
             vocab2 = {r["piece"]: r["score"] for r in vocab_df.collect()}
             hit = (vocab2, seg_df, frozenset())
         else:
+            ids_before = _io._persistent_rdd_ids(spark)
             words = unigram_words(load_table(spark, sf_dir, "documents"))
             vocab2, seg = unigram_train_collected(words)
             vdf = spark.createDataFrame(
@@ -391,6 +392,11 @@ def unigram_corpus_trained(spark: SparkSession, sf_dir: str):
             _io.index_store_publish(spark, "unigram_vocab", skey, vdf)
             disk_seg = _io.index_store_publish(spark, "unigram_seg", skey, seg)
             if disk_seg is not None:
+                # the disk read replaces the trainer's pins (the words
+                # checkpoint inside unigram_train_collected) — free them
+                _io.unpersist_tracked(
+                    spark, _io._persistent_rdd_ids(spark) - ids_before
+                )
                 hit = (vocab2, disk_seg, frozenset())
             else:
                 ck, ids = _io.checkpoint_tracked(seg)

@@ -138,3 +138,64 @@ def test_residual_index_round_trips_fresh_session(spark, tmp_store, monkeypatch)
     assert set(idx2) == set(idx1)
     assert _rows(idx2["rcodes"]) == want
     S._RESIDUAL_INDEX_CACHE.clear()
+
+
+def test_publish_frees_build_internal_checkpoints(spark, tmp_store):
+    """r12 leak fix: when the publish succeeds, the build's INTERNAL
+    localCheckpoints (training intermediates) are unpersisted — the disk
+    read replaces them — while a NESTED memo entry cached inside the
+    build window keeps its blocks (freeing those would corrupt the live
+    cache entry)."""
+    from pyspark.sql import functions as F
+
+    def build():
+        # an internal intermediate the builder pins (the fb/words shape)
+        inner = (
+            load_table(spark, SF, "documents")
+            .where(F.col("doc_id") < 20)
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        return inner.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    before = IO._persistent_rdd_ids(spark)
+    out = IO.memo_checkpoint(spark, SF, "documents", "t_leak", build)
+    assert out.collect()[0]["n"] == 20
+    after = IO._persistent_rdd_ids(spark)
+    assert after - before == frozenset(), (
+        "publish success must leave zero new pinned RDDs (disk-backed hit)"
+    )
+
+
+def test_publish_protects_nested_memo_checkpoints(spark, tmp_store, monkeypatch):
+    """A nested memo miss that falls back to a checkpoint (publish
+    failed for the INNER only) must survive the outer build's cleanup."""
+    from pyspark.sql import functions as F
+
+    inner_frame = {}
+
+    def inner_build():
+        return (
+            load_table(spark, SF, "documents")
+            .where(F.col("doc_id") < 5)
+            .select("doc_id")
+        )
+
+    real_publish = IO.index_store_publish
+
+    def failing_inner_publish(spark_, tag, key, df):
+        if tag == "t_inner":
+            return None  # force the inner onto the checkpoint path
+        return real_publish(spark_, tag, key, df)
+
+    monkeypatch.setattr(IO, "index_store_publish", failing_inner_publish)
+
+    def outer_build():
+        inner = IO.memo_checkpoint(spark, SF, "documents", "t_inner", inner_build)
+        inner_frame["df"] = inner
+        return inner.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    out = IO.memo_checkpoint(spark, SF, "documents", "t_outer", outer_build)
+    assert out.collect()[0]["n"] == 5
+    # the nested entry's checkpoint must still be readable (not freed)
+    assert inner_frame["df"].count() == 5
