@@ -1437,15 +1437,44 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qc_scored(spark, sf_dir)
         .where("held_out")
         .select("doc_id", (F.col("y") == 1).alias("actual_keep"), "margin")
+        .localCheckpoint()  # consumed 3x below (stats, rank, cells)
     )
     from pyspark.sql import Window
 
     nheld = ev.agg(F.count(F.lit(1)).alias("n"))
-    ranked = ev.select(
-        "margin",
-        F.row_number()
-        .over(Window.orderBy(F.asc("margin"), F.asc("doc_id")))
-        .alias("rnk"),
+    # global (margin, doc_id) rank via the banded two-level prefix sum
+    # (pack_shards discipline — an unpartitioned row_number over the
+    # held-out slice would be a single-reducer sort at scale): margins
+    # band by value range (the 1-row min/max broadcast makes banding a
+    # pure projection and keeps bands monotone in margin, so banded rank
+    # == global rank), ranks partition per band, and the <= _QC_BANDS-row
+    # band-offset table is the only ordered window
+    _QC_BANDS = 64
+    span = ev.agg(F.min("margin").alias("mn"), F.max("margin").alias("mx"))
+    banded = ev.crossJoin(F.broadcast(span)).withColumn(
+        "band",
+        # DECIMAL guard: (margin - mn) * bands can cross int64 when the
+        # margin span itself is near the int64 edge
+        F.expr(
+            f"CAST((CAST(margin AS DECIMAL(20,0)) - mn) * {_QC_BANDS}"
+            " DIV (CAST(mx AS DECIMAL(20,0)) - mn + 1) AS LONG)"
+        ),
+    )
+    w_in = Window.partitionBy("band").orderBy(F.asc("margin"), F.asc("doc_id"))
+    within = banded.select(
+        "margin", "band", F.row_number().over(w_in).alias("rk_in")
+    )
+    w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("band_n"))
+        .select(
+            "band",
+            F.coalesce(F.sum("band_n").over(w_b), F.lit(0)).alias("offset"),
+        )
+    )
+    ranked = within.join(F.broadcast(offsets), "band").select(
+        "margin", (F.col("offset") + F.col("rk_in")).alias("rnk")
     )
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
     bars = (
@@ -1455,8 +1484,7 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", F.col("margin").alias("bar"))
     )
     cells = (
-        F.broadcast(bars)
-        .crossJoin(ev)
+        ev.crossJoin(F.broadcast(bars))
         .groupBy("k", "bar")
         .agg(
             F.sum((F.col("margin") > F.col("bar")).cast("long")).alias("n_keep"),

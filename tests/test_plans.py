@@ -89,6 +89,15 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_ann_ivf_nprobe_sweep",
     # three 1-row conditional-sum aggregates assembled into the 6 bar rows
     "sim_semantic_threshold_sweep",
+    # r12: 1-row corpus-total broadcast onto the (cell, tok) lift table
+    # (the dsir profile-totals shape)
+    "sim_cluster_term_profile",
+    # r12: 1-row margin-min + per-round 1-row weighted-mean / max-excess
+    # broadcasts onto the DOMAIN-bounded stats table (|sources| rows)
+    "sample_doremi_weights",
+    # r12: 1-row held-out count + 1-row margin-span + 9-row decile-bar
+    # broadcasts (the banding-sweep operating-point shape)
+    "text_quality_threshold_sweep",
     # 16-row query block broadcast (sim_ann_batch_recall_eval's exact shape)
     "sim_retrieval_mrr_eval",
     "text_bpe_encode", "text_bpe_merges", "text_quality_percentile_gate", "text_salient_terms",

@@ -54,6 +54,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # sample_quality_budget: per-band totals prefix (<= 64 + 1 rows);
     # pack_token_sequences: the same n/G group-total prefix frame
     "operators/windows.py": 1,  # interval sweep: per-day frame
+    # threshold sweep: band-offset prefix over the <= 64-row margin-band
+    # totals (the pack_shards two-level discipline; within-band ranks are
+    # partitioned)
+    "operators/quality.py": 1,
     "operators/relational.py": 2,  # ntile band offsets + year/quarter frame
     # IVF probe ranking + residual-IVFPQ nprobe ranking: each orders the
     # N_CELLS(=8) centroid cosines of ONE query vector — bounded frames;
