@@ -1159,3 +1159,89 @@ def test_quality_classifier_margins_survive_mega_cluster(spark, skew_dir, skew_r
     assert mega_scores == 1
     assert w_rows <= QC_NF + 6
     assert held_ok.ok * 1_000_000 // held_ok.n >= 950_000
+
+
+def test_doremi_stays_domain_bounded_under_mega_source(spark, skew_dir, skew_record):
+    """DoReMi reweighting under the 50k-doc mega source (r12): the
+    iteration state stays DOMAIN-bounded (21 sources + zipf_mega), the
+    final weights floor-normalize to <= 1e6 ppm, every round's integer
+    math returns no nulls, and the verdict on the mega source is
+    DATA-driven: all its copies share one margin, so its weight is
+    decided by whether that one document is hard (below the mixture
+    mean) — never by its raw mass (compare sample_dsir_selection's
+    mass-neutrality on the same corpus)."""
+    from etl_financial_report_spark.operators.sampling import sample_doremi_weights
+
+    df, sec = _timed(lambda: sample_doremi_weights(spark, skew_dir).localCheckpoint())
+    rows = {r.source: r for r in df.collect()}
+    mega = rows["zipf_mega"]
+    tot_ppm = sum(r.weight_ppm for r in rows.values())
+    skew_record["sample_doremi_weights"] = {
+        "sec": sec,
+        "domains": len(rows),
+        "weight_ppm_total": tot_ppm,
+        "mega_n_docs": int(mega.n_docs),
+        "mega_excess_norm_ppm": int(mega.excess_norm_ppm),
+        "mega_weight_ppm": int(mega.weight_ppm),
+        "max_weight_ppm": max(int(r.weight_ppm) for r in rows.values()),
+    }
+    assert len(rows) == 21  # 20 zipf sources + the mega source
+    assert mega.n_docs == MEGA_DOCS
+    assert tot_ppm <= 1_000_000
+    assert all(r.weight_ppm > 0 for r in rows.values())
+    # the mega's mean margin is ONE document's margin; its excess (and so
+    # its weight) must be consistent with that sign, independent of mass
+    mixture_mean_above = mega.excess_norm_ppm > 0
+    if mixture_mean_above:
+        assert mega.weight_ppm >= min(int(r.weight_ppm) for r in rows.values())
+    else:
+        assert mega.weight_ppm == min(int(r.weight_ppm) for r in rows.values())
+
+
+def test_cluster_term_profile_labels_mega_cell(spark, skew_dir, skew_record):
+    """Cluster term profile under the 20k-copy mega vector cluster (r12):
+    the profile completes at 60k vectors x 150k docs, emits <= 5 terms
+    per cell, and the cell holding the mega cluster is labeled by the
+    mega DOCUMENT's own vocabulary — the 'what is this cluster' answer
+    is readable exactly where curation needs it most."""
+    from etl_financial_report_spark.operators.similarity import (
+        CLUSTER_TOP_TERMS,
+        sample_cluster_balanced,
+        sim_cluster_term_profile,
+    )
+
+    df, sec = _timed(
+        lambda: sim_cluster_term_profile(spark, skew_dir).localCheckpoint()
+    )
+    rows = df.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # find the mega cell via the balanced-sampler's population accounting
+    pop = {
+        r.cell: r.cell_n
+        for r in sample_cluster_balanced(spark, skew_dir)
+        .select("cell", "cell_n")
+        .distinct()
+        .collect()
+    }
+    mega_cell = max(pop, key=pop.get)
+    mega_text = (
+        load_table(spark, skew_dir, "documents")
+        .where(F.col("doc_id") == MEGA_DOC_BASE)
+        .collect()[0]
+        .text
+    )
+    mega_toks = set(mega_text.split(" "))
+    top = min(by_cell[mega_cell], key=lambda r: r.rk)
+    skew_record["sim_cluster_term_profile"] = {
+        "sec": sec,
+        "cells": len(by_cell),
+        "mega_cell": int(mega_cell),
+        "mega_cell_population": int(pop[mega_cell]),
+        "mega_cell_top_term": top.tok,
+        "top_term_is_mega_vocab": top.tok in mega_toks,
+    }
+    assert all(len(rs) <= CLUSTER_TOP_TERMS for rs in by_cell.values())
+    assert pop[mega_cell] >= MEGA_VECS
+    assert top.tok in mega_toks
