@@ -656,3 +656,35 @@ def test_quality_classifier_x100(spark, sf10_dir, smoke_record):
     assert w_rows <= QC_NF + 6  # model state is corpus-size independent
     assert total == 100_000  # every held-out doc verdicts exactly once
     assert diag * 1_000_000 // total >= 950_000  # >= 95% held-out accuracy
+
+
+def test_threshold_sweep_and_doremi_x100(spark, sf10_dir, smoke_record):
+    """r12 additions at 500k docs: the threshold sweep's decile ranking
+    runs through the banded two-level prefix sum over the 100k-doc
+    held-out slice (the redesign the scale nets forced — no global
+    row_number anywhere), bars stay exactly nine and monotone; DoReMi
+    iterates over a 20-source stats table whose size is corpus-
+    independent and its weights normalize."""
+    df, n = _run(
+        spark,
+        "text_quality_threshold_sweep",
+        lambda: registry.all_queries()["text_quality_threshold_sweep"].fn(
+            spark, sf10_dir
+        ),
+        smoke_record,
+    )
+    rows = sorted(df.collect(), key=lambda r: r.decile)
+    assert n == 9
+    assert all(a.bar <= b.bar and a.n_keep >= b.n_keep for a, b in zip(rows, rows[1:]))
+    assert rows[0].n_keep <= 100_000  # held-out slice, never the corpus
+
+    df2, n2 = _run(
+        spark,
+        "sample_doremi_weights",
+        lambda: registry.all_queries()["sample_doremi_weights"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    out = df2.collect()
+    assert n2 == 20  # domain-bounded output, 100x the corpus changes nothing
+    assert sum(r.weight_ppm for r in out) <= 1_000_000
+    assert sum(r.n_docs for r in out) == 500_000
