@@ -58,3 +58,51 @@ def test_table_metadata_recurses_partitioned_layout(spark, tmp_path):
     # partition-pruned column moves from data files into dir names, so the
     # partitioned copy is smaller-or-similar but must be far from zero
     assert table_size_bytes(str(tmp_path), "documents") > 0
+
+
+def test_index_store_report_tool_runs(spark, tmp_path, monkeypatch):
+    """tools/index_store_report.py: pure-metadata report over the store
+    layout — runs without a Spark session, prints one line per family
+    plus a TOTAL, and honors --root/--json."""
+    import json
+    import subprocess
+    import sys
+
+    import etl_financial_report_spark.io as IO
+    from etl_financial_report_spark.io import load_table
+
+    monkeypatch.setattr(IO, "INDEX_STORE_ROOT", str(tmp_path / "store"))
+    monkeypatch.setattr(IO, "INDEX_STORE_ENABLED", True)
+    saved = dict(IO._MEMO_FRAMES)
+    IO._MEMO_FRAMES.clear()
+    try:
+        IO.memo_checkpoint(
+            spark,
+            "/root/testdata/sf0.001",
+            "documents",
+            "t_report",
+            lambda: load_table(spark, "/root/testdata/sf0.001", "documents")
+            .limit(7)
+            .select("doc_id"),
+        )
+    finally:
+        IO._MEMO_FRAMES.clear()
+        IO._MEMO_FRAMES.update(saved)
+    out_json = str(tmp_path / "report.json")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/index_store_report.py",
+            "--root",
+            str(tmp_path / "store"),
+            "--json",
+            out_json,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "t_report" in proc.stdout and "TOTAL" in proc.stdout
+    rep = json.load(open(out_json))
+    assert rep["t_report"][0]["rows"] == 7
