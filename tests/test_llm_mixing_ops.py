@@ -598,3 +598,47 @@ def test_doremi_upweights_hard_domains(spark, tmp_path):
     ).coalesce(1).write.parquet(f"{tmp_path}/u/documents.parquet")
     uout = sample_doremi_weights(spark, f"{tmp_path}/u").collect()
     assert len({r.weight_ppm for r in uout}) == 1
+
+
+def test_doremi_single_source_is_identity(spark, tmp_path):
+    """Degenerate mixture: ONE source means the weighted mean IS the
+    domain mean, excess pins to zero every round, and the final weight
+    is the whole mixture."""
+    from etl_financial_report_spark.operators.sampling import sample_doremi_weights
+
+    good = "the and " + " ".join("alpha" for _ in range(18))
+    rows = [(i, good, "en", "only", len(good)) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = sample_doremi_weights(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.source == "only" and r.excess_norm_ppm == 0
+    assert r.w_raw == 1_000_000 and r.weight_ppm == 1_000_000
+
+
+def test_threshold_sweep_uniform_margins(spark, tmp_path):
+    """Degenerate sweep: identical documents give ONE margin value, so
+    every decile bar equals it and margin > bar keeps nothing — the
+    sweep reports an honest all-zero keep column instead of dying on the
+    single-band edge (mx == mn exercises the band formula's +1 guard)."""
+    from etl_financial_report_spark.operators.quality import (
+        text_quality_threshold_sweep,
+    )
+
+    good = "the and " + " ".join("alpha" for _ in range(18))
+    rows = [(i, good, "en", "s", len(good)) for i in range(25)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    out = sorted(
+        text_quality_threshold_sweep(spark, str(tmp_path)).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in out] == list(range(1, 10))
+    assert len({r.bar for r in out}) == 1  # one margin value everywhere
+    assert all(r.n_keep == 0 and r.keep_ppm == 0 for r in out)
+    # precision undefined (no kept docs) -> NULL; recall defined and zero
+    assert all(r.precision_ppm is None for r in out)
+    assert all(r.recall_ppm == 0 for r in out)
