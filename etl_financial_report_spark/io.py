@@ -144,7 +144,11 @@ def _stat_tuple(path: str) -> tuple:
     try:
         st = os.stat(path)
     except OSError:
-        return ("<missing>",)
+        # sentinel shaped like a real (relpath, size, mtime_ns) entry so
+        # corpus_fingerprint's 3-way unpack works and its "<missing>"
+        # branch is reachable (ADVICE r12: a bare 1-tuple of the string
+        # unpacked the 9 characters into 3 variables and raised)
+        return (("<missing>", 0, 0),)
     if not os.path.isdir(path):
         return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
     out = []
@@ -386,6 +390,31 @@ _MEMO_FRAMES_MAX = 24
 MEMO_ENABLED = True
 
 
+#: pin providers: callables returning the persistent-RDD ids currently
+#: owned by a live cache entry (the family caches in unigram/similarity
+#: register here at import). Any post-publish "free the build window"
+#: unpersist must subtract this union — a builder that nests another
+#: memoized build would otherwise free blocks a LIVE cache entry still
+#: references (ADVICE r12: unigram's cleanup had no protected set).
+_PIN_PROVIDERS: list = []
+
+
+def register_pin_provider(fn) -> None:
+    _PIN_PROVIDERS.append(fn)
+
+
+def protected_rdd_ids() -> set:
+    out: set = set()
+    for _f, ids in _MEMO_FRAMES.values():
+        out |= set(ids)
+    for fn in _PIN_PROVIDERS:
+        try:
+            out |= set(fn())
+        except Exception:
+            pass
+    return out
+
+
 def memo_checkpoint(
     spark: SparkSession,
     sf_dir: str,
@@ -430,15 +459,14 @@ def memo_checkpoint(
             if df is not None:
                 # the disk read replaces every frame the build pinned —
                 # free the build's internal checkpoints NOW instead of at
-                # session end, EXCEPT ids owned by a nested memo entry
-                # (a builder may call another memo_checkpoint whose miss
-                # cached a checkpoint inside this window; freeing that
-                # would leave a live cache entry with dead blocks)
-                protected: set = set()
-                for _f, ids in _MEMO_FRAMES.values():
-                    protected |= ids
+                # session end, EXCEPT ids owned by a live cache entry in
+                # ANY family cache (a builder may nest another memoized
+                # build whose miss cached a checkpoint inside this window;
+                # freeing that would leave a live entry with dead blocks)
                 unpersist_tracked(
-                    spark, (_persistent_rdd_ids(spark) - ids_before) - protected
+                    spark,
+                    (_persistent_rdd_ids(spark) - ids_before)
+                    - protected_rdd_ids(),
                 )
                 hit = (df, frozenset())
             else:

@@ -1476,7 +1476,10 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = within.join(F.broadcast(offsets), "band").select(
         "margin", (F.col("offset") + F.col("rk_in")).alias("rnk")
     )
-    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    # probed deciles come from QC_SWEEP_DECILES — the SAME constant the
+    # oracle SQL interpolates — so editing it can never desynchronize the
+    # engine twins (ADVICE r12: this side hardcoded range(1, 10))
+    ks = spark.createDataFrame([(int(k),) for k in QC_SWEEP_DECILES], "k long")
     bars = (
         ks.crossJoin(F.broadcast(nheld))
         .select("k", F.greatest(F.expr("(k * n) DIV 10"), F.lit(1)).alias("rnk"))

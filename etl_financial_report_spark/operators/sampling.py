@@ -1405,7 +1405,13 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("margin").cast("long").alias("margin_sum"),
+            # DECIMAL before the BIGINT cast: a plain SUM(long) wraps
+            # silently under ANSI-off at extreme corpus scale, diverging
+            # from the oracle's HUGEINT sum (ADVICE r12); the final cast
+            # matches the declared BIGINT column
+            F.expr("SUM(CAST(margin AS DECIMAL(38,0)))")
+            .cast("long")
+            .alias("margin_sum"),
             F.expr(
                 "SUM(CAST(margin AS DECIMAL(19,0)) - mn) DIV COUNT(*)"
             ).alias("avg_sm"),

@@ -2434,6 +2434,21 @@ _RESIDUAL_INDEX_CACHE: dict[tuple, tuple] = {}  # key -> (index dict, rdd ids)
 _RESIDUAL_INDEX_MAX = 4
 
 
+def _residual_cache_pins():
+    """Persistent-RDD ids owned by live index entries — an io pin
+    provider so no post-publish cleanup elsewhere frees blocks a live
+    entry here still references (ADVICE r12)."""
+    out: set = set()
+    for _idx, ids in _RESIDUAL_INDEX_CACHE.values():
+        out |= set(ids)
+    return out
+
+
+from .. import io as _io_reg  # noqa: E402  (registration, not a cycle)
+
+_io_reg.register_pin_provider(_residual_cache_pins)
+
+
 def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
     from .. import io as _io
 
@@ -2548,7 +2563,7 @@ def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
             for n in _IDX_PARTS
         }
         if all(v is not None for v in pub.values()):
-            _io.unpersist_tracked(spark, build_ids)
+            _io.unpersist_tracked(spark, build_ids - _io.protected_rdd_ids())
             entry = (pub, frozenset())
             idx = pub
         else:

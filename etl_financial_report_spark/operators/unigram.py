@@ -350,6 +350,21 @@ _TRAINED_CACHE: dict[tuple, tuple] = {}
 _TRAINED_CACHE_MAX = 8
 
 
+def _trained_cache_pins():
+    """Persistent-RDD ids owned by live trainer entries — registered as
+    an io pin provider so no family's post-publish cleanup can free a
+    checkpoint this cache still references (ADVICE r12)."""
+    out: set = set()
+    for entry in _TRAINED_CACHE.values():
+        out |= set(entry[2])
+    return out
+
+
+from .. import io as _io_reg  # noqa: E402  (registration, not a cycle)
+
+_io_reg.register_pin_provider(_trained_cache_pins)
+
+
 def unigram_corpus_trained(spark: SparkSession, sf_dir: str):
     """(vocab2 dict, seg frame) under the default training geometry over
     the documents table, memoized per (session, corpus snapshot); the
@@ -393,9 +408,12 @@ def unigram_corpus_trained(spark: SparkSession, sf_dir: str):
             disk_seg = _io.index_store_publish(spark, "unigram_seg", skey, seg)
             if disk_seg is not None:
                 # the disk read replaces the trainer's pins (the words
-                # checkpoint inside unigram_train_collected) — free them
+                # checkpoint inside unigram_train_collected) — free them,
+                # minus any id a live cache entry elsewhere still owns
                 _io.unpersist_tracked(
-                    spark, _io._persistent_rdd_ids(spark) - ids_before
+                    spark,
+                    (_io._persistent_rdd_ids(spark) - ids_before)
+                    - _io.protected_rdd_ids(),
                 )
                 hit = (vocab2, disk_seg, frozenset())
             else:
