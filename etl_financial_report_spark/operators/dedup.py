@@ -3446,8 +3446,13 @@ _FUNNEL_BANDS_SQL = " UNION ALL ".join(
     for bi, (_, h1, h2) in enumerate(_BANDS)
 )
 
+from .quality import _qc_ctes as _qc_ctes_sql  # noqa: E402
+from .quality import _qc_gate_ctes as _qc_gate_ctes_sql  # noqa: E402
+
 _FUNNEL_SQL = f"""
-WITH s0 AS (SELECT doc_id, text FROM documents),
+WITH {_qc_ctes_sql()},
+{_qc_gate_ctes_sql()},
+s0 AS (SELECT doc_id, text FROM documents),
 e AS (SELECT doc_id, text, md5(text) AS h FROM s0),
 k1 AS (SELECT h, MIN(doc_id) AS keep_id FROM e GROUP BY h),
 s1 AS (SELECT doc_id, text FROM e JOIN k1 USING (h) WHERE doc_id = keep_id),
@@ -3500,8 +3505,14 @@ drop4 AS (
     FROM spairs p
     WHERE p.cosine >= {SEMDEDUP_COSINE}
 ),
-s4 AS (
+s4 AS MATERIALIZED (
     SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drop4)
+),
+s5 AS (
+    SELECT s4.doc_id FROM s4
+    LEFT JOIN sc ON sc.doc_id = s4.doc_id
+    CROSS JOIN qgate
+    WHERE COALESCE(sc.margin, 0) > qgate.qbar
 ),
 f AS (
     SELECT 1 AS stage_idx, 'exact' AS stage,
@@ -3515,6 +3526,9 @@ f AS (
     UNION ALL
     SELECT 4, 'semantic',
            (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
+    UNION ALL
+    SELECT 5, 'model_quality',
+           (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5)
 )
 SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
        CAST(n_in AS BIGINT) AS n_in,
@@ -3543,7 +3557,11 @@ ORDER BY stage_idx
         f"jaccard verify >= {VERIFY_JACCARD}); stage 4 semantic "
         "(SemDeDup sign-bucket cosine pairs >= "
         f"{SEMDEDUP_COSINE}, endpoints restricted to survivors with "
-        "vectors; vectorless docs pass through). Stages 3/4 use the "
+        "vectors; vectorless docs pass through); stage 5 (r13) the "
+        "trained quality classifier at the sweep-selected bar "
+        "(qc_gate_bar) — the funnel's model-gate stage, one broadcast "
+        "comparison against the persisted scored frame, never a "
+        "retrain/rescore. Stages 3/4 use the "
         "DOMINATED rule — drop a doc iff a surviving SMALLER-id "
         "neighbor exists in the stage's pair graph — a deliberate "
         "one-pass policy: unlike dedup_keep_list's full-component "
@@ -3621,7 +3639,19 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spairs = bucketed_pairs_of(svq).where(F.col("cosine") >= SEMDEDUP_COSINE)
     drop4 = spairs.select(F.col("vec_b").alias("doc_id")).distinct()
-    s4 = s3.join(drop4, "doc_id", "left_anti")
+    s4 = s3.join(drop4, "doc_id", "left_anti").localCheckpoint()
+    # stage 5 (r13, VERDICT r12 item 1): the trained quality classifier
+    # gates the dedup survivors at the bar the threshold sweep selects —
+    # one broadcast of the 1-row bar into the PERSISTED scored frame
+    # (margins ride the index store; this stage never retrains/rescores)
+    from .quality import _qc_scored, qc_gate_bar
+
+    s5 = (
+        s4.join(_qc_scored(spark, sf_dir).select("doc_id", "margin"), "doc_id", "left")
+        .crossJoin(F.broadcast(qc_gate_bar(spark, sf_dir).select("qbar")))
+        .where(F.coalesce(F.col("margin"), F.lit(0)) > F.col("qbar"))
+        .select("doc_id")
+    )
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(name))
@@ -3632,6 +3662,7 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cnt(s2docs, "n2")))
         .crossJoin(F.broadcast(cnt(s3, "n3")))
         .crossJoin(F.broadcast(cnt(s4, "n4")))
+        .crossJoin(F.broadcast(cnt(s5, "n5")))
     )
     stages = F.explode(
         F.array(
@@ -3648,6 +3679,7 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ("chunk_heavy", "n1", "n2"),
                         ("lsh_near_dup", "n2", "n3"),
                         ("semantic", "n3", "n4"),
+                        ("model_quality", "n4", "n5"),
                     ],
                     start=1,
                 )

@@ -435,8 +435,20 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KEEP_MANIFEST_SQL = """
-WITH canon AS (
+def _keep_manifest_sql() -> str:
+    """Oracle for the keep manifest — lazily built so the qc CTE chain
+    (classifier training + sweep + gate-bar selection) is interpolated
+    from quality.py's single source of truth."""
+    from .quality import _qc_ctes, _qc_gate_ctes
+
+    return f"""
+WITH {_qc_ctes()},
+{_qc_gate_ctes()},
+model AS (
+    SELECT l.doc_id, (COALESCE(sc.margin, 0) > qgate.qbar) AS passes_model
+    FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id CROSS JOIN qgate
+),
+canon AS (
     SELECT doc_id, source, text,
            md5(trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))) AS ck,
            len(string_split(text, ' ')) AS n_tokens,
@@ -472,21 +484,26 @@ contam AS (
                AS is_contaminated
     FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
 )
-SELECT v.doc_id, v.source, v.is_canonical, v.passes_quality, c.is_contaminated,
+SELECT v.doc_id, v.source, v.is_canonical, v.passes_quality,
+       COALESCE(m.passes_model, FALSE) AS passes_model, c.is_contaminated,
        (v.source <> 'src0' AND v.is_canonical AND v.passes_quality
+        AND COALESCE(m.passes_model, FALSE)
         AND NOT COALESCE(c.is_contaminated, FALSE)) AS keep,
        CASE WHEN v.source = 'src0' THEN 'holdout'
             WHEN NOT v.is_canonical THEN 'duplicate'
             WHEN NOT v.passes_quality THEN 'quality'
+            WHEN NOT COALESCE(m.passes_model, FALSE) THEN 'model_quality'
             WHEN COALESCE(c.is_contaminated, FALSE) THEN 'contaminated'
             ELSE NULL END AS drop_reason
-FROM verdict v LEFT JOIN contam c ON c.doc_id = v.doc_id
+FROM verdict v
+LEFT JOIN contam c ON c.doc_id = v.doc_id
+LEFT JOIN model m ON m.doc_id = v.doc_id
 """
 
 
 @register(
     "pipeline_keep_manifest",
-    oracle=_KEEP_MANIFEST_SQL,
+    oracle=_keep_manifest_sql(),
     doc=(
         "The per-document keep manifest — the row-level operational output a "
         "training-data build actually consumes (pipeline_corpus_clean is its "
@@ -494,16 +511,26 @@ FROM verdict v LEFT JOIN contam c ON c.doc_id = v.doc_id
         "(canonical-per-cluster, Gopher-style quality, benchmark "
         "decontamination, holdout exclusion), one final keep bit, and the "
         "FIRST failing gate as an explicit drop_reason so corpus composition "
-        "changes are attributable. All verdicts compose in one plan: one "
-        "shuffle on the canonical hash, one gram equi-join against the tiny "
-        "benchmark side, one doc_id join to stitch, and no collects. The "
-        "documents scan is read once per gate family (column-pruned each "
-        "time) — at scale re-reading pruned columns beats materializing the "
-        "exploded shingle stream, which is many times the corpus size."
+        "changes are attributable. r13 adds the MODEL gate (VERDICT r12 "
+        "item 1): the trained classifier's margin must clear the bar the "
+        "threshold sweep selects (qc_gate_bar — the largest-keep decile "
+        "clearing QC_GATE_PRECISION_PPM held-out precision, strictest-bar "
+        "fallback), with its own passes_model "
+        "column and 'model_quality' drop_reason class. All verdicts "
+        "compose in one plan: one shuffle on the canonical hash, one gram "
+        "equi-join against the tiny benchmark side, one doc_id join to "
+        "stitch, and no collects; the model stage adds ONE broadcast of "
+        "the 1-row bar against the persisted scored frame — margins ride "
+        "the index store, so the gate costs a map-side comparison, never "
+        "a retrain or rescore. The documents scan is read once per gate "
+        "family (column-pruned each time) — at scale re-reading pruned "
+        "columns beats materializing the exploded shingle stream, which "
+        "is many times the corpus size."
     ),
 )
 def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import DECONTAM_FRAC, DECONTAM_HOLDOUT, _shingles
+    from .quality import _qc_scored, qc_gate_bar
 
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
@@ -537,18 +564,30 @@ def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= DECONTAM_FRAC
         ).alias("is_contaminated"),
     )
-    out = verdict.join(contam, "doc_id", "left")
+    # model gate: margin > the swept bar — one broadcast of the 1-row
+    # bar into the persisted scored frame; coalesce False so a doc the
+    # scorer somehow missed can never pass a MODEL gate unscored
+    model = (
+        _qc_scored(spark, sf_dir)
+        .select("doc_id", "margin")
+        .crossJoin(F.broadcast(qc_gate_bar(spark, sf_dir).select("qbar")))
+        .select("doc_id", (F.col("margin") > F.col("qbar")).alias("passes_model"))
+    )
+    out = verdict.join(contam, "doc_id", "left").join(model, "doc_id", "left")
     contaminated = F.coalesce(F.col("is_contaminated"), F.lit(False))
+    passes_model = F.coalesce(F.col("passes_model"), F.lit(False))
     keep = (
         (F.col("source") != DECONTAM_HOLDOUT)
         & F.col("is_canonical")
         & F.col("passes_quality")
+        & passes_model
         & ~contaminated
     )
     reason = (
         F.when(F.col("source") == DECONTAM_HOLDOUT, "holdout")
         .when(~F.col("is_canonical"), "duplicate")
         .when(~F.col("passes_quality"), "quality")
+        .when(~passes_model, "model_quality")
         .when(contaminated, "contaminated")
     )
     return out.select(
@@ -556,6 +595,7 @@ def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "is_canonical",
         "passes_quality",
+        passes_model.alias("passes_model"),
         "is_contaminated",
         keep.alias("keep"),
         reason.alias("drop_reason"),
@@ -622,7 +662,7 @@ from .sampling import (  # noqa: E402
 )
 
 _CORPUS_BUILD_SQL = f"""
-WITH manifest AS ({_KEEP_MANIFEST_SQL}),
+WITH manifest AS ({_keep_manifest_sql()}),
 kept AS (
     SELECT m.doc_id, d.n_chars
     FROM manifest m
@@ -682,10 +722,19 @@ def _data_card_oracle() -> str:
         GOPHER_MIN_STOPWORDS,
         GOPHER_MIN_TOKENS,
         _GOPHER_STOP_SQL,
+        _qc_ctes,
+        _qc_gate_ctes,
     )
 
     return f"""
-WITH base AS (
+WITH {_qc_ctes()},
+{_qc_gate_ctes()},
+mkeep AS (
+    SELECT SUM(CASE WHEN COALESCE(sc.margin, 0) > qgate.qbar THEN 1 ELSE 0 END)
+               AS model_n_keep
+    FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id CROSS JOIN qgate
+),
+base AS (
     SELECT doc_id, text, source, lang,
            string_split(text, ' ') AS toks
     FROM documents
@@ -717,8 +766,9 @@ SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
        CAST(v.total_tokens AS BIGINT) AS total_tokens,
        CAST(v.total_chars AS BIGINT) AS total_chars,
        CAST(d.exact_dup_docs AS BIGINT) AS exact_dup_docs,
-       CAST(g.n_keep * 1000000 // v.n_docs AS BIGINT) AS gopher_keep_ppm
-FROM vol v CROSS JOIN dup d CROSS JOIN gopher g
+       CAST(g.n_keep * 1000000 // v.n_docs AS BIGINT) AS gopher_keep_ppm,
+       CAST(mk.model_n_keep * 1000000 // v.n_docs AS BIGINT) AS model_keep_ppm
+FROM vol v CROSS JOIN dup d CROSS JOIN gopher g CROSS JOIN mkeep mk
 """
 
 
@@ -728,12 +778,15 @@ FROM vol v CROSS JOIN dup d CROSS JOIN gopher g
     doc=(
         "The one-row dataset card a corpus release ships: volume (docs, "
         "sources, languages, tokens, chars), exact-duplicate exposure "
-        "(rows living in 2+-copy content groups), and the Gopher-gate "
-        "keep rate in integer ppm — headline numbers drawn with the SAME "
-        "rule expressions as the row-level operators (text_gopher_gate, "
-        "dedup_exact), so the card can never drift from the gates it "
-        "summarizes. Three corpus aggregates stitched by 1-row cross "
-        "joins; everything integer until the final ppm division."
+        "(rows living in 2+-copy content groups), the Gopher-gate keep "
+        "rate, and (r13) the MODEL-gate keep rate at the swept bar — all "
+        "in integer ppm, headline numbers drawn with the SAME rule "
+        "expressions as the row-level operators (text_gopher_gate, "
+        "dedup_exact, qc_gate_bar), so the card can never drift from the "
+        "gates it summarizes. Four corpus aggregates stitched by 1-row "
+        "cross joins; everything integer until the final ppm division; "
+        "the model stage reads the persisted scored frame, never "
+        "retrains."
     ),
 )
 def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,9 +832,21 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_stop >= GOPHER_MIN_STOPWORDS)
     )
     gopher = docs.agg(F.sum(keep.cast("long")).alias("n_keep"))
+    from .quality import _qc_scored, qc_gate_bar
+
+    mkeep = (
+        _qc_scored(spark, sf_dir)
+        .crossJoin(F.broadcast(qc_gate_bar(spark, sf_dir).select("qbar")))
+        .agg(
+            F.sum((F.col("margin") > F.col("qbar")).cast("long")).alias(
+                "model_n_keep"
+            )
+        )
+    )
     return (
         vol.crossJoin(F.broadcast(dup))
         .crossJoin(F.broadcast(gopher))
+        .crossJoin(F.broadcast(mkeep))
         .select(
             "n_docs",
             "n_sources",
@@ -791,6 +856,9 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_dup_docs",
             F.expr("CAST(n_keep * 1000000 DIV n_docs AS BIGINT)").alias(
                 "gopher_keep_ppm"
+            ),
+            F.expr("CAST(model_n_keep * 1000000 DIV n_docs AS BIGINT)").alias(
+                "model_keep_ppm"
             ),
         )
     )

@@ -1204,6 +1204,16 @@ def _qc_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused 2x per round: pin once (NF-bucketed counts, corpus-sized)
     fb = _qc_feats(docs, st).localCheckpoint()
     tr = lab.where(~F.col("held_out")).select("doc_id", "y")
+    return _qc_weights_from(fb, tr)
+
+
+def _qc_weights_from(fb: DataFrame, tr: DataFrame) -> DataFrame:
+    """The unrolled batch-perceptron loop over an EXPLICIT feature stream
+    (doc_id, f, c) and train-label frame (doc_id, y) — shared by the
+    corpus builder above and the streaming corpus build (which trains
+    over LANDED per-doc features at merge time, so stream-vs-batch
+    agreement is structural). ``fb`` is consumed 2x per round: callers
+    pin it."""
     mis = tr  # round 1: w = 0 misclassifies everything (y * 0 <= 0)
     w = None
     for r in range(1, QC_ROUNDS + 1):
@@ -1245,10 +1255,14 @@ def qc_score_docs(docs: DataFrame, w: DataFrame) -> DataFrame:
     broadcast join + one doc_id groupBy, cost scales with the scored
     frame, never the training corpus."""
     st = _qc_stats_frame(docs)
-    lab = _qc_label_frame(st)
+    return qc_score_frame(_qc_feats(docs, st), _qc_label_frame(st), w)
+
+
+def qc_score_frame(fb: DataFrame, lab: DataFrame, w: DataFrame) -> DataFrame:
+    """Scoring over an EXPLICIT feature stream + label frame — the shape
+    the streaming corpus build scores its landed features through."""
     m = (
-        _qc_feats(docs, st)
-        .join(F.broadcast(w), "f")
+        fb.join(F.broadcast(w), "f")
         .groupBy("doc_id")
         .agg(F.expr(_QC_DOT).alias("dot"))
     )
@@ -1261,8 +1275,23 @@ def qc_score_docs(docs: DataFrame, w: DataFrame) -> DataFrame:
 
 
 def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return qc_score_docs(
-        load_table(spark, sf_dir, "documents"), _qc_weights(spark, sf_dir)
+    """Per-doc scored frame (doc_id, y, held_out, margin) — memoized and
+    PERSISTED like the weights (VERDICT r12 item 5): the classifier
+    query, the eval, the threshold sweep, DoReMi, and the model-gated
+    pipelines all consume the same margins, so one scoring pass per
+    (corpus snapshot, geometry) serves every consumer and every later
+    session; before this the margins recomputed ~4x per session."""
+    from ..io import memo_checkpoint
+
+    return memo_checkpoint(
+        spark,
+        sf_dir,
+        "documents",
+        "quality_classifier_scored",
+        lambda: qc_score_docs(
+            load_table(spark, sf_dir, "documents"), _qc_weights(spark, sf_dir)
+        ),
+        extra_key=(QC_NF, QC_ROUNDS, QC_EVAL_MOD),
     )
 
 
@@ -1371,46 +1400,77 @@ def text_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: margin distribution, discrete — rank-indexed, never interpolated)
 QC_SWEEP_DECILES = tuple(range(1, 10))
 
+#: precision target (ppm) the model gate's operating bar must clear —
+#: the curation rule VERDICT r12 item 1 asks for: among the swept bars,
+#: gate at the one keeping the MOST volume whose held-out precision
+#: against the weak label is at least this; if no bar qualifies, fall
+#: back to the strictest (highest) bar, the conservative failure mode
+QC_GATE_PRECISION_PPM = 900_000
 
-@register(
-    "text_quality_threshold_sweep",
-    oracle=f"""
-WITH {_qc_ctes()},
-ev AS (
+
+def _qc_sweep_ctes() -> str:
+    """Sweep CTE chain, appended after ``_qc_ctes()`` — ends in ``qsn``
+    (1-row held-out count) and ``qswp`` (one row per probed decile:
+    k, bar, n_keep, tp, fp, fn). Shared verbatim by the sweep query's
+    oracle and every model-gated pipeline oracle, so the bar the gate
+    applies is BY CONSTRUCTION the bar the sweep reports. qs-prefixed
+    names: the pipelines this embeds into own the generic ones."""
+    return f"""qsev AS (
     SELECT l.doc_id, (l.y = 1) AS actual_keep,
            COALESCE(sc.margin, 0) AS margin
     FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id
     WHERE l.held_out
 ),
-nheld AS (SELECT COUNT(*) AS n FROM ev),
-ranked AS (
-    SELECT margin, ROW_NUMBER() OVER (ORDER BY margin, doc_id) AS rnk FROM ev
+qsn AS (SELECT COUNT(*) AS n FROM qsev),
+qsrank AS (
+    SELECT margin, ROW_NUMBER() OVER (ORDER BY margin, doc_id) AS rnk FROM qsev
 ),
-bars AS (
+qsbars AS (
     SELECT k, r.margin AS bar
     FROM (SELECT unnest({list(QC_SWEEP_DECILES)}) AS k) ks
-    JOIN nheld ON TRUE
-    JOIN ranked r ON r.rnk = GREATEST((ks.k * nheld.n) // 10, 1)
+    JOIN qsn ON TRUE
+    JOIN qsrank r ON r.rnk = GREATEST((ks.k * qsn.n) // 10, 1)
 ),
-cells AS (
+qswp AS (
     SELECT b.k, b.bar,
-           COUNT(*) FILTER (ev.margin > b.bar) AS n_keep,
-           COUNT(*) FILTER (ev.margin > b.bar AND ev.actual_keep) AS tp,
-           COUNT(*) FILTER (ev.margin > b.bar AND NOT ev.actual_keep) AS fp,
-           COUNT(*) FILTER (ev.margin <= b.bar AND ev.actual_keep) AS fn
-    FROM bars b CROSS JOIN ev
+           COUNT(*) FILTER (qsev.margin > b.bar) AS n_keep,
+           COUNT(*) FILTER (qsev.margin > b.bar AND qsev.actual_keep) AS tp,
+           COUNT(*) FILTER (qsev.margin > b.bar AND NOT qsev.actual_keep) AS fp,
+           COUNT(*) FILTER (qsev.margin <= b.bar AND qsev.actual_keep) AS fn
+    FROM qsbars b CROSS JOIN qsev
     GROUP BY 1, 2
-)
+)"""
+
+
+def _qc_gate_ctes() -> str:
+    """``_qc_sweep_ctes()`` plus ``qgate`` — the 1-row selected bar:
+    MIN(bar) over deciles clearing the precision target (min bar =
+    largest keep volume), COALESCEd to MAX(bar) when none qualifies."""
+    return f"""{_qc_sweep_ctes()},
+qgate AS (
+    SELECT COALESCE(
+        MIN(CASE WHEN tp + fp > 0
+                  AND (tp * 1000000) // (tp + fp) >= {QC_GATE_PRECISION_PPM}
+                 THEN bar END),
+        MAX(bar)) AS qbar
+    FROM qswp)"""
+
+
+@register(
+    "text_quality_threshold_sweep",
+    oracle=f"""
+WITH {_qc_ctes()},
+{_qc_sweep_ctes()}
 SELECT CAST(c.k AS BIGINT) AS decile, c.bar,
        CAST(c.n_keep AS BIGINT) AS n_keep,
-       CAST((c.n_keep * 1000000) // nheld.n AS BIGINT) AS keep_ppm,
+       CAST((c.n_keep * 1000000) // qsn.n AS BIGINT) AS keep_ppm,
        CAST(CASE WHEN c.tp + c.fp > 0
                  THEN (c.tp * 1000000) // (c.tp + c.fp) END AS BIGINT)
            AS precision_ppm,
        CAST(CASE WHEN c.tp + c.fn > 0
                  THEN (c.tp * 1000000) // (c.tp + c.fn) END AS BIGINT)
            AS recall_ppm
-FROM cells c CROSS JOIN nheld
+FROM qswp c CROSS JOIN qsn
 ORDER BY decile
 """,
     doc=(
@@ -1433,8 +1493,16 @@ ORDER BY decile
     ),
 )
 def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qc_sweep_frame(spark, _qc_scored(spark, sf_dir))
+
+
+def qc_sweep_frame(spark: SparkSession, scored: DataFrame) -> DataFrame:
+    """The decile sweep over ANY scored frame (doc_id, y, held_out,
+    margin) — the registered query binds it to the persisted corpus
+    margins; the streaming corpus build runs it over margins scored from
+    landed state at merge time."""
     ev = (
-        _qc_scored(spark, sf_dir)
+        scored
         .where("held_out")
         .select("doc_id", (F.col("y") == 1).alias("actual_keep"), "margin")
         .localCheckpoint()  # consumed 3x below (stats, rank, cells)
@@ -1519,4 +1587,77 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("recall_ppm"),
         )
         .orderBy("decile")
+    )
+
+
+def qc_gate_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model gate's 1-row operating point, SELECTED from the sweep
+    (never hardcoded): ``qbar`` = MIN(bar) over deciles whose held-out
+    precision clears QC_GATE_PRECISION_PPM — min bar is the LARGEST keep
+    volume among qualifying bars — with the strictest bar (MAX) as the
+    conservative fallback when none qualifies; ``precision_met`` records
+    which path fired. Shared by every model-gated consumer (keep
+    manifest, corpus build, dedup funnel, data card), so the applied
+    threshold and the published sweep can never disagree. Cost: one
+    aggregate over the 9-row sweep frame — the margins underneath ride
+    the persisted scored artifact."""
+    return qc_gate_bar_frame(text_quality_threshold_sweep(spark, sf_dir))
+
+
+def qc_gate_bar_frame(sweep: DataFrame) -> DataFrame:
+    """The selection rule over ANY sweep frame — shared with the
+    streaming corpus build's merge step."""
+    return sweep.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("precision_ppm") >= QC_GATE_PRECISION_PPM, F.col("bar")
+                )
+            ),
+            F.max("bar"),
+        ).alias("qbar"),
+        F.max(
+            (F.col("precision_ppm") >= QC_GATE_PRECISION_PPM).cast("int")
+        ).cast("boolean").alias("precision_met"),
+    )
+
+
+@register(
+    "text_quality_gate_bar",
+    oracle=f"""
+WITH {_qc_ctes()},
+{_qc_gate_ctes()}
+SELECT g.qbar,
+       (MAX(CASE WHEN c.tp + c.fp > 0
+                  AND (c.tp * 1000000) // (c.tp + c.fp) >= {QC_GATE_PRECISION_PPM}
+                 THEN 1 ELSE 0 END) = 1) AS precision_met,
+       CAST(MIN(CASE WHEN c.bar = g.qbar THEN c.k END) AS BIGINT) AS decile
+FROM qswp c CROSS JOIN qgate g
+GROUP BY g.qbar
+""",
+    doc=(
+        "The selected operating point of the model-based quality gate — "
+        "the row-level record of WHICH swept bar the end-to-end corpus "
+        "build applies (VERDICT r12 item 1's 'at the threshold the sweep "
+        "selects', made auditable): qbar = the largest-keep bar clearing "
+        f"{QC_GATE_PRECISION_PPM} ppm held-out precision, conservative "
+        "strictest-bar fallback when none does (precision_met = false), "
+        "plus the decile it came from (MIN decile on bar ties). The SQL "
+        "twin derives the bar from the SAME shared sweep CTE chain every "
+        "model-gated pipeline oracle embeds, so engine and oracle can "
+        "only ever gate at the same threshold."
+    ),
+)
+def text_quality_gate_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sweep = text_quality_threshold_sweep(spark, sf_dir)
+    sel = qc_gate_bar(spark, sf_dir)
+    return (
+        sweep.crossJoin(F.broadcast(sel))
+        .groupBy("qbar", "precision_met")
+        .agg(
+            F.min(F.when(F.col("bar") == F.col("qbar"), F.col("decile")))
+            .cast("long")
+            .alias("decile")
+        )
+        .select("qbar", "precision_met", "decile")
     )

@@ -1149,6 +1149,14 @@ def run_corpus_build_stream(
         the sink); shingle STRINGS are landed (not hashes) so the
         verdict is bit-identical to the batch join, no collision
         argument needed;
+      * the model quality gate (r13) needs weights trained over the FULL
+        corpus and a bar swept from the full held-out margin
+        distribution — so each doc lands its bounded classifier inputs
+        (shape stats + hashed-feature array) and train/score/sweep/select
+        run ONCE over landed state in the merge, through the exact batch
+        helpers (_qc_weights_from / qc_score_frame / qc_sweep_frame /
+        qc_gate_bar_frame): bit-identical to the batch gate under any
+        arrival order;
       * mixture gating and shard packing are deterministic functions of
         the final kept set (hash gates + a prefix sum), so they run once
         in the merge, reusing the exact batch operators.
@@ -1161,6 +1169,15 @@ def run_corpus_build_stream(
     tests/test_streaming.py."""
     from ..operators.dedup import DECONTAM_FRAC, DECONTAM_HOLDOUT, _shingles
     from ..operators.pipelines import content_key, quality_bit
+    from ..operators.quality import (
+        _qc_feats,
+        _qc_label_frame,
+        _qc_stats_frame,
+        _qc_weights_from,
+        qc_gate_bar_frame,
+        qc_score_frame,
+        qc_sweep_frame,
+    )
     from ..operators.sampling import _mix_bucket_col, _mix_rate_col, shard_pack
     from ..sources.sinks import ParquetSink
     from ..sources.snapshots import SnapshotTable
@@ -1183,13 +1200,27 @@ def run_corpus_build_stream(
         docs = batch_df.select(
             "doc_id", "source", "n_chars", "text", F.split("text", " ").alias("toks")
         )
-        rows = docs.select(
-            "doc_id",
-            "source",
-            "n_chars",
-            content_key(F.col("text")).alias("ck"),
-            quality_bit(F.col("toks")).alias("passes_quality"),
-            _shingles(F.col("text"), F.col("toks")).alias("whs"),
+        # model-gate inputs land WITH the doc (r13): the shape stats and
+        # the bounded hashed-feature array are the classifier's ONLY
+        # per-doc inputs — training/scoring then run once at merge time
+        # over landed state, so the model gate is arrival-order free
+        st = _qc_stats_frame(docs)
+        feats = (
+            _qc_feats(docs, st)
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("f", "c")).alias("qfeats"))
+        )
+        rows = (
+            docs.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                content_key(F.col("text")).alias("ck"),
+                quality_bit(F.col("toks")).alias("passes_quality"),
+                _shingles(F.col("text"), F.col("toks")).alias("whs"),
+            )
+            .join(st, "doc_id")
+            .join(feats, "doc_id")
         )
         gate_sink.append_idempotent(rows, key_cols=["doc_id"])
         bench = (
@@ -1232,9 +1263,30 @@ def run_corpus_build_stream(
             ).alias("is_contaminated"),
         )
     )
+    # model gate (r13): train the perceptron + score + sweep + select the
+    # bar ONCE over the landed state — the exact batch math over the
+    # exact batch inputs (labels from landed n/sl/ns, features from the
+    # landed arrays), so the streamed gate is bit-identical to
+    # pipeline_keep_manifest's regardless of file arrival order
+    st_all = gate.select("doc_id", "n", "sl", "ns")
+    lab = _qc_label_frame(st_all)
+    fb = (
+        gate.select("doc_id", F.explode("qfeats").alias("g"))
+        .select("doc_id", F.col("g.f").alias("f"), F.col("g.c").alias("c"))
+        .localCheckpoint()  # consumed 2x per training round + scoring
+    )
+    w = _qc_weights_from(fb, lab.where(~F.col("held_out")).select("doc_id", "y"))
+    scored = qc_score_frame(fb, lab, w)
+    qbar = qc_gate_bar_frame(qc_sweep_frame(spark, scored)).select("qbar")
+    model_pass = (
+        scored.crossJoin(F.broadcast(qbar))
+        .where(F.col("margin") > F.col("qbar"))
+        .select("doc_id")
+    )
     kept = (
         corpus.join(canon, "ck")
         .join(contam, "doc_id", "left")
+        .join(model_pass, "doc_id", "left_semi")
         .where(
             (F.col("doc_id") == F.col("canonical_id"))
             & F.col("passes_quality")

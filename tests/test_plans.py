@@ -80,8 +80,12 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # 1-row query-vector broadcast (sim_ann_topk's shape) onto the
     # keyword-filtered candidate join / the bounded modality heads
     "sim_hybrid_retrieval", "sim_hybrid_rrf_fusion",
-    # five 1-row stage-count aggregates crossJoined into the 4-row funnel
+    # six 1-row stage-count aggregates crossJoined into the 5-row funnel,
+    # plus the 1-row swept-bar broadcast of the r13 model-gate stage
     "pipeline_dedup_funnel",
+    # r13 model gate: the 1-row qc_gate_bar broadcast into the persisted
+    # scored frame (margin > qbar is a map-side comparison)
+    "pipeline_keep_manifest", "pipeline_corpus_build", "text_quality_gate_bar",
     # 1-row corpus-total broadcast onto the 4-row quality x dup cells
     "pipeline_quality_dup_matrix",
     # 16-row query block + 8-row centroid block + 1-row overlap aggregates
@@ -318,21 +322,32 @@ def test_dup_span_frac_is_two_phase_not_windowed(spark):
 
 
 @pytest.mark.parametrize(
-    "name",
+    "name,max_bnlj",
     [
-        "dedup_decontaminate",
-        "pipeline_keep_manifest",
-        "dedup_simhash64_hamming",
-        "dedup_incremental",
+        ("dedup_decontaminate", 0),
+        # the r13 model gate embeds the sweep chain (plan audits run
+        # memo-off): six REVIEWED bounded broadcasts — 1-row held-out
+        # count / margin span / min-margin / selected bar, 9-row decile
+        # bars, <=64-row band offsets. Every corpus-sized join stays equi.
+        ("pipeline_keep_manifest", 6),
+        ("dedup_simhash64_hamming", 0),
+        ("dedup_incremental", 0),
     ],
 )
-def test_corpus_sized_joins_are_equi(spark, name):
+def test_corpus_sized_joins_are_equi(spark, name, max_bnlj):
     """Corpus-sized paths (benchmark-overlap gram join, keep-manifest
     stitches, simhash pigeonhole block join) must plan as equi joins —
-    no nested-loop or cartesian fallback anywhere."""
+    no nested-loop or cartesian fallback anywhere beyond the reviewed
+    bounded scalar broadcasts."""
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted mode prints each instance twice (tree line + detail
+    # header); the tree line carries the join shape. Every instance must
+    # be the broadcast-built Cross form — a corpus-sized build side would
+    # surface as a different shape and fail the 2x identity below.
+    tree = plan.count("BroadcastNestedLoopJoin Cross BuildRight")
+    assert plan.count("BroadcastNestedLoopJoin") == 2 * tree
+    assert tree <= max_bnlj
 
 
 def test_pack_shards_prefix_sum_is_partitioned(spark):

@@ -249,14 +249,22 @@ def test_dedup_funnel_attributes_each_stage(spark, tmp_path):
     sf = _write_vecs(spark, tmp_path, vecs)
     rows = pipeline_dedup_funnel(spark, sf).collect()
     got = [(r["stage"], r["n_in"], r["n_dropped"], r["n_out"]) for r in rows]
-    assert got == [
+    assert got[:4] == [
         ("exact", 10, 1, 9),
         ("chunk_heavy", 9, 1, 8),
         ("lsh_near_dup", 8, 1, 7),
         ("semantic", 7, 1, 6),
     ]
+    # stage 5 (r13): the model gate on the 6 survivors at the swept bar —
+    # pinned semantically against the classifier's own margins rather
+    # than a magic count (the tiny synthetic corpus trains a degenerate
+    # model; what matters is the stage applies margin > qbar and chains)
+    st5 = got[4]
+    assert st5[0] == "model_quality" and st5[1] == 6
+    assert st5[3] == st5[1] - st5[2] and 0 <= st5[3] <= 6
     ppm = {r["stage"]: r["drop_ppm"] for r in rows}
     assert ppm["exact"] == 100_000 and ppm["semantic"] == 142_857
+    assert ppm["model_quality"] == (st5[2] * 1_000_000) // 6
 
 
 # --------------------------------------------- IVF nprobe recall sweep
