@@ -1788,3 +1788,337 @@ def vocab_churn_frames(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
         .otherwise("stable")
         .alias("status"),
     )
+
+
+# ------------------------------------------- trained language-ID (r13)
+
+#: hashed-unigram feature buckets for the trained lang-id — same
+#: hashing-trick geometry as the quality classifier (quality.QC_NF)
+LID_NF = 4096
+#: unrolled one-vs-rest batch-perceptron epochs (no convergence loop —
+#: the oracle must not be data-dependent; see quality.QC_ROUNDS)
+LID_ROUNDS = 3
+#: held-out slice: doc_id % LID_EVAL_MOD == 0 contributes no gradient
+LID_EVAL_MOD = 5
+
+#: DECIMAL dot product against the broadcast weight table (the
+#: quality._QC_DOT overflow discipline: c * w can cross int64 under hot
+#: buckets long before any doc is mis-scored)
+_LID_DOT = "SUM(CAST(c AS DECIMAL(20,0)) * w)"
+
+
+def _lid_lab(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") % LID_EVAL_MOD) == 0).alias("held_out"),
+    )
+
+
+def _lid_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, f, c): hashed-unigram counts plus the bias feature at
+    f = -1 (every doc) — one weight table per class carries the model."""
+    from ..functions.hashing import hash32
+
+    base = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", (hash32(F.col("tok")) % LID_NF).alias("f"))
+        .groupBy("doc_id", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return base.unionByName(
+        docs.select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("f"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+
+
+def _lid_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest multi-class batch perceptron over the labeled corpus —
+    the quality classifier's _qc_weights_from loop lifted to a class
+    dimension: every (doc, class) pair carries y = +1/-1, misclassified
+    pairs fold count-weighted labels into the (class, f) weight table,
+    margins stay exact integer (DECIMAL dots). The weight table is
+    <= |classes| * (LID_NF + 1) rows — always broadcast; each round is
+    one map-side join + one (class, f) aggregation over the hashed-count
+    stream, never a corpus shuffle beyond the count aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = _lid_lab(docs)
+    classes = docs.select(F.col("lang").alias("cls")).distinct()
+    dc = (
+        lab.where(~F.col("held_out"))
+        .crossJoin(F.broadcast(classes))
+        .select(
+            "doc_id",
+            "cls",
+            F.when(F.col("lang") == F.col("cls"), 1).otherwise(-1).alias("y"),
+        )
+        .localCheckpoint()  # consumed 2x per round (update + miss check)
+    )
+    fb = _lid_feats(docs).localCheckpoint()
+    mis = dc  # round 1: w = 0 misclassifies every (doc, class) pair
+    w = None
+    for r in range(1, LID_ROUNDS + 1):
+        up = (
+            fb.join(mis, "doc_id")
+            .groupBy("cls", "f")
+            .agg(F.sum(F.col("c") * F.col("y")).cast("long").alias("dw"))
+        )
+        if w is None:
+            w = up.select("cls", "f", F.col("dw").alias("w"))
+        else:
+            w = (
+                w.select("cls", "f", F.col("w").alias("x"))
+                .unionByName(up.select("cls", "f", F.col("dw").alias("x")))
+                .groupBy("cls", "f")
+                .agg(F.sum("x").cast("long").alias("w"))
+            )
+        # classes * (NF+1)-bounded rows; pinning per round keeps the next
+        # round's margin pass from re-executing the whole training prefix
+        w = w.localCheckpoint()
+        if r < LID_ROUNDS:
+            m = (
+                fb.join(F.broadcast(w), "f")
+                .groupBy("doc_id", "cls")
+                .agg(F.expr(_LID_DOT).alias("dot"))
+            )
+            mis = (
+                dc.join(m, ["doc_id", "cls"])
+                .where(F.col("y") * F.col("dot") <= 0)
+                .select("doc_id", "cls", "y")
+            )
+    return w
+
+
+def _lid_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained per-class weight table (cls, f, w) — memoized and
+    PERSISTED through the index store like the quality classifier's
+    (train once per corpus snapshot; scoring sessions read it back)."""
+    from ..io import memo_checkpoint
+
+    return memo_checkpoint(
+        spark,
+        sf_dir,
+        "documents",
+        "lang_id_w",
+        lambda: _lid_weights_build(spark, sf_dir),
+        extra_key=(LID_NF, LID_ROUNDS, LID_EVAL_MOD),
+    )
+
+
+def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, held_out, pred_lang, margin): argmax-class scoring
+    against the persisted weights. The argmax is a two-phase groupBy
+    min(struct(-margin, cls)) — largest margin, smallest class on ties
+    (the lexicon baseline's tie-break convention) — never a corpus-keyed
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        _lid_feats(docs)
+        .join(F.broadcast(_lid_weights(spark, sf_dir)), "f")
+        .groupBy("doc_id", "cls")
+        .agg(F.expr(_LID_DOT).cast("long").alias("margin"))
+    )
+    best = m.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("margin")).alias("nm"), F.col("cls").alias("cl")
+            )
+        ).alias("b")
+    )
+    return _lid_lab(docs).join(best, "doc_id").select(
+        "doc_id",
+        "lang",
+        "held_out",
+        F.col("b.cl").alias("pred_lang"),
+        (-F.col("b.nm")).cast("long").alias("margin"),
+    )
+
+
+def _lid_ctes() -> str:
+    """Unrolled one-vs-rest training + scoring CTE chain (the oracle twin
+    of _lid_weights_build + _lid_scored) — ends in ``lpred`` with rk = 1
+    rows being each doc's argmax class."""
+    from ..functions.hashing import hash32_sql
+
+    parts = [
+        "lcls AS (SELECT DISTINCT lang AS cls FROM documents)",
+        f"llab AS (SELECT doc_id, lang, (doc_id % {LID_EVAL_MOD} = 0) AS held_out FROM documents)",
+        f"lfb AS MATERIALIZED (SELECT doc_id, {hash32_sql('tok')} % {LID_NF} AS f, COUNT(*) AS c "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2 "
+        "UNION ALL SELECT doc_id, -1 AS f, 1 AS c FROM documents)",
+        "ldc AS MATERIALIZED (SELECT l.doc_id, c.cls, "
+        "CASE WHEN l.lang = c.cls THEN 1 ELSE -1 END AS y "
+        "FROM llab l CROSS JOIN lcls c WHERE NOT l.held_out)",
+        "lmis0 AS (SELECT doc_id, cls, y FROM ldc)",
+    ]
+    for r in range(1, LID_ROUNDS + 1):
+        parts.append(
+            f"lup{r} AS (SELECT m.cls, fb.f, CAST(SUM(fb.c * m.y) AS BIGINT) AS dw "
+            f"FROM lfb fb JOIN lmis{r - 1} m USING (doc_id) GROUP BY 1, 2)"
+        )
+        if r == 1:
+            parts.append("lw1 AS MATERIALIZED (SELECT cls, f, dw AS w FROM lup1)")
+        else:
+            parts.append(
+                f"lw{r} AS MATERIALIZED (SELECT cls, f, CAST(SUM(x) AS BIGINT) AS w FROM "
+                f"(SELECT cls, f, w AS x FROM lw{r - 1} "
+                f"UNION ALL SELECT cls, f, dw AS x FROM lup{r}) GROUP BY cls, f)"
+            )
+        if r < LID_ROUNDS:
+            parts.append(
+                f"lm{r} AS (SELECT fb.doc_id, w.cls, SUM(fb.c::HUGEINT * w.w) AS dot "
+                f"FROM lfb fb JOIN lw{r} w ON w.f = fb.f GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"lmis{r} AS (SELECT t.doc_id, t.cls, t.y FROM ldc t "
+                f"JOIN lm{r} m ON m.doc_id = t.doc_id AND m.cls = t.cls "
+                "WHERE t.y * m.dot <= 0)"
+            )
+    parts.append(
+        f"lsc AS (SELECT fb.doc_id, w.cls, CAST(SUM(fb.c::HUGEINT * w.w) AS BIGINT) AS margin "
+        f"FROM lfb fb JOIN lw{LID_ROUNDS} w ON w.f = fb.f GROUP BY 1, 2)"
+    )
+    parts.append(
+        "lpred AS (SELECT doc_id, cls, margin, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY margin DESC, cls ASC) AS rk "
+        "FROM lsc)"
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "text_lang_id_train",
+    oracle=f"""
+WITH {_lid_ctes()}
+SELECT l.doc_id, l.lang, l.held_out,
+       p.cls AS pred_lang,
+       p.margin,
+       (p.cls = l.lang) AS agrees_with_label
+FROM llab l JOIN lpred p ON p.doc_id = l.doc_id AND p.rk = 1
+""",
+    doc=(
+        "TRAINED language-ID (VERDICT r12 item 3 — the learned upgrade "
+        "of the text_lang_id lexicon heuristic): one-vs-rest hashed-"
+        f"unigram batch perceptrons ({LID_NF} buckets + bias, "
+        f"{LID_ROUNDS} unrolled epochs, doc_id % {LID_EVAL_MOD} == 0 "
+        "held out of every gradient) against the labeled documents.lang, "
+        "reusing the quality classifier's exact-integer machinery: "
+        "count-weighted ±1 updates in int64, margins in DECIMAL (Spark) "
+        "/ HUGEINT (DuckDB), ties misclassify deterministically, argmax "
+        "prediction breaks margin ties toward the alphabetically "
+        "smallest class (the lexicon baseline's convention). Scale "
+        "shape: the weight table is <= |classes| x (NF + 1) rows — "
+        "every training round and the scoring pass are map-side "
+        "broadcast joins + one aggregation; weights persist through the "
+        "index store so later sessions classify without retraining; the "
+        "argmax is a two-phase min(struct), never a corpus-keyed window."
+    ),
+)
+def text_lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lid_scored(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "held_out",
+        "pred_lang",
+        "margin",
+        (F.col("pred_lang") == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+@register(
+    "text_lang_id_train_eval",
+    oracle=f"""
+WITH {_lid_ctes()},
+ltr AS (
+    SELECT l.lang, p.cls AS pred_lang
+    FROM llab l JOIN lpred p ON p.doc_id = l.doc_id AND p.rk = 1
+    WHERE l.held_out
+),
+llex AS (
+    SELECT lang,
+           CASE {" ".join(f"WHEN score_{lang} >= {GREATEST_SCORE_SQL} THEN '{lang}'" for lang in sorted(LANG_MARKERS))} END AS pred_lang
+    FROM (
+        SELECT doc_id, lang,
+               {", ".join(f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(repr(m) for m in ms)}))) AS score_{lang}" for lang, ms in sorted(LANG_MARKERS.items()))}
+        FROM documents
+    )
+    WHERE doc_id % {LID_EVAL_MOD} = 0
+),
+lboth AS (
+    SELECT 'trained' AS model, lang, pred_lang FROM ltr
+    UNION ALL
+    SELECT 'lexicon' AS model, lang, pred_lang FROM llex
+),
+lcells AS (
+    SELECT model, lang, pred_lang, COUNT(*) AS n_docs
+    FROM lboth GROUP BY 1, 2, 3
+),
+ltot AS (
+    SELECT model, lang, SUM(n_docs) AS n_actual FROM lcells GROUP BY 1, 2
+)
+SELECT c.model, c.lang, c.pred_lang, c.n_docs,
+       CAST(t.n_actual AS BIGINT) AS n_actual,
+       CAST(c.n_docs * 1000000 // t.n_actual AS BIGINT) AS cell_ppm
+FROM lcells c JOIN ltot t ON t.model = c.model AND t.lang = c.lang
+ORDER BY c.model, c.lang, c.pred_lang
+""",
+    doc=(
+        "Held-out confusion matrices for the TRAINED lang-id and the "
+        "lexicon baseline side by side (same doc_id % "
+        f"{LID_EVAL_MOD} == 0 slice, neither saw a gradient from it — "
+        "the honest model-vs-baseline comparison VERDICT r12 item 3 "
+        "asks for): per (model, actual, predicted) cell counts and "
+        "per-actual-class recall in exact integer ppm, the "
+        "text_quality_classifier_eval shape with a model dimension so a "
+        "data card reads both classifiers identically. A curation run "
+        "promotes the trained model only where its held-out diagonal "
+        "beats the lexicon's."
+    ),
+)
+def text_lang_id_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trained = (
+        _lid_scored(spark, sf_dir)
+        .where("held_out")
+        .select(F.lit("trained").alias("model"), "lang", "pred_lang")
+    )
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % LID_EVAL_MOD) == 0
+    )
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "lang",
+        *[
+            _lang_score(toks, lang).alias(f"score_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.when(
+        F.col(f"score_{sorted(LANG_MARKERS)[0]}") >= best, sorted(LANG_MARKERS)[0]
+    )
+    for lang in sorted(LANG_MARKERS)[1:]:
+        pred = pred.when(F.col(f"score_{lang}") >= best, lang)
+    lexicon = scored.select(
+        F.lit("lexicon").alias("model"), "lang", pred.alias("pred_lang")
+    )
+    cells = (
+        trained.unionByName(lexicon)
+        .groupBy("model", "lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cells.groupBy("model", "lang").agg(F.sum("n_docs").alias("n_actual"))
+    return (
+        cells.join(tot, ["model", "lang"])
+        .select(
+            "model",
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.col("n_actual").cast("long").alias("n_actual"),
+            F.expr("n_docs * 1000000 DIV n_actual").cast("long").alias("cell_ppm"),
+        )
+        .orderBy("model", "lang", "pred_lang")
+    )

@@ -1,0 +1,129 @@
+"""Trained language-ID (VERDICT r12 item 3): one-vs-rest perceptrons
+over hashed unigrams against documents.lang, reusing the quality
+classifier's exact-integer machinery. Pins:
+
+  * held-out discipline — mutating ONLY the held-out docs' text leaves
+    the trained weights bit-identical (they contribute no gradient);
+  * the prediction is the argmax of the per-class margins with the
+    smallest-class tie-break, recomputed independently here;
+  * weights persist through the index store: a fresh session classifies
+    with the trainer forbidden;
+  * a separable corpus is learned perfectly while the lexicon baseline
+    (whose markers don't cover it) is not — the eval orders them.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import etl_financial_report_spark.io as IO
+from etl_financial_report_spark.operators import textops as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, path, rows):
+    df = spark.createDataFrame(
+        [(i, t, lang, "srcX", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(path / "documents.parquet"))
+    return str(path)
+
+
+#: a cleanly separable two-language corpus: 'aaa bbb' docs are xx,
+#: 'ccc ddd' docs are yy — none of the words are LANG_MARKERS, so the
+#: lexicon scores every doc 0 (argmax falls to the alphabetical default)
+#: while the perceptron separates in one round
+_SEP = [
+    (i, "aaa bbb aaa", "xx") if i % 2 else (i, "ccc ddd ccc", "yy")
+    for i in range(1, 41)
+]
+
+
+@pytest.fixture()
+def no_store(monkeypatch):
+    monkeypatch.setattr(IO, "INDEX_STORE_ENABLED", False)
+    saved = dict(IO._MEMO_FRAMES)
+    IO._MEMO_FRAMES.clear()
+    yield
+    IO._MEMO_FRAMES.clear()
+    IO._MEMO_FRAMES.update(saved)
+
+
+def test_held_out_docs_contribute_no_gradient(spark, tmp_path, no_store):
+    sf_a = _write_docs(spark, tmp_path / "a", _SEP)
+    mutated = [
+        (i, "zzz qqq zzz", lang) if i % T.LID_EVAL_MOD == 0 else (i, t, lang)
+        for i, t, lang in _SEP
+    ]
+    sf_b = _write_docs(spark, tmp_path / "b", mutated)
+    wa = sorted(tuple(r) for r in T._lid_weights_build(spark, sf_a).collect())
+    wb = sorted(tuple(r) for r in T._lid_weights_build(spark, sf_b).collect())
+    assert wa == wb, "held-out text must never reach a gradient"
+
+
+def test_prediction_is_argmax_with_min_class_tiebreak(spark, tmp_path, no_store):
+    sf = _write_docs(spark, tmp_path / "c", _SEP)
+    margins = {}
+    for r in (
+        T._lid_feats(IO.load_table(spark, sf, "documents"))
+        .join(F.broadcast(T._lid_weights(spark, sf)), "f")
+        .groupBy("doc_id", "cls")
+        .agg(F.expr(T._LID_DOT).cast("long").alias("m"))
+        .collect()
+    ):
+        margins.setdefault(r["doc_id"], {})[r["cls"]] = r["m"]
+    for row in T.text_lang_id_train(spark, sf).collect():
+        per = margins[row["doc_id"]]
+        want = min(per, key=lambda c: (-per[c], c))
+        assert row["pred_lang"] == want
+        assert row["margin"] == per[want]
+
+
+def test_separable_corpus_learned_and_beats_lexicon(spark, tmp_path, no_store):
+    sf = _write_docs(spark, tmp_path / "d", _SEP)
+    rows = T.text_lang_id_train(spark, sf).collect()
+    assert all(r["agrees_with_label"] for r in rows), (
+        "a linearly separable corpus must be learned exactly"
+    )
+    ev = T.text_lang_id_train_eval(spark, sf).collect()
+
+    def acc(model):
+        tot = sum(r["n_docs"] for r in ev if r["model"] == model)
+        hit = sum(
+            r["n_docs"]
+            for r in ev
+            if r["model"] == model and r["lang"] == r["pred_lang"]
+        )
+        return hit, tot
+
+    th, tt = acc("trained")
+    lh, lt = acc("lexicon")
+    assert th == tt and tt > 0
+    assert lh < lt, "markers cover none of this vocabulary"
+
+
+def test_weights_ride_the_index_store(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(IO, "INDEX_STORE_ROOT", str(tmp_path / "store"))
+    monkeypatch.setattr(IO, "INDEX_STORE_ENABLED", True)
+    saved = dict(IO._MEMO_FRAMES)
+    IO._MEMO_FRAMES.clear()
+    try:
+        want = sorted(
+            tuple(r)
+            for r in T.text_lang_id_train(spark, SF).collect()
+        )
+        IO._MEMO_FRAMES.clear()  # "fresh session"
+
+        def boom(*a, **k):
+            raise AssertionError("trainer must not run on a store hit")
+
+        monkeypatch.setattr(T, "_lid_weights_build", boom)
+        got = sorted(
+            tuple(r)
+            for r in T.text_lang_id_train(spark, SF).collect()
+        )
+        assert got == want
+    finally:
+        IO._MEMO_FRAMES.clear()
+        IO._MEMO_FRAMES.update(saved)

@@ -642,3 +642,41 @@ def test_threshold_sweep_uniform_margins(spark, tmp_path):
     # precision undefined (no kept docs) -> NULL; recall defined and zero
     assert all(r.precision_ppm is None for r in out)
     assert all(r.recall_ppm == 0 for r in out)
+
+
+def test_doremi_mixture_quotas_derive_from_the_weights(spark, sf_dir):
+    """r13 consumer contract: sample_doremi_mixture's rate_ppm is the
+    DOCUMENTED pure function of sample_doremi_weights' fixed point —
+    qs = weight_ppm * SCALE // n_docs, rate = qs * 1e6 // max(qs) —
+    recomputed independently here; and the per-doc gate + packer consume
+    exactly those quotas (kept counts match a Python replay of the
+    salted hash; shard chars re-add to the kept chars)."""
+    from etl_financial_report_spark.operators.sampling import (
+        DOREMI_RATE_SCALE,
+        sample_doremi_mixture,
+        sample_doremi_pack,
+        sample_doremi_weights,
+    )
+
+    w = {r["source"]: r for r in sample_doremi_weights(spark, sf_dir).collect()}
+    qs = {
+        s: (r["weight_ppm"] * DOREMI_RATE_SCALE) // r["n_docs"]
+        for s, r in w.items()
+    }
+    mq = max(qs.values())
+    want_rate = {s: (q * 1_000_000) // mq for s, q in qs.items()}
+    mix = {r["source"]: r for r in sample_doremi_mixture(spark, sf_dir).collect()}
+    assert set(mix) == set(w)
+    for s, r in mix.items():
+        assert r["rate_ppm"] == want_rate[s], s
+        assert r["weight_ppm"] == w[s]["weight_ppm"]
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    assert max(r["rate_ppm"] for r in mix.values()) == 1_000_000
+    # the packer consumes the same survivor set: total chars agree
+    shards = sample_doremi_pack(spark, sf_dir).collect()
+    assert sum(r["shard_chars"] for r in shards) == sum(
+        r["kept_chars"] for r in mix.values()
+    )
+    assert sum(r["n_docs"] for r in shards) == sum(
+        r["n_kept"] for r in mix.values()
+    )

@@ -1198,6 +1198,50 @@ def test_doremi_stays_domain_bounded_under_mega_source(spark, skew_dir, skew_rec
         assert mega.weight_ppm == min(int(r.weight_ppm) for r in rows.values())
 
 
+def test_doremi_mixture_quotas_absorb_mega_source(spark, skew_dir, skew_record):
+    """The r13 DoReMi consumer under the 50k-doc mega source: quotas stay
+    exact (every per-source realized keep tracks its derived rate within
+    the deterministic-hash tolerance), the mega source's quota is its
+    WEIGHT spread over its MASS — 50k copies of one doc get a per-doc
+    rate ~1000x smaller than a 50-doc source of equal weight, which is
+    precisely the mixture-rebalancing a mega crawl needs — and the
+    survivor set packs into shards without a single straggler task."""
+    from etl_financial_report_spark.operators.sampling import (
+        sample_doremi_mixture,
+        sample_doremi_pack,
+    )
+
+    df, sec = _timed(lambda: sample_doremi_mixture(spark, skew_dir).localCheckpoint())
+    rows = {r.source: r for r in df.collect()}
+    mega = rows["zipf_mega"]
+    pack, psec = _timed(lambda: sample_doremi_pack(spark, skew_dir).localCheckpoint())
+    n_shards = pack.count()
+    skew_record["sample_doremi_mixture"] = {
+        "sec": sec,
+        "pack_sec": psec,
+        "domains": len(rows),
+        "mega_rate_ppm": int(mega.rate_ppm),
+        "mega_n_kept": int(mega.n_kept),
+        "max_rate_ppm": max(int(r.rate_ppm) for r in rows.values()),
+        "n_shards": int(n_shards),
+    }
+    assert len(rows) == 21
+    assert max(int(r.rate_ppm) for r in rows.values()) == 1_000_000
+    # quota exactness: n_kept/n_docs ~= rate_ppm for every source (the
+    # salted hash is uniform; allow 25% relative at these counts, and
+    # the rate==1e6 sources must keep EVERYTHING)
+    for r in rows.values():
+        if r.rate_ppm == 1_000_000:
+            assert r.n_kept == r.n_docs
+        else:
+            want = r.n_docs * r.rate_ppm / 1_000_000
+            assert abs(r.n_kept - want) <= max(10, want * 0.25), (r.source, r.n_kept, want)
+    # mass-rebalancing: the mega source's PER-DOC rate is far below the
+    # max (its weight is domain-level, its mass is 50k docs)
+    assert mega.rate_ppm < 100_000
+    assert n_shards > 0
+
+
 def test_cluster_term_profile_labels_mega_cell(spark, skew_dir, skew_record):
     """Cluster term profile under the 20k-copy mega vector cluster (r12):
     the profile completes at 60k vectors x 150k docs, emits <= 5 terms

@@ -688,3 +688,41 @@ def test_threshold_sweep_and_doremi_x100(spark, sf10_dir, smoke_record):
     assert n2 == 20  # domain-bounded output, 100x the corpus changes nothing
     assert sum(r.weight_ppm for r in out) <= 1_000_000
     assert sum(r.n_docs for r in out) == 500_000
+
+
+def test_doremi_mixture_and_gate_bar_x100(spark, sf10_dir, smoke_record):
+    """r13 additions at 500k docs: the DoReMi consumer's quota table
+    stays domain-bounded (20 rows at 100x the corpus), quotas apply in
+    ONE corpus pass with the max-rate source keeping everything, and
+    the gate-bar selection stays a 9-row aggregate whose bar is one of
+    the swept deciles."""
+    df, n = _run(
+        spark,
+        "sample_doremi_mixture",
+        lambda: registry.all_queries()["sample_doremi_mixture"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    rows = df.collect()
+    assert n == 20
+    assert max(r.rate_ppm for r in rows) == 1_000_000
+    assert sum(r.n_docs for r in rows) == 500_000
+    assert sum(r.realized_share_ppm for r in rows) <= 1_000_000
+    for r in rows:
+        if r.rate_ppm == 1_000_000:
+            assert r.n_kept == r.n_docs
+
+    df2, n2 = _run(
+        spark,
+        "text_quality_gate_bar",
+        lambda: registry.all_queries()["text_quality_gate_bar"].fn(spark, sf10_dir),
+        smoke_record,
+    )
+    sweep_bars = {
+        r.bar
+        for r in registry.all_queries()["text_quality_threshold_sweep"]
+        .fn(spark, sf10_dir)
+        .collect()
+    }
+    sel = df2.collect()
+    assert n2 == 1
+    assert sel[0].qbar in sweep_bars  # the applied bar IS a swept decile

@@ -351,6 +351,32 @@ HEADLINERS = {
         "codegen projection as the dimension parse — the decoder-sizing pass "
         "adds zero plan structure."
     ),
+    "sample_doremi_mixture": (
+        "r13 DoReMi consumer: the |sources|-row quota table (derived from "
+        "the fixed point by pure integer arithmetic over 1-row max "
+        "broadcasts) BROADCASTS into one corpus pass; the per-doc gate is "
+        "a fused hash comparison, the per-source rollup one partial+final "
+        "HashAggregate, the realized-share division a 1-row total "
+        "broadcast. Margins ride the persisted scored artifact — no "
+        "retrain, no rescore in this plan (audited memo-off, so the "
+        "training chain shows here; warm sessions read the store)."
+    ),
+    "text_lang_id_train": (
+        "r13 trained lang-id, scoring pass: the per-class weight table "
+        "(<= |classes| x (LID_NF + 1) rows) BROADCASTS into the "
+        "hashed-count stream; per-(doc, class) margins are one "
+        "partial+final HashAggregate over DECIMAL products and the argmax "
+        "is a second two-phase min(struct) aggregate — never a "
+        "corpus-keyed window (audited memo-off, so the unrolled training "
+        "rounds show here; warm sessions read the persisted weights)."
+    ),
+    "text_quality_gate_bar": (
+        "r13 model-gate operating point: every aggregate under the "
+        "selection is held-out-slice sized or smaller — the rank probe is "
+        "the banded two-level prefix sum (per-band row_numbers + a "
+        "<= 64-row offset window), the 9 decile bars and the final qbar "
+        "are 1-row/9-row broadcasts. Nothing corpus-sized shuffles."
+    ),
 }
 
 
