@@ -99,6 +99,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # r12: 1-row margin-min + per-round 1-row weighted-mean / max-excess
     # broadcasts onto the DOMAIN-bounded stats table (|sources| rows)
     "sample_doremi_weights",
+    # r13 consumers: the same bounded chain plus the 1-row max-qs and
+    # 1-row kept-total broadcasts onto the |sources|-row quota table
+    "sample_doremi_mixture", "sample_doremi_pack",
     # r12: 1-row held-out count + 1-row margin-span + 9-row decile-bar
     # broadcasts (the banding-sweep operating-point shape)
     "text_quality_threshold_sweep",

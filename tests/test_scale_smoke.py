@@ -467,7 +467,7 @@ def test_dedup_funnel_at_scale(spark, sf1_dir, smoke_record):
         lambda: registry.all_queries()["pipeline_dedup_funnel"].fn(spark, sf1_dir),
         smoke_record,
     )
-    assert n == 4
+    assert n == 5  # r13: + the model_quality stage
     rows = {r["stage"]: r for r in df.collect()}
     docs = load_table(spark, sf1_dir, "documents")
     n_docs = docs.count()
@@ -490,6 +490,13 @@ def test_dedup_funnel_at_scale(spark, sf1_dir, smoke_record):
     # is a nonzero subset of the base run's
     assert rows["semantic"]["n_in"] == base["semantic"]["n_in"]
     assert 0 < rows["semantic"]["n_dropped"] <= base["semantic"]["n_dropped"]
+    # r13 model stage: chains off the semantic survivors and applies
+    # margin > the swept bar (classifier retrained on the replica corpus,
+    # so only chaining + bounds are content-stable here)
+    m = rows["model_quality"]
+    assert m["n_in"] == rows["semantic"]["n_out"]
+    assert 0 <= m["n_dropped"] <= m["n_in"]
+    assert m["n_out"] == m["n_in"] - m["n_dropped"]
 
 
 def test_winnowing_pairs_at_scale(spark, sf1_dir, smoke_record):

@@ -476,7 +476,7 @@ def test_dedup_funnel_x100(spark, sf10_dir, smoke_record):
         lambda: registry.all_queries()["pipeline_dedup_funnel"].fn(spark, sf10_dir),
         smoke_record,
     )
-    assert n == 4
+    assert n == 5  # r13: + the model_quality stage
     rows = {r["stage"]: r for r in df.collect()}
     docs = load_table(spark, sf10_dir, "documents")
     reps = REPLICAS - IDENTICAL + 1  # 90 mutated sub-corpora + 1 collapsed
@@ -485,7 +485,7 @@ def test_dedup_funnel_x100(spark, sf10_dir, smoke_record):
     assert rows["chunk_heavy"]["n_in"] == reps * base["chunk_heavy"]["n_in"]
     assert rows["chunk_heavy"]["n_dropped"] == reps * base["chunk_heavy"]["n_dropped"]
     # per-stage chaining must hold exactly regardless of drop variance
-    order = ("exact", "chunk_heavy", "lsh_near_dup", "semantic")
+    order = ("exact", "chunk_heavy", "lsh_near_dup", "semantic", "model_quality")
     for prev, cur in zip(order, order[1:]):
         assert rows[cur]["n_in"] == rows[prev]["n_in"] - rows[prev]["n_dropped"]
     # banding recall near the verify threshold is a per-pair Bernoulli in
