@@ -1455,6 +1455,14 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.expr("CAST(1000000 AS DECIMAL(19,0)) * exc DIV (mxe + 1)").alias("en"),
         )
+        # pin the round's outputs (domain-bounded, <= |sources| rows):
+        # the final frame references w and excn from MULTIPLE branches
+        # (tot, the output joins) and the r13 consumers reference the
+        # whole weights frame again — without the pin, every reference
+        # re-executes the accumulated round subtree, multiplying dozens
+        # of tiny shuffle jobs into real seconds (measured 11 s -> ~2 s
+        # at sf0.1). Same device as the dstat pin above.
+        excn = excn.localCheckpoint()
         w = (
             w.join(excn, "source")
             .select(
@@ -1465,6 +1473,7 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " DIV 1000000"
                 ).cast("long").alias("w"),
             )
+            .localCheckpoint()
         )
     tot = w.agg(F.sum("w").alias("tw"))
     return (
@@ -1514,13 +1523,21 @@ def _doremi_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qs"),
     )
     mxq = rates.agg(F.max("qs").alias("mq"))
-    return rates.crossJoin(F.broadcast(mxq)).select(
-        "source",
-        "n_docs",
-        "weight_ppm",
-        F.expr("CAST(qs AS DECIMAL(38,0)) * 1000000 DIV mq")
-        .cast("long")
-        .alias("rate_ppm"),
+    # pin the quota table (<= |sources| rows): the per-doc decision frame
+    # is referenced by 2+ branches downstream (kept-total + rollup, or
+    # the packer's two window stages) — without the pin each reference
+    # re-executes the whole weights fixed-point subtree
+    return (
+        rates.crossJoin(F.broadcast(mxq))
+        .select(
+            "source",
+            "n_docs",
+            "weight_ppm",
+            F.expr("CAST(qs AS DECIMAL(38,0)) * 1000000 DIV mq")
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+        .localCheckpoint()
     )
 
 
