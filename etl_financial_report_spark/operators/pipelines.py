@@ -1182,3 +1182,52 @@ def manifest_drift_frames(prev: DataFrame, cur: DataFrame) -> DataFrame:
         .otherwise("unchanged")
         .alias("verdict"),
     )
+
+
+@register(
+    "pipeline_drop_reason_matrix",
+    oracle=f"""
+WITH manifest AS ({_keep_manifest_sql()}),
+tot AS (SELECT source, COUNT(*) AS n_source FROM manifest GROUP BY source)
+SELECT m.source,
+       COALESCE(m.drop_reason, 'kept') AS outcome,
+       COUNT(*) AS n_docs,
+       CAST(t.n_source AS BIGINT) AS n_source,
+       CAST(COUNT(*) * 1000000 // t.n_source AS BIGINT) AS share_ppm
+FROM manifest m JOIN tot t ON t.source = m.source
+GROUP BY m.source, COALESCE(m.drop_reason, 'kept'), t.n_source
+ORDER BY m.source, outcome
+""",
+    doc=(
+        "Per-source drop-reason matrix — the per-source loss-attribution "
+        "table a corpus release publishes beside the funnel (the "
+        "Dolma/RefinedWeb 'what did each source lose to which gate' "
+        "breakdown): every (source, first-failing-gate) cell of the keep "
+        "manifest — holdout / duplicate / quality / model_quality (r13) "
+        "/ contaminated / kept — with doc counts and the exact-ppm share "
+        "of its source. This is where a mixture owner sees that one "
+        "crawl loses 40% to the model gate while another loses to dedup, "
+        "BEFORE weights are chosen. Pure rollup of the already-verified "
+        "manifest (one groupBy + a per-source total join); the manifest "
+        "plan underneath is unchanged."
+    ),
+)
+def pipeline_drop_reason_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    manifest = pipeline_keep_manifest(spark, sf_dir).select(
+        "source", F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
+    )
+    cells = manifest.groupBy("source", "outcome").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cells.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
+    return (
+        cells.join(tot, "source")
+        .select(
+            "source",
+            "outcome",
+            "n_docs",
+            F.col("n_source").cast("long").alias("n_source"),
+            F.expr("n_docs * 1000000 DIV n_source").cast("long").alias("share_ppm"),
+        )
+        .orderBy("source", "outcome")
+    )

@@ -1661,3 +1661,70 @@ def text_quality_gate_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qbar", "precision_met", "decile")
     )
+
+
+@register(
+    "text_quality_calibration",
+    oracle=f"""
+WITH {_qc_ctes()},
+{_qc_sweep_ctes()},
+qbins AS (
+    SELECT e.doc_id, e.actual_keep,
+           (SELECT COUNT(*) FROM qswp b WHERE e.margin > b.bar) AS bin
+    FROM qsev e
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (actual_keep) AS n_actual_keep,
+       CAST((COUNT(*) FILTER (actual_keep)) * 1000000 // COUNT(*) AS BIGINT)
+           AS keep_rate_ppm
+FROM qbins
+GROUP BY bin
+ORDER BY bin
+""",
+    doc=(
+        "Reliability curve for the trained quality classifier — the "
+        "calibration artifact a curation run reads NEXT TO the threshold "
+        "sweep: every held-out document bins by how many of the nine "
+        "swept decile bars its margin clears (bin 0 = below every bar, "
+        "bin 9 = above all), and each bin reports its EMPIRICAL "
+        "weak-label keep rate in exact integer ppm. A well-ordered "
+        "model shows keep_rate_ppm rising with bin — the margin is "
+        "usable as a confidence score, not just a ranking; a flat or "
+        "inverted stretch localizes WHERE the score is uncalibrated "
+        "(which the single precision number of the sweep cannot). Bins "
+        "reuse the sweep's exact bars (shared CTE chain / shared sweep "
+        "frame), so the curve and the sweep can never disagree about "
+        "where a bar sits. Cost: the 9-row bar table broadcasts into "
+        "ONE pass over the held-out slice of the persisted scored "
+        "frame; two bounded aggregations, nothing corpus-wide."
+    ),
+)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _qc_scored(spark, sf_dir)
+        .where("held_out")
+        .select("doc_id", (F.col("y") == 1).alias("actual_keep"), "margin")
+    )
+    bars = text_quality_threshold_sweep(spark, sf_dir).select("bar")
+    binned = (
+        ev.crossJoin(F.broadcast(bars))
+        .groupBy("doc_id", "actual_keep")
+        .agg(F.sum((F.col("margin") > F.col("bar")).cast("long")).alias("bin"))
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("actual_keep").cast("long")).alias("n_actual_keep"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            F.col("n_actual_keep").cast("long").alias("n_actual_keep"),
+            F.expr("n_actual_keep * 1000000 DIV n_docs")
+            .cast("long")
+            .alias("keep_rate_ppm"),
+        )
+        .orderBy("bin")
+    )

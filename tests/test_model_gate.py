@@ -109,3 +109,47 @@ def test_data_card_model_keep_ppm_matches_classifier(spark):
     n_keep = sum(1 for r in scored if r["margin"] > bar)
     card = pipeline_data_card(spark, SF).collect()[0]
     assert card["model_keep_ppm"] == (n_keep * 1_000_000) // len(scored)
+
+
+def test_calibration_bins_partition_the_held_out_slice(spark):
+    from collections import Counter
+
+    rows = Q.text_quality_calibration(spark, SF).collect()
+    scored = Q._qc_scored(spark, SF).where("held_out").collect()
+    bars = sorted(
+        r["bar"] for r in Q.text_quality_threshold_sweep(spark, SF).collect()
+    )
+    want = Counter(sum(1 for b in bars if r["margin"] > b) for r in scored)
+    got = {r["bin"]: r["n_docs"] for r in rows}
+    assert got == dict(want), "bins must be the bar-clear count, recomputed"
+    assert sum(got.values()) == len(scored)
+    by_bin = {r["bin"]: r for r in rows}
+    assert all(0 <= b <= 9 for b in by_bin)
+    # the curve is usable as a confidence score on this corpus: the top
+    # bin's empirical keep rate strictly dominates the bottom bin's
+    lo, hi = min(by_bin), max(by_bin)
+    assert by_bin[hi]["keep_rate_ppm"] > by_bin[lo]["keep_rate_ppm"]
+
+
+def test_drop_reason_matrix_is_the_manifest_rollup(spark):
+    from collections import Counter
+
+    from etl_financial_report_spark.operators.pipelines import (
+        pipeline_drop_reason_matrix,
+        pipeline_keep_manifest,
+    )
+
+    manifest = pipeline_keep_manifest(spark, SF).collect()
+    want = Counter((r["source"], r["drop_reason"] or "kept") for r in manifest)
+    rows = pipeline_drop_reason_matrix(spark, SF).collect()
+    got = {(r["source"], r["outcome"]): r["n_docs"] for r in rows}
+    assert got == dict(want)
+    # per-source shares floor-sum to <= 1e6 and within |outcomes| ppm of it
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["share_ppm"])
+    for src, shares in per_src.items():
+        assert sum(shares) <= 1_000_000
+        assert sum(shares) > 1_000_000 - len(shares)
+    # the model gate appears as a first-class outcome somewhere
+    assert any(r["outcome"] == "model_quality" for r in rows)

@@ -86,6 +86,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # r13 model gate: the 1-row qc_gate_bar broadcast into the persisted
     # scored frame (margin > qbar is a map-side comparison)
     "pipeline_keep_manifest", "pipeline_corpus_build", "text_quality_gate_bar",
+    # r13: the 9-row bar broadcast onto the held-out slice (calibration)
+    # and the manifest's reviewed broadcasts under the rollup
+    "text_quality_calibration", "pipeline_drop_reason_matrix",
     # 1-row corpus-total broadcast onto the 4-row quality x dup cells
     "pipeline_quality_dup_matrix",
     # 16-row query block + 8-row centroid block + 1-row overlap aggregates
