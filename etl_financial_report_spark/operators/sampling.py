@@ -1689,3 +1689,98 @@ def sample_doremi_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return shard_pack(kept)
+
+
+# ------------------------------- language-rebalanced mixture (r13)
+
+
+def _lang_temp_oracle() -> str:
+    from .textops import _lid_ctes
+
+    return f"""
+WITH {_lid_ctes()},
+ls AS (
+    SELECT cls AS pred_lang, COUNT(*) AS n_docs
+    FROM lpred WHERE rk = 1 GROUP BY cls
+),
+lsi AS (
+    SELECT pred_lang, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isqrt
+    FROM ls
+),
+ltot AS (SELECT SUM(n_docs) AS total_docs, SUM(isqrt) AS total_isqrt FROM lsi)
+SELECT pred_lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       isqrt,
+       CAST(floor(CAST(n_docs * {_TEMP_PPM} AS DOUBLE) / total_docs) AS BIGINT) AS raw_ppm,
+       CAST(floor(CAST(isqrt * {_TEMP_PPM} AS DOUBLE) / total_isqrt) AS BIGINT) AS temp_ppm,
+       CAST(floor(CAST(total_docs * isqrt AS DOUBLE) / total_isqrt) AS BIGINT) AS quota_docs
+FROM lsi, ltot
+ORDER BY pred_lang
+"""
+
+
+@register(
+    "sample_lang_temperature_mixture",
+    oracle=_lang_temp_oracle(),
+    doc=(
+        "Language-rebalanced mixture on the TRAINED lang-id's own "
+        "predictions — the multilingual-LM sampling step (XLM-R's "
+        "alpha = 0.5 exponentiated weights, Conneau et al. 2020) keyed "
+        "on pred_lang rather than a gold label, because a production "
+        "corpus arrives UNLABELED: the classifier tags it, and this "
+        "query turns the tagged volumes into draw probabilities + "
+        "one-epoch quotas that flatten the head language. Composes the "
+        "r13 trained model into dataset assembly exactly as the model "
+        "quality gate composes into the keep manifest — train once "
+        "(weights ride the index store), consume downstream. Same "
+        "exact-integer floor(sqrt) grammar as sample_temperature_mixture "
+        "(one double division per reported ppm, bit-identical across "
+        "engines); per-language state is 3 integers, the classification "
+        "pass is the broadcast-weights scoring plan, and the argmax is "
+        "the two-phase min(struct) — one corpus pass end to end."
+    ),
+)
+def sample_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import _lid_scored
+
+    s = (
+        _lid_scored(spark, sf_dir)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "pred_lang",
+            "n_docs",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")))
+            .cast("long")
+            .alias("isqrt"),
+        )
+    )
+    tot = s.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("isqrt").alias("total_isqrt")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "pred_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "isqrt",
+            F.floor(
+                (F.col("n_docs") * _TEMP_PPM).cast("double") / F.col("total_docs")
+            )
+            .cast("long")
+            .alias("raw_ppm"),
+            F.floor(
+                (F.col("isqrt") * _TEMP_PPM).cast("double") / F.col("total_isqrt")
+            )
+            .cast("long")
+            .alias("temp_ppm"),
+            F.floor(
+                (F.col("total_docs") * F.col("isqrt")).cast("double")
+                / F.col("total_isqrt")
+            )
+            .cast("long")
+            .alias("quota_docs"),
+        )
+        .orderBy("pred_lang")
+    )

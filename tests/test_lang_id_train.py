@@ -127,3 +127,38 @@ def test_weights_ride_the_index_store(spark, tmp_path, monkeypatch):
     finally:
         IO._MEMO_FRAMES.clear()
         IO._MEMO_FRAMES.update(saved)
+
+
+def test_lang_temperature_mixture_flattens_predicted_head(
+    spark, tmp_path, no_store
+):
+    """The r13 consumer of the trained lang-id: on a separable two-
+    language corpus (learned exactly), the temperature weights flatten
+    the head — the minority language's temp share exceeds its raw share
+    and quotas follow the floor(sqrt) grammar recomputed here."""
+    import math
+
+    from etl_financial_report_spark.operators.sampling import (
+        sample_lang_temperature_mixture,
+    )
+
+    # 30 xx docs vs 10 yy docs: separable AND imbalanced
+    rows = [
+        (i, "aaa bbb aaa", "xx") if i % 4 else (i, "ccc ddd ccc", "yy")
+        for i in range(1, 41)
+    ]
+    sf = _write_docs(spark, tmp_path / "mix", rows)
+    out = {r["pred_lang"]: r for r in sample_lang_temperature_mixture(spark, sf).collect()}
+    assert set(out) == {"xx", "yy"}  # learned exactly, so predictions = labels
+    n = {k: v["n_docs"] for k, v in out.items()}
+    assert n == {"xx": 30, "yy": 10}
+    isq = {k: math.floor(math.sqrt(v)) for k, v in n.items()}
+    tot_d, tot_i = sum(n.values()), sum(isq.values())
+    for k, r in out.items():
+        assert r["isqrt"] == isq[k]
+        assert r["raw_ppm"] == math.floor(n[k] * 1_000_000 / tot_d)
+        assert r["temp_ppm"] == math.floor(isq[k] * 1_000_000 / tot_i)
+        assert r["quota_docs"] == math.floor(tot_d * isq[k] / tot_i)
+    # flattening: the minority language gains share, the majority loses
+    assert out["yy"]["temp_ppm"] > out["yy"]["raw_ppm"]
+    assert out["xx"]["temp_ppm"] < out["xx"]["raw_ppm"]

@@ -75,6 +75,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sample_temperature_mixture",
     # same 1-row totals broadcast, over token counts (the repeat plan)
     "sample_repeat_upsampling",
+    # r13: the same 1-row totals broadcast over PREDICTED-language counts
+    # (the trained lang-id scoring underneath is broadcast equi joins)
+    "sample_lang_temperature_mixture",
     # O(labels)-row centroid-block broadcast (_assign_cells, kmeans shape)
     "sim_centroid_classifier",
     # 1-row query-vector broadcast (sim_ann_topk's shape) onto the
