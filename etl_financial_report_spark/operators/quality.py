@@ -1616,9 +1616,12 @@ def qc_gate_bar_frame(sweep: DataFrame) -> DataFrame:
             ),
             F.max("bar"),
         ).alias("qbar"),
-        F.max(
-            (F.col("precision_ppm") >= QC_GATE_PRECISION_PPM).cast("int")
-        ).cast("boolean").alias("precision_met"),
+        F.coalesce(
+            F.max(
+                (F.col("precision_ppm") >= QC_GATE_PRECISION_PPM).cast("int")
+            ).cast("boolean"),
+            F.lit(False),
+        ).alias("precision_met"),
     )
 
 

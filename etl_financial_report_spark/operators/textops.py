@@ -1795,6 +1795,13 @@ def vocab_churn_frames(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
 #: hashed-unigram feature buckets for the trained lang-id — same
 #: hashing-trick geometry as the quality classifier (quality.QC_NF)
 LID_NF = 4096
+#: hashed char-n-gram buckets (r14, the fastText/CLD recipe: language
+#: identity lives in character n-grams, not word identity — VERDICT r13
+#: item 1); they occupy the DISJOINT range [LID_NF, LID_NF + LID_NC) so
+#: word and char features never collide in one weight table
+LID_NC = 4096
+#: char-n-gram widths (3- and 4-grams, fastText's default band)
+LID_CG_WIDTHS = (3, 4)
 #: unrolled one-vs-rest batch-perceptron epochs (no convergence loop —
 #: the oracle must not be data-dependent; see quality.QC_ROUNDS)
 LID_ROUNDS = 3
@@ -1815,17 +1822,44 @@ def _lid_lab(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lid_feats(docs: DataFrame) -> DataFrame:
+def _chargram_array(w: int):
+    """All width-``w`` character n-grams of ``text`` as an array column.
+    Guarded for short docs: Spark's ``sequence(1, 0)`` DESCENDS (same
+    hazard as ``_bigram_structs``), so docs under ``w`` chars yield an
+    EMPTY array — matching DuckDB's empty ``generate_series``."""
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {w - 1}),"
+        f" i -> substring(text, i, {w}))"
+    )
+    return F.when(F.length("text") >= w, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _lid_feats(docs: DataFrame, chargrams: bool = False) -> DataFrame:
     """(doc_id, f, c): hashed-unigram counts plus the bias feature at
-    f = -1 (every doc) — one weight table per class carries the model."""
+    f = -1 (every doc) — one weight table per class carries the model.
+    With ``chargrams`` (r14), hashed char-3/4-gram counts join the
+    stream in their own disjoint bucket range: the feature explode is
+    ~n_chars rows per doc BEFORE the (doc_id, f) count, which partial-
+    aggregates map-side down to <= LID_NF + LID_NC rows per doc — the
+    shuffle never carries the raw gram stream."""
     from ..functions.hashing import hash32
 
-    base = (
-        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-        .select("doc_id", (hash32(F.col("tok")) % LID_NF).alias("f"))
-        .groupBy("doc_id", "f")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    exploded = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", (hash32(F.col("tok")) % LID_NF).alias("f"))
+    if chargrams:
+        for w in LID_CG_WIDTHS:
+            exploded = exploded.unionByName(
+                docs.select(
+                    "doc_id", F.explode(_chargram_array(w)).alias("g")
+                ).select(
+                    "doc_id",
+                    (F.lit(LID_NF) + hash32(F.col("g")) % LID_NC).alias("f"),
+                )
+            )
+    base = exploded.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c"))
     return base.unionByName(
         docs.select(
             "doc_id",
@@ -1835,7 +1869,9 @@ def _lid_feats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lid_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lid_weights_build(
+    spark: SparkSession, sf_dir: str, chargrams: bool = False
+) -> DataFrame:
     """One-vs-rest multi-class batch perceptron over the labeled corpus —
     the quality classifier's _qc_weights_from loop lifted to a class
     dimension: every (doc, class) pair carries y = +1/-1, misclassified
@@ -1857,7 +1893,7 @@ def _lid_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # consumed 2x per round (update + miss check)
     )
-    fb = _lid_feats(docs).localCheckpoint()
+    fb = _lid_feats(docs, chargrams).localCheckpoint()
     mis = dc  # round 1: w = 0 misclassifies every (doc, class) pair
     w = None
     for r in range(1, LID_ROUNDS + 1):
@@ -1892,23 +1928,29 @@ def _lid_weights_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w
 
 
-def _lid_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lid_weights(
+    spark: SparkSession, sf_dir: str, chargrams: bool = False
+) -> DataFrame:
     """Trained per-class weight table (cls, f, w) — memoized and
     PERSISTED through the index store like the quality classifier's
-    (train once per corpus snapshot; scoring sessions read it back)."""
+    (train once per corpus snapshot; scoring sessions read it back).
+    The word-only and word+chargram models are separate store families."""
     from ..io import memo_checkpoint
 
     return memo_checkpoint(
         spark,
         sf_dir,
         "documents",
-        "lang_id_w",
-        lambda: _lid_weights_build(spark, sf_dir),
-        extra_key=(LID_NF, LID_ROUNDS, LID_EVAL_MOD),
+        "lang_id_w_cg" if chargrams else "lang_id_w",
+        lambda: _lid_weights_build(spark, sf_dir, chargrams),
+        extra_key=(LID_NF, LID_ROUNDS, LID_EVAL_MOD)
+        + ((LID_NC, LID_CG_WIDTHS) if chargrams else ()),
     )
 
 
-def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lid_scored(
+    spark: SparkSession, sf_dir: str, chargrams: bool = False
+) -> DataFrame:
     """(doc_id, lang, held_out, pred_lang, margin): argmax-class scoring
     against the persisted weights. The argmax is a two-phase groupBy
     min(struct(-margin, cls)) — largest margin, smallest class on ties
@@ -1916,8 +1958,8 @@ def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     docs = load_table(spark, sf_dir, "documents")
     m = (
-        _lid_feats(docs)
-        .join(F.broadcast(_lid_weights(spark, sf_dir)), "f")
+        _lid_feats(docs, chargrams)
+        .join(F.broadcast(_lid_weights(spark, sf_dir, chargrams)), "f")
         .groupBy("doc_id", "cls")
         .agg(F.expr(_LID_DOT).cast("long").alias("margin"))
     )
@@ -1937,54 +1979,70 @@ def _lid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lid_ctes() -> str:
+def _lid_ctes(p: str = "l", chargrams: bool = False) -> str:
     """Unrolled one-vs-rest training + scoring CTE chain (the oracle twin
-    of _lid_weights_build + _lid_scored) — ends in ``lpred`` with rk = 1
-    rows being each doc's argmax class."""
+    of _lid_weights_build + _lid_scored) — ends in ``{p}pred`` with
+    rk = 1 rows being each doc's argmax class. ``p`` prefixes every CTE
+    name so two model variants (word-only vs word+chargram) can coexist
+    in one WITH clause; ``chargrams`` adds the hashed char-3/4-gram
+    feature rows (DuckDB's generate_series is empty below the gram
+    width, matching the Spark side's short-doc guard)."""
     from ..functions.hashing import hash32_sql
 
+    feat_src = (
+        f"SELECT doc_id, {hash32_sql('tok')} % {LID_NF} AS f "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+    )
+    if chargrams:
+        for wd in LID_CG_WIDTHS:
+            feat_src += (
+                f" UNION ALL SELECT doc_id, {LID_NF} + {hash32_sql('g')} % {LID_NC} AS f "
+                "FROM (SELECT doc_id, "
+                f"unnest(list_transform(generate_series(1, len(text) - {wd - 1}), "
+                f"i -> substring(text, i, {wd}))) AS g FROM documents)"
+            )
     parts = [
-        "lcls AS (SELECT DISTINCT lang AS cls FROM documents)",
-        f"llab AS (SELECT doc_id, lang, (doc_id % {LID_EVAL_MOD} = 0) AS held_out FROM documents)",
-        f"lfb AS MATERIALIZED (SELECT doc_id, {hash32_sql('tok')} % {LID_NF} AS f, COUNT(*) AS c "
-        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2 "
+        f"{p}cls AS (SELECT DISTINCT lang AS cls FROM documents)",
+        f"{p}lab AS (SELECT doc_id, lang, (doc_id % {LID_EVAL_MOD} = 0) AS held_out FROM documents)",
+        f"{p}fb AS MATERIALIZED (SELECT doc_id, f, COUNT(*) AS c "
+        f"FROM ({feat_src}) GROUP BY 1, 2 "
         "UNION ALL SELECT doc_id, -1 AS f, 1 AS c FROM documents)",
-        "ldc AS MATERIALIZED (SELECT l.doc_id, c.cls, "
+        f"{p}dc AS MATERIALIZED (SELECT l.doc_id, c.cls, "
         "CASE WHEN l.lang = c.cls THEN 1 ELSE -1 END AS y "
-        "FROM llab l CROSS JOIN lcls c WHERE NOT l.held_out)",
-        "lmis0 AS (SELECT doc_id, cls, y FROM ldc)",
+        f"FROM {p}lab l CROSS JOIN {p}cls c WHERE NOT l.held_out)",
+        f"{p}mis0 AS (SELECT doc_id, cls, y FROM {p}dc)",
     ]
     for r in range(1, LID_ROUNDS + 1):
         parts.append(
-            f"lup{r} AS (SELECT m.cls, fb.f, CAST(SUM(fb.c * m.y) AS BIGINT) AS dw "
-            f"FROM lfb fb JOIN lmis{r - 1} m USING (doc_id) GROUP BY 1, 2)"
+            f"{p}up{r} AS (SELECT m.cls, fb.f, CAST(SUM(fb.c * m.y) AS BIGINT) AS dw "
+            f"FROM {p}fb fb JOIN {p}mis{r - 1} m USING (doc_id) GROUP BY 1, 2)"
         )
         if r == 1:
-            parts.append("lw1 AS MATERIALIZED (SELECT cls, f, dw AS w FROM lup1)")
+            parts.append(f"{p}w1 AS MATERIALIZED (SELECT cls, f, dw AS w FROM {p}up1)")
         else:
             parts.append(
-                f"lw{r} AS MATERIALIZED (SELECT cls, f, CAST(SUM(x) AS BIGINT) AS w FROM "
-                f"(SELECT cls, f, w AS x FROM lw{r - 1} "
-                f"UNION ALL SELECT cls, f, dw AS x FROM lup{r}) GROUP BY cls, f)"
+                f"{p}w{r} AS MATERIALIZED (SELECT cls, f, CAST(SUM(x) AS BIGINT) AS w FROM "
+                f"(SELECT cls, f, w AS x FROM {p}w{r - 1} "
+                f"UNION ALL SELECT cls, f, dw AS x FROM {p}up{r}) GROUP BY cls, f)"
             )
         if r < LID_ROUNDS:
             parts.append(
-                f"lm{r} AS (SELECT fb.doc_id, w.cls, SUM(fb.c::HUGEINT * w.w) AS dot "
-                f"FROM lfb fb JOIN lw{r} w ON w.f = fb.f GROUP BY 1, 2)"
+                f"{p}m{r} AS (SELECT fb.doc_id, w.cls, SUM(fb.c::HUGEINT * w.w) AS dot "
+                f"FROM {p}fb fb JOIN {p}w{r} w ON w.f = fb.f GROUP BY 1, 2)"
             )
             parts.append(
-                f"lmis{r} AS (SELECT t.doc_id, t.cls, t.y FROM ldc t "
-                f"JOIN lm{r} m ON m.doc_id = t.doc_id AND m.cls = t.cls "
+                f"{p}mis{r} AS (SELECT t.doc_id, t.cls, t.y FROM {p}dc t "
+                f"JOIN {p}m{r} m ON m.doc_id = t.doc_id AND m.cls = t.cls "
                 "WHERE t.y * m.dot <= 0)"
             )
     parts.append(
-        f"lsc AS (SELECT fb.doc_id, w.cls, CAST(SUM(fb.c::HUGEINT * w.w) AS BIGINT) AS margin "
-        f"FROM lfb fb JOIN lw{LID_ROUNDS} w ON w.f = fb.f GROUP BY 1, 2)"
+        f"{p}sc AS (SELECT fb.doc_id, w.cls, CAST(SUM(fb.c::HUGEINT * w.w) AS BIGINT) AS margin "
+        f"FROM {p}fb fb JOIN {p}w{LID_ROUNDS} w ON w.f = fb.f GROUP BY 1, 2)"
     )
     parts.append(
-        "lpred AS (SELECT doc_id, cls, margin, "
+        f"{p}pred AS (SELECT doc_id, cls, margin, "
         "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY margin DESC, cls ASC) AS rk "
-        "FROM lsc)"
+        f"FROM {p}sc)"
     )
     return ",\n".join(parts)
 
@@ -2029,12 +2087,54 @@ def text_lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lang_id_train_cg",
+    oracle=f"""
+WITH {_lid_ctes("g", chargrams=True)}
+SELECT l.doc_id, l.lang, l.held_out,
+       p.cls AS pred_lang,
+       p.margin,
+       (p.cls = l.lang) AS agrees_with_label
+FROM glab l JOIN gpred p ON p.doc_id = l.doc_id AND p.rk = 1
+""",
+    doc=(
+        "Char-n-gram trained language-ID (VERDICT r13 item 1 — the "
+        "fastText/CLD inductive-bias fix): the same one-vs-rest exact-"
+        "integer perceptron, but the feature stream adds hashed char-3/"
+        f"4-grams ({LID_NC} buckets in a range disjoint from the "
+        f"{LID_NF} word buckets) — language identity lives in character "
+        "n-grams, so this model should dominate the word-unigram one on "
+        "held-out accuracy (text_lang_id_train_eval measures all three "
+        "side by side). Scale shape: the gram explode is ~n_chars rows "
+        "per doc but partial-aggregates map-side to <= NF + NC buckets "
+        "per doc before any shuffle; the weight table stays <= |classes|"
+        " x (NF + NC + 1) rows — always broadcast; weights persist as "
+        "their own index-store family (lang_id_w_cg)."
+    ),
+)
+def text_lang_id_train_cg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lid_scored(spark, sf_dir, chargrams=True).select(
+        "doc_id",
+        "lang",
+        "held_out",
+        "pred_lang",
+        "margin",
+        (F.col("pred_lang") == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+@register(
     "text_lang_id_train_eval",
     oracle=f"""
 WITH {_lid_ctes()},
+{_lid_ctes("g", chargrams=True)},
 ltr AS (
     SELECT l.lang, p.cls AS pred_lang
     FROM llab l JOIN lpred p ON p.doc_id = l.doc_id AND p.rk = 1
+    WHERE l.held_out
+),
+gtr AS (
+    SELECT l.lang, p.cls AS pred_lang
+    FROM glab l JOIN gpred p ON p.doc_id = l.doc_id AND p.rk = 1
     WHERE l.held_out
 ),
 llex AS (
@@ -2049,6 +2149,8 @@ llex AS (
 ),
 lboth AS (
     SELECT 'trained' AS model, lang, pred_lang FROM ltr
+    UNION ALL
+    SELECT 'trained_cg' AS model, lang, pred_lang FROM gtr
     UNION ALL
     SELECT 'lexicon' AS model, lang, pred_lang FROM llex
 ),
@@ -2066,16 +2168,16 @@ FROM lcells c JOIN ltot t ON t.model = c.model AND t.lang = c.lang
 ORDER BY c.model, c.lang, c.pred_lang
 """,
     doc=(
-        "Held-out confusion matrices for the TRAINED lang-id and the "
-        "lexicon baseline side by side (same doc_id % "
-        f"{LID_EVAL_MOD} == 0 slice, neither saw a gradient from it — "
-        "the honest model-vs-baseline comparison VERDICT r12 item 3 "
-        "asks for): per (model, actual, predicted) cell counts and "
-        "per-actual-class recall in exact integer ppm, the "
-        "text_quality_classifier_eval shape with a model dimension so a "
-        "data card reads both classifiers identically. A curation run "
-        "promotes the trained model only where its held-out diagonal "
-        "beats the lexicon's."
+        "Held-out confusion matrices for THREE language-ID models side "
+        "by side — lexicon baseline / word-unigram perceptron / word+"
+        "char-n-gram perceptron (the r14 three-way comparison VERDICT "
+        f"r13 item 1 asks for; same doc_id % {LID_EVAL_MOD} == 0 slice, "
+        "no model saw a gradient from it): per (model, actual, "
+        "predicted) cell counts and per-actual-class recall in exact "
+        "integer ppm, the text_quality_classifier_eval shape with a "
+        "model dimension so a data card reads all classifiers "
+        "identically. A curation run promotes the best model by its "
+        "held-out diagonal."
     ),
 )
 def text_lang_id_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2083,6 +2185,11 @@ def text_lang_id_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lid_scored(spark, sf_dir)
         .where("held_out")
         .select(F.lit("trained").alias("model"), "lang", "pred_lang")
+    )
+    trained_cg = (
+        _lid_scored(spark, sf_dir, chargrams=True)
+        .where("held_out")
+        .select(F.lit("trained_cg").alias("model"), "lang", "pred_lang")
     )
     docs = load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") % LID_EVAL_MOD) == 0
@@ -2105,7 +2212,8 @@ def text_lang_id_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lexicon").alias("model"), "lang", pred.alias("pred_lang")
     )
     cells = (
-        trained.unionByName(lexicon)
+        trained.unionByName(trained_cg)
+        .unionByName(lexicon)
         .groupBy("model", "lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -1121,6 +1121,48 @@ def run_manifest_stream(
     )
 
 
+# Landed gate-row contract for run_corpus_build_stream. The r13 model
+# gate grew the landed row (n, sl, ns, qfeats); a store landed by an
+# older run has rows WITHOUT those columns, and appending new-schema
+# rows next to them (or exploding qfeats at merge) would either fail
+# with a column-resolution error or silently read a mixed-schema parquet
+# directory (ADVICE r13). The version is stamped on every landed row and
+# checked BEFORE the first append, so an incompatible store fails fast
+# with an explicit remediation instead of corrupting itself.
+GATE_SINK_SCHEMA_VERSION = 2
+GATE_SINK_REQUIRED_COLS = (
+    "doc_id", "source", "n_chars", "ck", "passes_quality", "whs",
+    "n", "sl", "ns", "qfeats", "_gate_schema_v",
+)
+
+
+def _check_gate_sink_schema(spark: SparkSession, gate_sink) -> None:
+    """Fail fast (with 'reland required') when an existing landed gate
+    store predates GATE_SINK_SCHEMA_VERSION — schema check is one footer
+    read; the version check is a min/max over a stats-served int column."""
+    if not gate_sink.exists():
+        return
+    landed = gate_sink.read(spark)
+    missing = [c for c in GATE_SINK_REQUIRED_COLS if c not in landed.columns]
+    if missing:
+        raise ValueError(
+            f"gate store at {gate_sink.path} was landed by an older engine "
+            f"version (missing columns: {missing}); reland required — delete "
+            f"the gate store and the stream checkpoint, then re-run the "
+            f"stream over the source files"
+        )
+    lo, hi = landed.agg(
+        F.min("_gate_schema_v"), F.max("_gate_schema_v")
+    ).first()
+    if lo != GATE_SINK_SCHEMA_VERSION or hi != GATE_SINK_SCHEMA_VERSION:
+        raise ValueError(
+            f"gate store at {gate_sink.path} holds schema version(s) "
+            f"[{lo}, {hi}] but this engine lands version "
+            f"{GATE_SINK_SCHEMA_VERSION}; reland required — delete the gate "
+            f"store and the stream checkpoint, then re-run the stream"
+        )
+
+
 def run_corpus_build_stream(
     spark: SparkSession,
     new_docs_dir: str,
@@ -1190,6 +1232,7 @@ def run_corpus_build_stream(
     )
     gate_sink = ParquetSink(f"{out_dir}/gate_rows", partition_cols=())
     bench_sink = ParquetSink(f"{out_dir}/bench_shingles", partition_cols=())
+    _check_gate_sink_schema(spark, gate_sink)
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         # the gate columns are the SHARED builders from pipelines.py
@@ -1221,6 +1264,7 @@ def run_corpus_build_stream(
             )
             .join(st, "doc_id")
             .join(feats, "doc_id")
+            .withColumn("_gate_schema_v", F.lit(GATE_SINK_SCHEMA_VERSION))
         )
         gate_sink.append_idempotent(rows, key_cols=["doc_id"])
         bench = (

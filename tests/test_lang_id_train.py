@@ -129,6 +129,86 @@ def test_weights_ride_the_index_store(spark, tmp_path, monkeypatch):
         IO._MEMO_FRAMES.update(saved)
 
 
+def test_chargram_features_disjoint_ranges(spark, tmp_path, no_store):
+    """The char-gram feature stream occupies [LID_NF, LID_NF + LID_NC)
+    — disjoint from word buckets [0, LID_NF) and the bias at -1 — and a
+    doc shorter than the gram width contributes no gram rows (the
+    sequence()-descends guard, same hazard as _bigram_structs)."""
+    sf = _write_docs(
+        spark, tmp_path / "rg", [(1, "aaa bbb", "xx"), (2, "ab", "yy")]
+    )
+    fb = T._lid_feats(
+        IO.load_table(spark, sf, "documents"), chargrams=True
+    ).collect()
+    fs = {r["f"] for r in fb}
+    assert all(-1 <= f < T.LID_NF + T.LID_NC for f in fs)
+    assert any(f >= T.LID_NF for f in fs), "char grams present"
+    # doc 2 ('ab', 2 chars) has word buckets + bias but NO char grams
+    d2 = {r["f"] for r in fb if r["doc_id"] == 2}
+    assert all(f < T.LID_NF for f in d2)
+    # doc 1: 'aaa bbb' has 5 char-3-grams and 4 char-4-grams = 9 gram
+    # occurrences total across its char-bucket rows
+    d1c = sum(r["c"] for r in fb if r["doc_id"] == 1 and r["f"] >= T.LID_NF)
+    assert d1c == 9
+
+
+def test_chargram_model_separates_and_eval_is_three_way(
+    spark, tmp_path, no_store
+):
+    """The +chargram model still learns the separable corpus exactly,
+    and the eval now reports all three models over the identical
+    held-out slice."""
+    sf = _write_docs(spark, tmp_path / "cg", _SEP)
+    rows = T.text_lang_id_train_cg(spark, sf).collect()
+    assert rows and all(r["agrees_with_label"] for r in rows)
+    ev = T.text_lang_id_train_eval(spark, sf).collect()
+    assert {r["model"] for r in ev} == {"lexicon", "trained", "trained_cg"}
+    n_ho = {
+        m: sum(r["n_docs"] for r in ev if r["model"] == m)
+        for m in ("lexicon", "trained", "trained_cg")
+    }
+    assert len(set(n_ho.values())) == 1, "same held-out slice for all models"
+
+
+def test_chargram_model_generalizes_to_unseen_words(spark, tmp_path, no_store):
+    """VERDICT r13 item 1's actual claim — language identity lives in
+    character n-grams — proven where it is measurable: every HELD-OUT
+    doc is written in words NEVER SEEN in training, but sharing the
+    training words' char-3/4-grams. The word-unigram model's held-out
+    features all hash to untrained buckets (margin = bias only, ties
+    break to the alphabetically smallest class -> it predicts 'xx' for
+    everything, 50%); the +chargram model classifies all 8 held-out
+    docs exactly.
+
+    (The driver testdata cannot host this comparison: its lang labels
+    are statistically independent of text — max word-lang association
+    z-score 2.45 over ~300 cells at sf0.01, pure noise — so EVERY
+    model's held-out ceiling there is the majority-class prior, the
+    '41%' VERDICT r13 reports for the word model. The three-way eval
+    still runs on testdata for the shape/parity gate; the accuracy
+    ordering is asserted here, on signal.)"""
+    rows = []
+    for i in range(1, 41):
+        held_out = i % T.LID_EVAL_MOD == 0
+        if i % 2:
+            txt = "abab ababababab abab" if held_out else "ababab abababab ababab"
+            rows.append((i, txt, "xx"))
+        else:
+            txt = "cdcd cdcdcdcdcd cdcd" if held_out else "cdcdcd cdcdcdcd cdcdcd"
+            rows.append((i, txt, "yy"))
+    sf = _write_docs(spark, tmp_path / "oov", rows)
+
+    def acc(scored):
+        ho = [r for r in scored.collect() if r["held_out"]]
+        assert len(ho) == 8
+        return sum(r["pred_lang"] == r["lang"] for r in ho) / len(ho)
+
+    a_w = acc(T.text_lang_id_train(spark, sf))
+    a_cg = acc(T.text_lang_id_train_cg(spark, sf))
+    assert a_cg == 1.0, f"chargram generalizes across word boundaries: {a_cg}"
+    assert a_w <= 0.5, f"word-unigram cannot score unseen words: {a_w}"
+
+
 def test_lang_temperature_mixture_flattens_predicted_head(
     spark, tmp_path, no_store
 ):

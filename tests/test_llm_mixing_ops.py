@@ -643,6 +643,18 @@ def test_threshold_sweep_uniform_margins(spark, tmp_path):
     assert all(r.precision_ppm is None for r in out)
     assert all(r.recall_ppm == 0 for r in out)
 
+    # ADVICE r13: the gate-bar selection over this all-NULL-precision
+    # sweep must report precision_met = FALSE (the oracle's
+    # MAX(CASE...ELSE 0)), not NULL (Spark's null-skipping MAX), and
+    # fall back to the strictest bar
+    from etl_financial_report_spark.operators.quality import qc_gate_bar_frame
+
+    sweep = text_quality_threshold_sweep(spark, str(tmp_path))
+    bar = qc_gate_bar_frame(sweep).collect()
+    assert len(bar) == 1
+    assert bar[0].precision_met is False  # not None
+    assert bar[0].qbar == out[0].bar
+
 
 def test_doremi_mixture_quotas_derive_from_the_weights(spark, sf_dir):
     """r13 consumer contract: sample_doremi_mixture's rate_ppm is the

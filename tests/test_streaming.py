@@ -590,6 +590,47 @@ def test_corpus_build_stream_matches_batch_operator(spark, tmp_path):
     assert {tuple(r) for r in got2.select(*want.columns).collect()} == w
 
 
+def test_corpus_build_stream_rejects_stale_gate_store(spark, tmp_path):
+    """ADVICE r13: a gate store landed by a pre-r13 run (rows without the
+    model-gate columns n/sl/ns/qfeats/_gate_schema_v) must fail FAST with
+    an explicit 'reland required' error — before any new-schema append
+    creates a mixed-schema parquet directory — and a right-columns,
+    wrong-version store must fail the same way."""
+    import pytest
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    docs_dir = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(docs_dir)
+
+    # (a) pre-r13 landed schema: missing the model-gate columns
+    out_a = tmp_path / "out_a"
+    spark.createDataFrame(
+        [(1, "s", 10, "ck", True, ["a b c"])],
+        "doc_id long, source string, n_chars long, ck string, "
+        "passes_quality boolean, whs array<string>",
+    ).write.parquet(str(out_a / "gate_rows"))
+    with pytest.raises(ValueError, match="reland required"):
+        runtime.run_corpus_build_stream(
+            spark, docs_dir, str(out_a), str(tmp_path / "ckpt_a")
+        )
+    # nothing was appended next to the stale rows
+    assert spark.read.parquet(str(out_a / "gate_rows")).count() == 1
+
+    # (b) right columns, wrong stamped version
+    out_b = tmp_path / "out_b"
+    spark.createDataFrame(
+        [(1, "s", 10, "ck", True, ["a b c"], 5, 1, 0, [(7, 2)],
+          runtime.GATE_SINK_SCHEMA_VERSION + 1)],
+        "doc_id long, source string, n_chars long, ck string, "
+        "passes_quality boolean, whs array<string>, n long, sl long, "
+        "ns long, qfeats array<struct<f:long,c:long>>, _gate_schema_v int",
+    ).write.parquet(str(out_b / "gate_rows"))
+    with pytest.raises(ValueError, match="reland required"):
+        runtime.run_corpus_build_stream(
+            spark, docs_dir, str(out_b), str(tmp_path / "ckpt_b")
+        )
+
+
 def test_unigram_train_stream_matches_batch_operator(spark, tmp_path):
     """The streamed trainer feed: word-frequency partials land over three
     file chunks, the merged word table feeds the exact batch chain, and
