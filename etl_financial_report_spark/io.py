@@ -163,6 +163,30 @@ def _stat_tuple(path: str) -> tuple:
     return tuple(sorted(out))
 
 
+def corpus_file_stats(sf_dir: str, name: str) -> tuple:
+    """Sorted ((relpath, size, num_rows), ...) of one table's data files
+    — the exact tuple set the content fingerprint hashes, exposed so the
+    incremental store path can compute FILE-LEVEL set differences
+    between two corpus states (parent ⊂ child → the batch is the
+    complement). Pure metadata (os.stat + parquet footers)."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    stats = _stat_tuple(path)
+    parts = []
+    for rel, size, _mt in stats:
+        if rel == "<missing>":
+            parts.append(("<missing>", 0, 0))
+            continue
+        full = path if not os.path.isdir(path) else os.path.join(path, rel)
+        try:
+            nrows = pq.ParquetFile(full).metadata.num_rows
+        except Exception:
+            nrows = -1
+        parts.append((rel, size, nrows))
+    return tuple(sorted(parts))
+
+
 def corpus_fingerprint(sf_dir: str, name: str) -> str:
     """Content fingerprint of one driver table: md5 over the sorted
     (relpath, size, num_rows) tuples of its data files — footer row
@@ -178,19 +202,7 @@ def corpus_fingerprint(sf_dir: str, name: str) -> str:
     key = (path, stats)
     fp = _FPRINT_CACHE.get(key)
     if fp is None:
-        import pyarrow.parquet as pq
-
-        parts = []
-        for rel, size, _mt in stats:
-            if rel == "<missing>":
-                parts.append(("<missing>", 0, 0))
-                continue
-            full = path if not os.path.isdir(path) else os.path.join(path, rel)
-            try:
-                nrows = pq.ParquetFile(full).metadata.num_rows
-            except Exception:
-                nrows = -1
-            parts.append((rel, size, nrows))
+        parts = corpus_file_stats(sf_dir, name)
         fp = hashlib.md5(repr(sorted(parts)).encode()).hexdigest()
         _FPRINT_CACHE[key] = fp
     return fp
@@ -463,6 +475,231 @@ def memo_checkpoint(
                 # ANY family cache (a builder may nest another memoized
                 # build whose miss cached a checkpoint inside this window;
                 # freeing that would leave a live entry with dead blocks)
+                unpersist_tracked(
+                    spark,
+                    (_persistent_rdd_ids(spark) - ids_before)
+                    - protected_rdd_ids(),
+                )
+                hit = (df, frozenset())
+            else:
+                hit = checkpoint_tracked(built)
+        else:
+            hit = (df, frozenset())
+        while len(_MEMO_FRAMES) >= _MEMO_FRAMES_MAX:
+            _old_df, old_ids = _MEMO_FRAMES.pop(next(iter(_MEMO_FRAMES)))
+            unpersist_tracked(spark, old_ids)
+        _MEMO_FRAMES[key] = hit
+    return hit[0]
+
+
+# ----------------------------------------- incremental store maintenance
+#
+# VERDICT r13 item 2 (the real 100 TB pain point): the store above keys
+# every artifact on the FULL corpus content fingerprint, so one newly
+# ingested file used to invalidate and REBUILD every family from
+# scratch. For ROW-INCREMENTAL families — per-doc signature tables where
+# artifact(corpus ∪ batch) = artifact(corpus) ∪ artifact(batch), i.e.
+# minhash / simhash64 signatures — memo_checkpoint_rowwise below adds an
+# append path: when the full-key lookup misses but a PARENT version
+# exists whose recorded file set is a subset of the current corpus's,
+# only the NEW files are read and signed, and the batch rows land via
+# SnapshotTable.commit_append(base_version=parent) — the parent's data
+# files are carried BY REFERENCE (zero corpus bytes rewritten or
+# re-read; commit_merge would rewrite the whole table copy-on-write,
+# which is exactly the O(corpus) cost this path exists to avoid).
+#
+# The fingerprint chain is recorded as one lineage JSON per published
+# key under <family>/_lineage/<skey>.json: the corpus file-stat set the
+# key covers, the parent key it chained from (None for a from-scratch
+# build), and a policy fingerprint (builder tag + policy constants +
+# engine code fingerprint) — a code or policy edit can never chain onto
+# a stale parent because the policy fingerprints diverge. At 100 TB the
+# lineage record holds file PATHS + footer stats (the same metadata
+# class as the snapshot manifests); a catalog's snapshot ids would
+# replace the explicit file list.
+#
+# Correctness precondition (the daily-ingest contract): the batch
+# files' doc keys are disjoint from the parent corpus's — the same
+# contract dedup_incremental and every streaming twin already rely on.
+# A re-signed duplicate key would shadow nothing (both rows surface);
+# the from-scratch equality test in tests/test_index_store_incremental
+# pins the honest case.
+
+
+def _policy_fingerprint(tag: str, extra_key: tuple, mod_file: str | None) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        repr((tag, tuple(extra_key), _code_fingerprint(mod_file))).encode()
+    ).hexdigest()
+
+
+def _lineage_dir(tag: str) -> str:
+    return os.path.join(INDEX_STORE_ROOT, tag, "_lineage")
+
+
+def _lineage_write(tag: str, skey: str, record: dict) -> None:
+    """Publish one lineage record, atomically (same temp+link dance as
+    the snapshot manifests); an existing record wins — records are
+    immutable per key."""
+    import json
+    import uuid
+
+    d = _lineage_dir(tag)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{skey}.json")
+    if os.path.exists(path):
+        return
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+
+
+def _lineage_records(tag: str) -> list[dict]:
+    import json
+
+    d = _lineage_dir(tag)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json") and not f.startswith("."):
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, ValueError):
+                continue
+    return out
+
+
+def _try_incremental_publish(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    tag: str,
+    skey: str,
+    policy_fp: str,
+    build_batch,
+) -> DataFrame | None:
+    """The append path: find the largest committed parent whose file set
+    is a strict subset of the current corpus's (same policy fingerprint),
+    sign ONLY the complement files, and chain the batch rows onto the
+    parent snapshot. Returns the disk-backed read of the child version,
+    or None when no parent qualifies (caller falls back to from-scratch).
+    Cost: metadata scans + one Spark job over |batch| files."""
+    path = table_path(sf_dir, table)
+    if not os.path.isdir(path):
+        return None  # single-file tables can only change wholesale
+    cur_stats = corpus_file_stats(sf_dir, table)
+    cur_set = set(cur_stats)
+    best = None
+    for rec in _lineage_records(tag):
+        if rec.get("policy_fp") != policy_fp:
+            continue
+        pset = {tuple(t) for t in rec.get("file_stats", [])}
+        if pset and pset < cur_set and (
+            best is None or len(pset) > len(best[1])
+        ):
+            best = (rec, pset)
+    if best is None:
+        return None
+    rec, pset = best
+    try:
+        st = _index_table(tag)
+        parent_version = None
+        for v in reversed(st.versions()):
+            m = st._read_manifest(v)
+            if m.get("tag") == rec["skey"] and m.get("files"):
+                parent_version = v
+                break
+        if parent_version is None:
+            return None  # lineage record outlived its vacuumed version
+        batch_paths = [
+            os.path.join(path, rel) for (rel, _s, _n) in cur_stats
+            if (rel, _s, _n) not in pset
+        ]
+        batch_rows = build_batch(spark.read.parquet(*batch_paths))
+        st.commit_append(batch_rows, tag=skey, base_version=parent_version)
+        got = index_store_lookup(spark, tag, skey)
+        if got is not None:
+            _lineage_write(
+                tag,
+                skey,
+                {
+                    "skey": skey,
+                    "parent_skey": rec["skey"],
+                    "policy_fp": policy_fp,
+                    "file_stats": [list(t) for t in cur_stats],
+                    "n_batch_files": len(batch_paths),
+                },
+            )
+        return got
+    except Exception:
+        return None
+
+
+def memo_checkpoint_rowwise(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    tag: str,
+    build_full,
+    build_batch,
+    extra_key: tuple = (),
+) -> DataFrame:
+    """memo_checkpoint for ROW-INCREMENTAL artifact families (per-doc
+    signature tables): identical three-tier lookup, plus the append path
+    between tiers 2 and 3 — on a full-key store miss, a parent version
+    covering a file-subset of the current corpus donates its rows by
+    reference and only the new files are read and signed. The published
+    child is indistinguishable from a from-scratch rebuild to every
+    later lookup (same tag, same key discipline).
+
+    ``build_full()`` builds over the whole corpus (the fallback);
+    ``build_batch(docs)`` builds the same rows over an arbitrary
+    (sub)frame of the table — both must emit identical schemas."""
+    if not MEMO_ENABLED:
+        return build_full()
+    fp = corpus_fingerprint(sf_dir, table)
+    key = (spark.sparkContext.applicationId, sf_dir, fp, tag, *extra_key)
+    hit = _MEMO_FRAMES.get(key)
+    if hit is None:
+        import inspect
+
+        try:
+            mod_file = inspect.getsourcefile(build_batch)
+        except TypeError:
+            mod_file = None
+        skey = _index_key(sf_dir, table, tag, extra_key, mod_file)
+        policy_fp = _policy_fingerprint(tag, extra_key, mod_file)
+        df = index_store_lookup(spark, tag, skey)
+        if df is None and INDEX_STORE_ENABLED:
+            df = _try_incremental_publish(
+                spark, sf_dir, table, tag, skey, policy_fp, build_batch
+            )
+        if df is None:
+            ids_before = _persistent_rdd_ids(spark)
+            built = build_full()
+            df = index_store_publish(spark, tag, skey, built)
+            if df is not None:
+                _lineage_write(
+                    tag,
+                    skey,
+                    {
+                        "skey": skey,
+                        "parent_skey": None,
+                        "policy_fp": policy_fp,
+                        "file_stats": [
+                            list(t) for t in corpus_file_stats(sf_dir, table)
+                        ],
+                    },
+                )
                 unpersist_tracked(
                     spark,
                     (_persistent_rdd_ids(spark) - ids_before)

@@ -261,7 +261,12 @@ class SnapshotTable:
             os.unlink(tmp)
         return version
 
-    def commit_append(self, df: DataFrame, tag: str | None = None) -> int | None:
+    def commit_append(
+        self,
+        df: DataFrame,
+        tag: str | None = None,
+        base_version: int | None = None,
+    ) -> int | None:
         """Append a new version, rebasing on lost version races. ``tag``
         makes the commit idempotent per tag (e.g. a content fingerprint of
         a streaming micro-batch): if any manifest already carries it, the
@@ -270,14 +275,23 @@ class SnapshotTable:
         re-checked after EVERY lost race, so two writers racing the same
         tagged batch resolve to exactly one published version (the loser
         sees the winner's tag on rebase and no-ops); data files are
-        written once and re-pointed by the retried manifest."""
+        written once and re-pointed by the retried manifest.
+
+        ``base_version`` appends RELATIVE TO A PINNED SNAPSHOT instead of
+        the current one: the new manifest lists that version's files (by
+        reference — zero bytes rewritten) plus the new rows' files. This
+        is the incremental-index maintenance op (io.memo_checkpoint_
+        rowwise): a multi-tenant artifact family where versions for other
+        corpus snapshots land in between must chain each child onto ITS
+        parent, not onto whatever happens to be current."""
         if tag is not None and tag in self.committed_tags():
             return None
         new_files: list[str] | None = None
         new_meta: dict[str, dict] = {}
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version()
-            prev = self._read_manifest(base) if base is not None else {}
+            src = base_version if base_version is not None else base
+            prev = self._read_manifest(src) if src is not None else {}
             prev_files = prev.get("files", [])
             prev_meta = prev.get("file_meta", {})
             version = (base if base is not None else -1) + 1
