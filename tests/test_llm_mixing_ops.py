@@ -656,6 +656,65 @@ def test_threshold_sweep_uniform_margins(spark, tmp_path):
     assert bar[0].qbar == out[0].bar
 
 
+def test_calibrated_spend_curve_drives_selection(spark):
+    """VERDICT r13 item 3's done-bar: with a MONOTONE calibration curve
+    the calibrated budget equals margin-greedy selection (the curve
+    changes nothing); with an INVERTED curve (a lower-margin bin whose
+    empirical keep rate is higher) the selection flips to that bin —
+    the calibration artifact drives the spend, not the raw margin."""
+    from etl_financial_report_spark.operators.sampling import _calibrated_spend
+
+    def frame(krate_hi, krate_lo):
+        rows = [
+            (i, 40, 2, 200 + i, krate_hi) for i in range(3)
+        ] + [
+            (10 + i, 40, 1, 100 + i, krate_lo) for i in range(3)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, n_chars long, bin long, margin long, krate long"
+        )
+
+    # monotone: higher-margin bin 2 is better calibrated -> it wins the
+    # budget, exactly as pure margin order would
+    mono = {r["bin"]: r for r in _calibrated_spend(frame(900_000, 500_000), 120).collect()}
+    assert mono[2]["n_kept"] == 3 and mono[1]["n_kept"] == 0
+    assert mono[2]["chars_kept"] == 120
+
+    # inverted: bin 1's docs EMPIRICALLY keep better despite lower
+    # margins -> the calibrated spend promotes them; margin order would
+    # have picked bin 2
+    inv = {r["bin"]: r for r in _calibrated_spend(frame(500_000, 900_000), 120).collect()}
+    assert inv[1]["n_kept"] == 3 and inv[2]["n_kept"] == 0
+    assert inv[1]["chars_kept"] == 120
+
+    # partial budget stops mid-bin deterministically (margin desc order)
+    part = {r["bin"]: r for r in _calibrated_spend(frame(900_000, 500_000), 100).collect()}
+    assert part[2]["n_kept"] == 2 and part[1]["n_kept"] == 0
+
+
+def test_calibrated_budget_spends_whole_budget_on_testdata(spark, sf_dir):
+    """The registered query over the real corpus: per-bin accounting
+    sums to the corpus, kept chars never exceed the budget, and kept
+    bins form a prefix of the (keep_rate, bin) order."""
+    from etl_financial_report_spark.operators.sampling import (
+        _QUALITY_BUDGET_CHARS,
+        sample_calibrated_budget,
+    )
+
+    out = sample_calibrated_budget(spark, sf_dir).collect()
+    assert sum(r["chars_kept"] for r in out) <= _QUALITY_BUDGET_CHARS
+    assert all(0 <= r["n_kept"] <= r["n_total"] for r in out)
+    # bins with any kept doc must dominate fully-skipped bins in the
+    # calibrated order (keep_rate desc, bin desc) — prefix property
+    ordered = sorted(out, key=lambda r: (-r["keep_rate_ppm"], -r["bin"]))
+    seen_partial = False
+    for r in ordered:
+        if seen_partial:
+            assert r["n_kept"] == 0, "spend is a prefix of the calibrated order"
+        if r["n_kept"] < r["n_total"]:
+            seen_partial = True
+
+
 def test_doremi_mixture_quotas_derive_from_the_weights(spark, sf_dir):
     """r13 consumer contract: sample_doremi_mixture's rate_ppm is the
     DOCUMENTED pure function of sample_doremi_weights' fixed point —

@@ -92,6 +92,9 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # r13: the 9-row bar broadcast onto the held-out slice (calibration)
     # and the manifest's reviewed broadcasts under the rollup
     "text_quality_calibration", "pipeline_drop_reason_matrix",
+    # r14: the same 9-row bar broadcast binning the full scored frame,
+    # plus the <=10-row calibration-curve broadcast ordering the spend
+    "sample_calibrated_budget",
     # 1-row corpus-total broadcast onto the 4-row quality x dup cells
     "pipeline_quality_dup_matrix",
     # 16-row query block + 8-row centroid block + 1-row overlap aggregates
