@@ -1231,3 +1231,191 @@ def pipeline_drop_reason_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "outcome")
     )
+
+
+# ------------------------------------------- gate drift matrix (r14)
+
+#: share movement (ppm of the source) below which a cell is 'stable'
+GATE_DRIFT_PPM = 10_000
+
+
+def gate_drift_frames(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """FULL OUTER (source, outcome) diff of two drop-reason matrices —
+    manifest_drift_frames' grammar lifted to gate cells. Both inputs
+    carry (source, outcome, n_docs, share_ppm). Verdict classes:
+
+      * source_new / source_dropped — the whole source (all its cells)
+        entered or left the corpus;
+      * cell_new / cell_gone — the source persists but STARTED or
+        STOPPED losing docs to this gate (the recrawl alarm VERDICT r13
+        item 5 asks for);
+      * share_up / share_down — the cell persists and its share of the
+        source moved by >= GATE_DRIFT_PPM;
+      * stable — everything else.
+
+    Both matrices are O(|sources| x |gates|) rows, so the full-outer
+    join and every aggregate here are driver-trivial at any corpus
+    scale; the cost lives in the manifest passes upstream."""
+    psrc = prev.select("source").distinct().withColumn("in_prev", F.lit(True))
+    csrc = cur.select("source").distinct().withColumn("in_cur", F.lit(True))
+    p = prev.select(
+        F.col("source").alias("p_source"),
+        F.col("outcome").alias("p_outcome"),
+        F.col("n_docs").alias("prev_docs"),
+        F.col("share_ppm").alias("prev_share_ppm"),
+    )
+    c = cur.select(
+        F.col("source").alias("c_source"),
+        F.col("outcome").alias("c_outcome"),
+        F.col("n_docs").alias("cur_docs"),
+        F.col("share_ppm").alias("cur_share_ppm"),
+    )
+    j = c.join(
+        p,
+        (c["c_source"] == p["p_source"]) & (c["c_outcome"] == p["p_outcome"]),
+        "full_outer",
+    ).select(
+        F.coalesce("c_source", "p_source").alias("source"),
+        F.coalesce("c_outcome", "p_outcome").alias("outcome"),
+        F.coalesce("prev_docs", F.lit(0)).cast("long").alias("prev_docs"),
+        F.coalesce("cur_docs", F.lit(0)).cast("long").alias("cur_docs"),
+        F.coalesce("prev_share_ppm", F.lit(0)).cast("long").alias("prev_share_ppm"),
+        F.coalesce("cur_share_ppm", F.lit(0)).cast("long").alias("cur_share_ppm"),
+        F.col("p_outcome").isNull().alias("_no_prev_cell"),
+        F.col("c_outcome").isNull().alias("_no_cur_cell"),
+    )
+    delta = F.col("cur_share_ppm") - F.col("prev_share_ppm")
+    verdict = (
+        F.when(~F.coalesce("in_prev", F.lit(False)), "source_new")
+        .when(~F.coalesce("in_cur", F.lit(False)), "source_dropped")
+        .when(F.col("_no_prev_cell"), "cell_new")
+        .when(F.col("_no_cur_cell"), "cell_gone")
+        .when(delta >= GATE_DRIFT_PPM, "share_up")
+        .when(delta <= -GATE_DRIFT_PPM, "share_down")
+        .otherwise("stable")
+    )
+    return (
+        j.join(F.broadcast(psrc), "source", "left")
+        .join(F.broadcast(csrc), "source", "left")
+        .select(
+            "source",
+            "outcome",
+            "prev_docs",
+            "cur_docs",
+            "prev_share_ppm",
+            "cur_share_ppm",
+            delta.cast("long").alias("delta_ppm"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("source", "outcome")
+    )
+
+
+def _gate_drift_oracle() -> str:
+    return f"""
+WITH manifest AS ({_keep_manifest_sql()}),
+gdc AS (
+    SELECT source, COALESCE(drop_reason, 'kept') AS outcome, COUNT(*) AS n
+    FROM manifest GROUP BY 1, 2
+),
+gdct AS (SELECT source, SUM(n) AS ns FROM gdc GROUP BY source),
+gcur AS (
+    SELECT c.source, c.outcome, c.n AS cur_docs,
+           CAST(c.n * 1000000 // t.ns AS BIGINT) AS cur_share_ppm
+    FROM gdc c JOIN gdct t USING (source)
+),
+gdp AS (
+    SELECT source, COALESCE(drop_reason, 'kept') AS outcome, COUNT(*) AS n
+    FROM manifest WHERE doc_id % 10 != 7 GROUP BY 1, 2
+),
+gdpt AS (SELECT source, SUM(n) AS ns FROM gdp GROUP BY source),
+gprev AS (
+    SELECT p.source, p.outcome, p.n AS prev_docs,
+           CAST(p.n * 1000000 // t.ns AS BIGINT) AS prev_share_ppm
+    FROM gdp p JOIN gdpt t USING (source)
+),
+gj AS (
+    SELECT COALESCE(c.source, p.source) AS source,
+           COALESCE(c.outcome, p.outcome) AS outcome,
+           COALESCE(p.prev_docs, 0) AS prev_docs,
+           COALESCE(c.cur_docs, 0) AS cur_docs,
+           COALESCE(p.prev_share_ppm, 0) AS prev_share_ppm,
+           COALESCE(c.cur_share_ppm, 0) AS cur_share_ppm,
+           (p.outcome IS NULL) AS no_prev_cell,
+           (c.outcome IS NULL) AS no_cur_cell
+    FROM gcur c
+    FULL OUTER JOIN gprev p
+      ON p.source = c.source AND p.outcome = c.outcome
+)
+SELECT j.source, j.outcome,
+       CAST(prev_docs AS BIGINT) AS prev_docs,
+       CAST(cur_docs AS BIGINT) AS cur_docs,
+       prev_share_ppm, cur_share_ppm,
+       CAST(cur_share_ppm - prev_share_ppm AS BIGINT) AS delta_ppm,
+       CASE WHEN j.source NOT IN (SELECT source FROM gdpt) THEN 'source_new'
+            WHEN j.source NOT IN (SELECT source FROM gdct) THEN 'source_dropped'
+            WHEN no_prev_cell THEN 'cell_new'
+            WHEN no_cur_cell THEN 'cell_gone'
+            WHEN cur_share_ppm - prev_share_ppm >= {GATE_DRIFT_PPM} THEN 'share_up'
+            WHEN cur_share_ppm - prev_share_ppm <= -{GATE_DRIFT_PPM} THEN 'share_down'
+            ELSE 'stable' END AS verdict
+FROM gj j
+ORDER BY j.source, j.outcome
+"""
+
+
+@register(
+    "pipeline_gate_drift_matrix",
+    oracle=_gate_drift_oracle(),
+    doc=(
+        "Per-source GATE DRIFT report (VERDICT r13 item 5): pipeline_"
+        "drop_reason_matrix's (source x first-failing-gate) cells "
+        "DIFFED between two corpus snapshots under the engine's daily-"
+        "batch convention (previous snapshot = corpus minus the doc_id "
+        "% 10 = 7 slice, corpus_token_drift / pipeline_manifest_drift's "
+        "grammar) — the recrawl alarm a mixture owner reads: which "
+        "source STARTED losing docs to which gate (cell_new), stopped "
+        "(cell_gone), or shifted share by >= "
+        f"{GATE_DRIFT_PPM} ppm (share_up / share_down), plus whole-"
+        "source entry/exit. Both snapshots roll up from ONE manifest "
+        "pass (append-only ingest keeps old docs' verdicts: min-doc_id "
+        "canonicals cannot lose to higher-id arrivals and the holdout "
+        "set is fixed; a production run diffs against yesterday's "
+        "PUBLISHED matrix instead, capturing bar retraining too). The "
+        "diff itself is O(sources x gates) rows — driver-trivial at any "
+        "corpus scale."
+    ),
+)
+def pipeline_gate_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    manifest = pipeline_keep_manifest(spark, sf_dir).select(
+        "doc_id", "source", F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
+    )
+    # BOTH snapshots roll up from one manifest pass: each cell counts its
+    # docs and, inside the same aggregate, how many belong to the prev
+    # snapshot — the two matrices then derive from the tiny cell table
+    cells = manifest.groupBy("source", "outcome").agg(
+        F.count(F.lit(1)).alias("cur_n"),
+        F.sum(((F.col("doc_id") % 10) != 7).cast("long")).alias("prev_n"),
+    )
+    ct = cells.groupBy("source").agg(F.sum("cur_n").alias("ns"))
+    cur = (
+        cells.join(ct, "source")
+        .select(
+            "source",
+            "outcome",
+            F.col("cur_n").alias("n_docs"),
+            F.expr("cur_n * 1000000 DIV ns").cast("long").alias("share_ppm"),
+        )
+    )
+    pcells = cells.where(F.col("prev_n") > 0)
+    pt = pcells.groupBy("source").agg(F.sum("prev_n").alias("ns"))
+    prev = (
+        pcells.join(pt, "source")
+        .select(
+            "source",
+            "outcome",
+            F.col("prev_n").alias("n_docs"),
+            F.expr("prev_n * 1000000 DIV ns").cast("long").alias("share_ppm"),
+        )
+    )
+    return gate_drift_frames(prev, cur)

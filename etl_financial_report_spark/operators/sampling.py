@@ -1498,22 +1498,27 @@ def _doremi_round_ctes() -> str:
     return ",\n".join(parts)
 
 
-def _doremi_chain_ctes() -> str:
-    """The full DoReMi CTE chain (classifier margins -> domain stats ->
-    unrolled minimax rounds), ending in ``dmfinal`` — the per-source
+def _doremi_chain_ctes(score_ctes: str | None = None) -> str:
+    """The full DoReMi CTE chain (per-doc domain scores -> domain stats
+    -> unrolled minimax rounds), ending in ``dmfinal`` — the per-source
     fixed-point table (source, n_docs, margin_sum, avg_shifted_margin,
     excess_norm_ppm, w_raw, weight_ppm). Shared by the weights query and
     its r13 consumers (mixture quotas, shard packing), so a consumer's
     quotas PROVABLY derive from the same fixed point the weights query
-    publishes."""
-    from .quality import _qc_ctes
-
+    publishes. ``score_ctes`` must end in a ``marg`` CTE of (doc_id,
+    source, margin) — lower margin = harder domain; the default is the
+    classifier-margin chain, the _lm variant passes the bigram-novelty
+    chain."""
     R = DOREMI_ROUNDS
-    return f"""{_qc_ctes()},
+    if score_ctes is None:
+        from .quality import _qc_ctes
+
+        score_ctes = f"""{_qc_ctes()},
 marg AS (
     SELECT d.doc_id, d.source, COALESCE(sc.margin, 0) AS margin
     FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-),
+)"""
+    return f"""{score_ctes},
 minm AS (SELECT MIN(margin) AS mn FROM marg),
 dstat AS (
     SELECT source, COUNT(*) AS n_docs,
@@ -1578,11 +1583,20 @@ FROM dmfinal
 def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality import _qc_scored
 
-    R = DOREMI_ROUNDS
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     marg = docs.join(
         _qc_scored(spark, sf_dir).select("doc_id", "margin"), "doc_id", "left"
     ).select("source", F.coalesce("margin", F.lit(0)).alias("margin"))
+    return _doremi_fixed_point(marg)
+
+
+def _doremi_fixed_point(marg: DataFrame) -> DataFrame:
+    """The minimax multiplicative-weights fixed point over ANY per-doc
+    (source, margin) score frame — margin semantics: LOWER = harder
+    domain. sample_doremi_weights feeds classifier margins; the _lm
+    variant feeds negated LM-novelty (high perplexity = low score =
+    hard), the same exact-integer rounds either way."""
+    R = DOREMI_ROUNDS
     minm = marg.agg(F.min("margin").alias("mn"))
     dstat = (
         marg.crossJoin(F.broadcast(minm))
@@ -1657,6 +1671,164 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").cast("long").alias("w_raw"),
             F.expr("CAST(1000000 AS DECIMAL(19,0)) * w DIV tw").cast("long").alias("weight_ppm"),
         )
+    )
+
+
+def _lm_rarity_ctes() -> str:
+    """Per-doc bigram-LM rarity in exact integer ppm (text_lm_novelty's
+    grammar), ending in ``dln`` (doc_id, rare_ppm). dl-prefixed names;
+    shared by the LM-DoReMi chain and the RHO selection oracle."""
+    from .textops import RARE_BIGRAM_PER_MILLE
+
+    return f"""dlt AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+dlb AS (
+    SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+    FROM dlt, unnest(generate_series(1, len(ws) - 1)) t(i)
+),
+dlp AS (SELECT w1, w2, COUNT(*) AS n_pair FROM dlb GROUP BY w1, w2),
+dlc AS (SELECT w1, SUM(n_pair) AS n_ctx FROM dlp GROUP BY w1),
+dln AS MATERIALIZED (
+    SELECT b.doc_id,
+           CAST(SUM(CASE WHEN p.n_pair * 1000 < c.n_ctx * {RARE_BIGRAM_PER_MILLE}
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS rare_ppm
+    FROM dlb b
+    JOIN dlp p ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN dlc c ON b.w1 = c.w1
+    GROUP BY b.doc_id
+)"""
+
+
+def _doremi_lm_score_ctes() -> str:
+    """LM-loss scores for the DoReMi chain: bigram rarity negated so
+    high perplexity = low margin = hard domain; ends in ``marg``."""
+    return f"""{_lm_rarity_ctes()},
+marg AS MATERIALIZED (
+    SELECT d.doc_id, d.source, -COALESCE(n.rare_ppm, 0) AS margin
+    FROM documents d LEFT JOIN dln n USING (doc_id)
+)"""
+
+
+def _doremi_lm_oracle() -> str:
+    return f"""
+WITH {_doremi_chain_ctes(_doremi_lm_score_ctes())}
+SELECT source, n_docs, margin_sum, avg_shifted_margin,
+       excess_norm_ppm, w_raw, weight_ppm
+FROM dmfinal
+"""
+
+
+@register(
+    "sample_doremi_weights_lm",
+    oracle=_doremi_lm_oracle(),
+    doc=(
+        "DoReMi domain reweighting under a PROXY-LM loss (VERDICT r13 "
+        "item 4 — closer to Xie et al. 2023's excess loss than the "
+        "classifier-margin stand-in): the per-doc domain score is the "
+        "corpus bigram LM's novelty fraction (text_lm_novelty's "
+        "exact-integer rarity grammar, CCNet's perplexity-filter "
+        "shape), negated so a domain whose text the LM finds NOVEL "
+        "(high perplexity = badly modeled) sits below the weighted "
+        "mixture mean and upweights — the paper's 'upweight what the "
+        "proxy model does worst on' dynamic, measurable where the "
+        "margin loss is provably indifferent: a domain that is a "
+        "word-order PERMUTATION of another has bit-identical bag-of-"
+        "words classifier margins but maximally novel bigrams (pinned "
+        "in tests). Same exact-integer fixed point, same output shape, "
+        "so mixture consumers can swap loss signals without replumbing. "
+        "Scale shape: the LM table is vocabulary^2-bounded (a groupBy "
+        "dimension joined back, never a content-keyed window), one "
+        "corpus bigram pass; every round stays domain-bounded."
+    ),
+)
+def sample_doremi_weights_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import text_lm_novelty
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    nov = text_lm_novelty(spark, sf_dir).select(
+        "doc_id",
+        F.expr("n_rare * 1000000 DIV n_bigrams").cast("long").alias("rare_ppm"),
+    )
+    marg = docs.join(nov, "doc_id", "left").select(
+        "source", (-F.coalesce("rare_ppm", F.lit(0))).alias("margin")
+    )
+    return _doremi_fixed_point(marg)
+
+
+#: docs the RHO selection keeps — the scoped-run head size
+RHO_KEEP_DOCS = 200
+
+
+def _rho_oracle() -> str:
+    from .quality import _qc_ctes, _qc_gate_ctes
+
+    return f"""
+WITH {_qc_ctes()},
+{_qc_gate_ctes()},
+{_lm_rarity_ctes()},
+rsel AS (
+    SELECT l.doc_id,
+           COALESCE(n.rare_ppm, 0) AS rare_ppm,
+           COALESCE(sc.margin, 0) AS margin
+    FROM lab l
+    LEFT JOIN sc ON sc.doc_id = l.doc_id
+    LEFT JOIN dln n ON n.doc_id = l.doc_id
+    CROSS JOIN qgate
+    WHERE COALESCE(sc.margin, 0) > qgate.qbar
+)
+SELECT doc_id, CAST(rare_ppm AS BIGINT) AS rare_ppm,
+       CAST(margin AS BIGINT) AS margin
+FROM rsel
+ORDER BY rare_ppm DESC, doc_id ASC
+LIMIT {RHO_KEEP_DOCS}
+"""
+
+
+@register(
+    "sample_rho_selection",
+    oracle=_rho_oracle(),
+    doc=(
+        "RHO-style learnability selection (Mindermann et al. 2022 "
+        "'Prioritized Training on Points that are Learnable, Worth "
+        "Learning, and Not Yet Learnt'; the RHO-1 token-level variant "
+        "is Lin et al. 2024) — the engine's deterministic proxy "
+        "composition: keep the documents the corpus bigram LM models "
+        "WORST (highest rarity ppm = highest training-loss proxy = not "
+        "yet learnt) among those the model quality gate passes at the "
+        "sweep-selected bar (margin > qbar = low irreducible noise per "
+        "the clean reference model — worth learning). High-loss-but-"
+        "dirty docs are exactly what naive loss-prioritized sampling "
+        "over-selects; the gate composition is the point of the paper. "
+        f"Top {RHO_KEEP_DOCS} by (rare_ppm DESC, doc_id) — a total "
+        "order, so the head is deterministic. Scale shape: margins ride "
+        "the persisted scored frame, the bar is a 1-row broadcast, the "
+        "LM is the vocabulary^2-bounded dimension joined back, and the "
+        "head is TakeOrdered — no global sort, no corpus window."
+    ),
+)
+def sample_rho_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import _qc_scored, qc_gate_bar
+    from .textops import text_lm_novelty
+
+    scored = _qc_scored(spark, sf_dir).select("doc_id", "margin")
+    nov = text_lm_novelty(spark, sf_dir).select(
+        "doc_id",
+        F.expr("n_rare * 1000000 DIV n_bigrams").cast("long").alias("rare_ppm"),
+    )
+    qbar = qc_gate_bar(spark, sf_dir).select("qbar")
+    return (
+        scored.crossJoin(F.broadcast(qbar))
+        .where(F.col("margin") > F.col("qbar"))
+        .join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rare_ppm", F.lit(0)).alias("rare_ppm"),
+            "margin",
+        )
+        .orderBy(F.desc("rare_ppm"), F.asc("doc_id"))
+        .limit(RHO_KEEP_DOCS)
     )
 
 

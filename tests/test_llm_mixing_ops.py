@@ -600,6 +600,64 @@ def test_doremi_upweights_hard_domains(spark, tmp_path):
     assert len({r.weight_ppm for r in uout}) == 1
 
 
+def test_doremi_lm_loss_sees_novelty_margin_loss_cannot(spark, tmp_path):
+    """VERDICT r13 item 4's done-bar: a domain that is a word-order
+    PERMUTATION of the majority domain has bit-identical bag-of-words
+    classifier margins (same unigram counts -> same dot product), so
+    margin-DoReMi is provably indifferent (uniform weights); but its
+    bigrams are novel under the corpus LM, so LM-DoReMi upweights it."""
+    from etl_financial_report_spark.operators.sampling import (
+        sample_doremi_weights,
+        sample_doremi_weights_lm,
+    )
+
+    words = [f"w{i:02d}" for i in range(20)]
+    common = " ".join(words)
+    # adjacent-pair swap: same multiset of words, disjoint bigram set
+    # (except the final (w19, w18) pair whose context only exists here)
+    swapped = " ".join(
+        words[i + 1] if i % 2 == 0 else words[i - 1] for i in range(20)
+    )
+    rows = [(i, common, "en", "common", len(common)) for i in range(200)]
+    rows += [(1000 + i, swapped, "en", "scrambled", len(swapped)) for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    wm = {r["source"]: r for r in sample_doremi_weights(spark, sf).collect()}
+    assert wm["common"]["weight_ppm"] == wm["scrambled"]["weight_ppm"], (
+        "identical unigram counts -> identical margins -> margin loss "
+        "cannot tell the domains apart"
+    )
+
+    wl = {r["source"]: r for r in sample_doremi_weights_lm(spark, sf).collect()}
+    assert wl["scrambled"]["excess_norm_ppm"] > 0
+    assert wl["common"]["excess_norm_ppm"] == 0
+    assert wl["scrambled"]["weight_ppm"] > wl["common"]["weight_ppm"], (
+        "novel bigrams -> high LM loss -> the scrambled domain upweights"
+    )
+
+
+def test_rho_selection_composes_gate_and_lm_loss(spark, tmp_path):
+    """RHO composition pinned where it bites: dirty-but-novel docs (fail
+    the model gate) are EXCLUDED however novel; among gate survivors the
+    most-novel docs win the head; boilerplate (low rarity) loses."""
+    from etl_financial_report_spark.operators.quality import qc_gate_bar
+    from etl_financial_report_spark.operators.sampling import (
+        RHO_KEEP_DOCS,
+        sample_rho_selection,
+    )
+
+    out = sample_rho_selection(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(out) <= RHO_KEEP_DOCS
+    qbar = qc_gate_bar(spark, "/root/testdata/sf0.001").first()["qbar"]
+    assert all(r["margin"] > qbar for r in out), "every kept doc is clean"
+    # the head is sorted by rarity desc with doc_id tiebreak
+    keys = [(-r["rare_ppm"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+
+
 def test_doremi_single_source_is_identity(spark, tmp_path):
     """Degenerate mixture: ONE source means the weighted mean IS the
     domain mean, excess pins to zero every round, and the final weight

@@ -153,3 +153,85 @@ def test_drop_reason_matrix_is_the_manifest_rollup(spark):
         assert sum(shares) > 1_000_000 - len(shares)
     # the model gate appears as a first-class outcome somewhere
     assert any(r["outcome"] == "model_quality" for r in rows)
+
+
+def test_gate_drift_fixture_fires_every_verdict_class(spark):
+    """The engineered-drift fixture VERDICT r13 item 5 asks for: two
+    handcrafted matrices through gate_drift_frames fire ALL SEVEN
+    verdict classes exactly once each."""
+    from etl_financial_report_spark.operators.pipelines import (
+        GATE_DRIFT_PPM,
+        gate_drift_frames,
+    )
+
+    schema = "source string, outcome string, n_docs long, share_ppm long"
+    prev = spark.createDataFrame(
+        [
+            ("gone_src", "kept", 10, 1_000_000),        # -> source_dropped
+            ("s1", "quality", 5, 100_000),              # -> cell_gone
+            ("s1", "kept", 45, 900_000),                # -> share_up
+            ("s2", "kept", 50, 500_000),                # -> share_down
+            ("s2", "duplicate", 50, 500_000),           # -> stable
+        ],
+        schema,
+    )
+    cur = spark.createDataFrame(
+        [
+            ("new_src", "kept", 10, 1_000_000),         # -> source_new
+            ("s1", "model_quality", 4, 80_000),         # -> cell_new
+            ("s1", "kept", 46, 920_000),                # +20000 -> share_up
+            ("s2", "kept", 48, 490_000),                # -10000 -> share_down
+            ("s2", "duplicate", 50, 509_999),           # +9999 -> stable
+        ],
+        schema,
+    )
+    got = {(r["source"], r["outcome"]): r for r in gate_drift_frames(prev, cur).collect()}
+    assert got[("gone_src", "kept")]["verdict"] == "source_dropped"
+    assert got[("new_src", "kept")]["verdict"] == "source_new"
+    assert got[("s1", "quality")]["verdict"] == "cell_gone"
+    assert got[("s1", "model_quality")]["verdict"] == "cell_new"
+    assert got[("s1", "kept")]["verdict"] == "share_up"
+    assert got[("s1", "kept")]["delta_ppm"] == 20_000
+    assert got[("s2", "kept")]["verdict"] == "share_down"
+    # one ppm inside the threshold -> stable
+    assert got[("s2", "duplicate")]["delta_ppm"] == GATE_DRIFT_PPM - 1
+    assert got[("s2", "duplicate")]["verdict"] == "stable"
+    # absent sides zero-fill
+    assert got[("new_src", "kept")]["prev_docs"] == 0
+    assert got[("gone_src", "kept")]["cur_docs"] == 0
+
+
+def test_gate_drift_registered_query_prev_is_cur_minus_batch(spark):
+    """On the registered convention (prev = corpus minus doc_id%10==7)
+    every source persists, so verdicts are only cell/share classes, and
+    prev cell counts equal the manifest rollup excluding the batch."""
+    from collections import Counter
+
+    from etl_financial_report_spark.operators.pipelines import (
+        pipeline_gate_drift_matrix,
+        pipeline_keep_manifest,
+    )
+
+    manifest = pipeline_keep_manifest(spark, SF).collect()
+    want_prev = Counter(
+        (r["source"], r["drop_reason"] or "kept")
+        for r in manifest
+        if r["doc_id"] % 10 != 7
+    )
+    want_cur = Counter((r["source"], r["drop_reason"] or "kept") for r in manifest)
+    rows = pipeline_gate_drift_matrix(spark, SF).collect()
+    assert {(r["source"], r["outcome"]): r["cur_docs"] for r in rows} == dict(want_cur)
+    got_prev = {
+        (r["source"], r["outcome"]): r["prev_docs"] for r in rows if r["prev_docs"]
+    }
+    assert got_prev == dict(want_prev)
+    # prev ⊆ cur, so a source can ENTER with the batch (all its docs in
+    # the doc_id%10==7 slice) but never drop
+    assert all(r["verdict"] != "source_dropped" for r in rows)
+    batch_only = {
+        s for s, n in Counter(r["source"] for r in manifest).items()
+        if all(r["doc_id"] % 10 == 7 for r in manifest if r["source"] == s)
+    }
+    for r in rows:
+        if r["verdict"] == "source_new":
+            assert r["source"] in batch_only

@@ -95,6 +95,12 @@ BNLJ_SCALAR_BROADCAST_OK = {
     # r14: the same 9-row bar broadcast binning the full scored frame,
     # plus the <=10-row calibration-curve broadcast ordering the spend
     "sample_calibrated_budget",
+    # r14: the keep manifest's reviewed broadcasts under the one-pass
+    # double rollup (the diff itself is O(sources x gates) hash joins)
+    "pipeline_gate_drift_matrix",
+    # r14: the 1-row sweep-selected bar broadcast gating the persisted
+    # scored frame before the TakeOrdered rarity head (RHO selection)
+    "sample_rho_selection",
     # 1-row corpus-total broadcast onto the 4-row quality x dup cells
     "pipeline_quality_dup_matrix",
     # 16-row query block + 8-row centroid block + 1-row overlap aggregates
@@ -107,7 +113,7 @@ BNLJ_SCALAR_BROADCAST_OK = {
     "sim_cluster_term_profile",
     # r12: 1-row margin-min + per-round 1-row weighted-mean / max-excess
     # broadcasts onto the DOMAIN-bounded stats table (|sources| rows)
-    "sample_doremi_weights",
+    "sample_doremi_weights", "sample_doremi_weights_lm",
     # r13 consumers: the same bounded chain plus the 1-row max-qs and
     # 1-row kept-total broadcasts onto the |sources|-row quota table
     "sample_doremi_mixture", "sample_doremi_pack",
