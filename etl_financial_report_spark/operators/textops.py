@@ -1822,44 +1822,108 @@ def _lid_lab(docs: DataFrame) -> DataFrame:
     )
 
 
-def _chargram_array(w: int):
-    """All width-``w`` character n-grams of ``text`` as an array column.
-    Guarded for short docs: Spark's ``sequence(1, 0)`` DESCENDS (same
-    hazard as ``_bigram_structs``), so docs under ``w`` chars yield an
-    EMPTY array — matching DuckDB's empty ``generate_series``."""
-    grams = F.expr(
-        f"transform(sequence(1, length(text) - {w - 1}),"
-        f" i -> substring(text, i, {w}))"
-    )
-    return F.when(F.length("text") >= w, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+#: per-task gram->hash32 memo cap for the Arrow feature kernel: grams
+#: repeat heavily (natural-language char n-grams), so md5 runs once per
+#: DISTINCT gram per task; the cap bounds worker memory on adversarial
+#: high-entropy input (4M entries x ~100 B is ~400 MB worst case, and a
+#: capped miss just recomputes the hash)
+_LID_MEMO_CAP = 1 << 22
 
 
-def _lid_feats(docs: DataFrame, chargrams: bool = False) -> DataFrame:
+def _lid_feat_kernel(chargrams: bool):
+    """mapInArrow kernel for :func:`_lid_feats` (optimization r14, guide
+    §4.2): the old expression pipeline exploded ~n_chars rows per doc and
+    paid an interpreted ``substring`` + md5 + hex-conv per GRAM inside
+    whole-stage-codegen-hostile lambdas (measured 4.8 s warm at sf0.1 for
+    the chargram variant); this kernel slides the windows in C-backed
+    Python, memoizes hash32 per distinct gram per task (§4.5: heavy init
+    once, amortized over every batch), and emits the per-doc (f, c)
+    Counter directly — so the JVM never sees the raw gram stream at all
+    (measured 0.6-0.9 s warm, identical output row multiset). Exactness:
+    hash32(s) = int(md5(utf8(s)).hexdigest()[:8], 16) — the same bytes
+    DuckDB and the old expression path hash; Python str.split(' ') and
+    slicing match F.split / substring codepoint semantics."""
+    widths = LID_CG_WIDTHS if chargrams else ()
+
+    def gen(batches):
+        import hashlib
+        from collections import Counter
+
+        import pyarrow as pa
+
+        memo: dict = {}
+
+        def bucket(s: str, base: int, mod: int) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                if len(memo) < _LID_MEMO_CAP:
+                    memo[s] = v
+            return base + v % mod
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            od: list[int] = []
+            of: list[int] = []
+            oc: list[int] = []
+            for did, txt in zip(ids, texts):
+                cnt: Counter = Counter()
+                for tk in txt.split(" "):
+                    cnt[bucket(tk, 0, LID_NF)] += 1
+                for w in widths:
+                    for i in range(len(txt) - w + 1):
+                        cnt[bucket(txt[i : i + w], LID_NF, LID_NC)] += 1
+                od.extend([did] * len(cnt))
+                of.extend(cnt.keys())
+                oc.extend(cnt.values())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(od, pa.int64()),
+                    pa.array(of, pa.int64()),
+                    pa.array(oc, pa.int64()),
+                ],
+                names=["doc_id", "f", "c"],
+            )
+
+    return gen
+
+
+def _lid_scatter(spark: SparkSession, sf_dir: str) -> int | None:
+    """Target partition count for the Arrow feature pass, or None when
+    the scan already splits naturally — sim_topk_arrow's guard verbatim:
+    a big corpus parallelizes from its file splits; only a scan too
+    small to split (the local test shape) earns a redistribution, since
+    at 100 TB an unconditional repartition would shuffle the whole
+    corpus text for nothing. os.stat metadata only, no Spark job."""
+    from ..io import table_size_bytes
+    from ..session import parse_bytes_conf
+
+    max_split = parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est_splits = max(1, table_size_bytes(sf_dir, "documents") // max_split)
+    par = spark.sparkContext.defaultParallelism
+    return max(2, par) if est_splits < par else None
+
+
+def _lid_feats(
+    docs: DataFrame, chargrams: bool = False, scatter: int | None = None
+) -> DataFrame:
     """(doc_id, f, c): hashed-unigram counts plus the bias feature at
     f = -1 (every doc) — one weight table per class carries the model.
-    With ``chargrams`` (r14), hashed char-3/4-gram counts join the
-    stream in their own disjoint bucket range: the feature explode is
-    ~n_chars rows per doc BEFORE the (doc_id, f) count, which partial-
-    aggregates map-side down to <= LID_NF + LID_NC rows per doc — the
-    shuffle never carries the raw gram stream."""
-    from ..functions.hashing import hash32
-
-    exploded = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).select("doc_id", (hash32(F.col("tok")) % LID_NF).alias("f"))
-    if chargrams:
-        for w in LID_CG_WIDTHS:
-            exploded = exploded.unionByName(
-                docs.select(
-                    "doc_id", F.explode(_chargram_array(w)).alias("g")
-                ).select(
-                    "doc_id",
-                    (F.lit(LID_NF) + hash32(F.col("g")) % LID_NC).alias("f"),
-                )
-            )
-    base = exploded.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c"))
+    With ``chargrams``, hashed char-3/4-gram counts join the stream in
+    their own disjoint bucket range. The whole gram stream lives inside
+    one Arrow kernel (:func:`_lid_feat_kernel`) — the shuffle-facing
+    output is already the per-doc (f, c) count table, <= LID_NF + LID_NC
+    rows per doc. ``scatter`` (from :func:`_lid_scatter`) redistributes
+    a too-small-to-split local scan before the kernel."""
+    src = docs.select("doc_id", "text")
+    if scatter:
+        src = src.repartition(scatter)
+    base = src.mapInArrow(
+        _lid_feat_kernel(chargrams), "doc_id long, f long, c long"
+    )
     return base.unionByName(
         docs.select(
             "doc_id",
@@ -1893,7 +1957,9 @@ def _lid_weights_build(
         )
         .localCheckpoint()  # consumed 2x per round (update + miss check)
     )
-    fb = _lid_feats(docs, chargrams).localCheckpoint()
+    fb = _lid_feats(
+        docs, chargrams, scatter=_lid_scatter(spark, sf_dir)
+    ).localCheckpoint()
     mis = dc  # round 1: w = 0 misclassifies every (doc, class) pair
     w = None
     for r in range(1, LID_ROUNDS + 1):
@@ -1958,7 +2024,7 @@ def _lid_scored(
     window."""
     docs = load_table(spark, sf_dir, "documents")
     m = (
-        _lid_feats(docs, chargrams)
+        _lid_feats(docs, chargrams, scatter=_lid_scatter(spark, sf_dir))
         .join(F.broadcast(_lid_weights(spark, sf_dir, chargrams)), "f")
         .groupBy("doc_id", "cls")
         .agg(F.expr(_LID_DOT).cast("long").alias("margin"))

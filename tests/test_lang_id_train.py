@@ -242,3 +242,55 @@ def test_lang_temperature_mixture_flattens_predicted_head(
     # flattening: the minority language gains share, the majority loses
     assert out["yy"]["temp_ppm"] > out["yy"]["raw_ppm"]
     assert out["xx"]["temp_ppm"] < out["xx"]["raw_ppm"]
+
+
+def test_arrow_feat_kernel_matches_expression_reference(spark):
+    """The r14 mapInArrow feature kernel must emit the exact row multiset
+    the old explode+hash32-expression pipeline produced — pinned against
+    an expression-built reference on a hostile fixture (empty text,
+    multi-space runs, unicode, docs shorter than the gram widths)."""
+    from etl_financial_report_spark.functions.hashing import hash32
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                       # split(' ') -> [''] in both engines
+            (2, "ab"),                     # shorter than both gram widths
+            (3, "a  b"),                   # double space -> empty middle token
+            (4, "héllo wörld héllo"),      # non-ASCII codepoints
+            (5, "x" * 9),                  # single long token, overlapping grams
+        ],
+        "doc_id long, text string",
+    )
+    for chargrams in (False, True):
+        got = T._lid_feats(docs, chargrams)
+        # reference: per-token / per-gram hash32 buckets via expressions
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("g")
+        ).select("doc_id", (hash32(F.col("g")) % T.LID_NF).alias("f"))
+        ref = toks
+        if chargrams:
+            for w in T.LID_CG_WIDTHS:
+                grams = F.expr(
+                    f"transform(sequence(1, length(text) - {w - 1}),"
+                    f" i -> substring(text, i, {w}))"
+                )
+                guarded = F.when(F.length("text") >= w, grams).otherwise(
+                    F.array().cast("array<string>")
+                )
+                ref = ref.unionByName(
+                    docs.select("doc_id", F.explode(guarded).alias("g")).select(
+                        "doc_id",
+                        (F.lit(T.LID_NF) + hash32(F.col("g")) % T.LID_NC).alias("f"),
+                    )
+                )
+        ref = ref.groupBy("doc_id", "f").agg(
+            F.count(F.lit(1)).alias("c")
+        ).unionByName(
+            docs.select(
+                "doc_id",
+                F.lit(-1).cast("long").alias("f"),
+                F.lit(1).cast("long").alias("c"),
+            )
+        )
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0

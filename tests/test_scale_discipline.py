@@ -50,9 +50,13 @@ ALLOWED_COLLECT = {
 #: files allowed unpartitioned Window.orderBy, with the count of BOUNDED
 #: frames each was reviewed to have
 ALLOWED_GLOBAL_WINDOW = {
-    "operators/sampling.py": 3,  # pack_shards: n/G group-total prefix;
+    "operators/sampling.py": 4,  # pack_shards: n/G group-total prefix;
     # sample_quality_budget: per-band totals prefix (<= 64 + 1 rows);
-    # pack_token_sequences: the same n/G group-total prefix frame
+    # pack_token_sequences: the same n/G group-total prefix frame;
+    # _calibrated_budget_frame: per-(bin, mband) totals prefix — bins are
+    # the <= QC_SWEEP_DECILES(9)+1 sweep intervals and mband the same
+    # bounded margin-band family as the threshold sweep's (margins are
+    # weight-table-bounded dots), so the frame is <= ~10 x 64 rows
     "operators/windows.py": 1,  # interval sweep: per-day frame
     # threshold sweep: band-offset prefix over the <= 64-row margin-band
     # totals (the pack_shards two-level discipline; within-band ranks are
@@ -90,6 +94,11 @@ ALLOWED_WINDOW_PARTITION_KEYS = {
     "c_nationkey", "p_partkey",
     # constructed bounded groups
     "pack_group", "band",
+    # calibrated-budget two-level prefix: "mband" is the same reviewed
+    # margin-sub-band family as "band" (splits the global margin order
+    # into parallel runs; key space bounded by the weight-table-bounded
+    # margin range / _CAL_MBAND), "bin" the <= sweep-deciles+1 interval
+    "bin", "mband",
     # PQ subspace index: 4 literal values, always combined with vec_id
     "m",
 }
