@@ -1509,7 +1509,15 @@ def qc_sweep_frame(spark: SparkSession, scored: DataFrame) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    nheld = ev.agg(F.count(F.lit(1)).alias("n"))
+    # ONE 1-row stats pass (count + margin span): the old shape paid two
+    # separate aggregates over ev (nheld and span) — two exchanges and
+    # two broadcasts for numbers one pass produces (optimization r14,
+    # guide §2.4: two operations keyed the same way share one pass)
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("margin").alias("mn"),
+        F.max("margin").alias("mx"),
+    )
     # global (margin, doc_id) rank via the banded two-level prefix sum
     # (pack_shards discipline — an unpartitioned row_number over the
     # held-out slice would be a single-reducer sort at scale): margins
@@ -1518,8 +1526,7 @@ def qc_sweep_frame(spark: SparkSession, scored: DataFrame) -> DataFrame:
     # == global rank), ranks partition per band, and the <= _QC_BANDS-row
     # band-offset table is the only ordered window
     _QC_BANDS = 64
-    span = ev.agg(F.min("margin").alias("mn"), F.max("margin").alias("mx"))
-    banded = ev.crossJoin(F.broadcast(span)).withColumn(
+    banded = ev.crossJoin(F.broadcast(stats)).withColumn(
         "band",
         # DECIMAL guard: (margin - mn) * bands can cross int64 when the
         # margin span itself is near the int64 edge
@@ -1528,30 +1535,48 @@ def qc_sweep_frame(spark: SparkSession, scored: DataFrame) -> DataFrame:
             " DIV (CAST(mx AS DECIMAL(20,0)) - mn + 1) AS LONG)"
         ),
     )
-    w_in = Window.partitionBy("band").orderBy(F.asc("margin"), F.asc("doc_id"))
-    within = banded.select(
-        "margin", "band", F.row_number().over(w_in).alias("rk_in")
-    )
     w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         banded.groupBy("band")
         .agg(F.count(F.lit(1)).alias("band_n"))
         .select(
             "band",
+            "band_n",
             F.coalesce(F.sum("band_n").over(w_b), F.lit(0)).alias("offset"),
         )
-    )
-    ranked = within.join(F.broadcast(offsets), "band").select(
-        "margin", (F.col("offset") + F.col("rk_in")).alias("rnk")
     )
     # probed deciles come from QC_SWEEP_DECILES — the SAME constant the
     # oracle SQL interpolates — so editing it can never desynchronize the
     # engine twins (ADVICE r12: this side hardcoded range(1, 10))
     ks = spark.createDataFrame([(int(k),) for k in QC_SWEEP_DECILES], "k long")
+    targets = ks.crossJoin(F.broadcast(stats)).select(
+        "k", F.greatest(F.expr("(k * n) DIV 10"), F.lit(1)).alias("rnk")
+    )
+    # rank ONLY inside the <= |deciles| bands that contain a target rank
+    # (optimization r14): band b covers global ranks (offset, offset +
+    # band_n], so the target->band map is a broadcast join of two tiny
+    # frames, and the within-band row_number — the only held-out-scaled
+    # sort — runs over the probed bands instead of all of them (banded
+    # rank == global rank is unchanged: dropping non-probed bands cannot
+    # move a row's rank within its own band)
+    tbands = targets.join(
+        F.broadcast(offsets),
+        (F.col("rnk") > F.col("offset"))
+        & (F.col("rnk") <= F.col("offset") + F.col("band_n")),
+    ).select("k", "rnk", "band", "offset")
+    w_in = Window.partitionBy("band").orderBy(F.asc("margin"), F.asc("doc_id"))
+    within = (
+        banded.join(
+            F.broadcast(tbands.select("band").distinct()), "band", "left_semi"
+        )
+        .select("margin", "band", F.row_number().over(w_in).alias("rk_in"))
+    )
     bars = (
-        ks.crossJoin(F.broadcast(nheld))
-        .select("k", F.greatest(F.expr("(k * n) DIV 10"), F.lit(1)).alias("rnk"))
-        .join(ranked, "rnk")
+        within.join(
+            F.broadcast(tbands.withColumnRenamed("band", "tband")),
+            F.col("band") == F.col("tband"),
+        )
+        .where(F.col("offset") + F.col("rk_in") == F.col("rnk"))
         .select("k", F.col("margin").alias("bar"))
     )
     cells = (
@@ -1571,7 +1596,7 @@ def qc_sweep_frame(spark: SparkSession, scored: DataFrame) -> DataFrame:
         )
     )
     return (
-        cells.crossJoin(F.broadcast(nheld))
+        cells.crossJoin(F.broadcast(stats.select("n")))
         .select(
             F.col("k").cast("long").alias("decile"),
             "bar",
@@ -1652,8 +1677,12 @@ GROUP BY g.qbar
     ),
 )
 def text_quality_gate_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sweep = text_quality_threshold_sweep(spark, sf_dir)
-    sel = qc_gate_bar(spark, sf_dir)
+    # ONE sweep build feeds both the published rows and the selection
+    # (optimization r14): the old shape ran text_quality_threshold_sweep
+    # twice — once here, once inside qc_gate_bar — re-executing the
+    # banded-rank subtree; the 9-row checkpoint pins it once
+    sweep = text_quality_threshold_sweep(spark, sf_dir).localCheckpoint()
+    sel = qc_gate_bar_frame(sweep)
     return (
         sweep.crossJoin(F.broadcast(sel))
         .groupBy("qbar", "precision_met")
@@ -1704,12 +1733,20 @@ ORDER BY bin
     ),
 )
 def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = text_quality_threshold_sweep(spark, sf_dir).select("bar")
+    return qc_calibration_frame(_qc_scored(spark, sf_dir), bars)
+
+
+def qc_calibration_frame(scored: DataFrame, bars: DataFrame) -> DataFrame:
+    """The reliability curve over ANY scored frame and bar table —
+    split out (optimization r14) so sample_calibrated_budget can feed
+    the ONE sweep build it already pays for instead of re-deriving the
+    bars (the banded-rank subtree) a second time inside this function."""
     ev = (
-        _qc_scored(spark, sf_dir)
+        scored
         .where("held_out")
         .select("doc_id", (F.col("y") == 1).alias("actual_keep"), "margin")
     )
-    bars = text_quality_threshold_sweep(spark, sf_dir).select("bar")
     binned = (
         ev.crossJoin(F.broadcast(bars))
         .groupBy("doc_id", "actual_keep")

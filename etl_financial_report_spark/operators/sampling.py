@@ -647,19 +647,28 @@ ORDER BY bin
 def sample_calibrated_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality import (
         _qc_scored,
-        text_quality_calibration,
+        qc_calibration_frame,
         text_quality_threshold_sweep,
     )
 
-    scored = _qc_scored(spark, sf_dir).select("doc_id", "margin")
+    qsc = _qc_scored(spark, sf_dir)
+    scored = qsc.select("doc_id", "margin")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    bars = text_quality_threshold_sweep(spark, sf_dir).select("bar")
+    # ONE sweep build feeds both the binning bars and the calibration
+    # curve (optimization r14): the old shape built the banded-rank
+    # sweep subtree twice — once here, once inside
+    # text_quality_calibration; the 9-row checkpoint pins it once
+    bars = (
+        text_quality_threshold_sweep(spark, sf_dir)
+        .select("bar")
+        .localCheckpoint()
+    )
     binned = (
         scored.crossJoin(F.broadcast(bars))
         .groupBy("doc_id", "margin")
         .agg(F.sum((F.col("margin") > F.col("bar")).cast("long")).alias("bin"))
     )
-    cal = text_quality_calibration(spark, sf_dir).select("bin", "keep_rate_ppm")
+    cal = qc_calibration_frame(qsc, bars).select("bin", "keep_rate_ppm")
     d = (
         binned.join(docs, "doc_id")
         .join(F.broadcast(cal), "bin", "left")
