@@ -1559,11 +1559,17 @@ def qc_sweep_frame(spark: SparkSession, scored: DataFrame) -> DataFrame:
     # sort — runs over the probed bands instead of all of them (banded
     # rank == global rank is unchanged: dropping non-probed bands cannot
     # move a row's rank within its own band)
-    tbands = targets.join(
-        F.broadcast(offsets),
-        (F.col("rnk") > F.col("offset"))
-        & (F.col("rnk") <= F.col("offset") + F.col("band_n")),
-    ).select("k", "rnk", "band", "offset")
+    # explicit crossJoin + filter (not a range join) so the bounded
+    # 9 x <= _QC_BANDS pairing plans as the reviewed Cross BuildRight
+    # broadcast form the plan net allowlists
+    tbands = (
+        targets.crossJoin(F.broadcast(offsets))
+        .where(
+            (F.col("rnk") > F.col("offset"))
+            & (F.col("rnk") <= F.col("offset") + F.col("band_n"))
+        )
+        .select("k", "rnk", "band", "offset")
+    )
     w_in = Window.partitionBy("band").orderBy(F.asc("margin"), F.asc("doc_id"))
     within = (
         banded.join(
@@ -1578,6 +1584,12 @@ def qc_sweep_frame(spark: SparkSession, scored: DataFrame) -> DataFrame:
         )
         .where(F.col("offset") + F.col("rk_in") == F.col("rnk"))
         .select("k", F.col("margin").alias("bar"))
+        # 9-row pin: the cells pass below and every sweep consumer
+        # otherwise re-embeds (and physically duplicates — Spark copies
+        # shared subtrees, only exchanges are reused) the whole banded-
+        # rank machinery; one tiny eager job truncates it out of every
+        # downstream plan (optimization r14)
+        .localCheckpoint()
     )
     cells = (
         ev.crossJoin(F.broadcast(bars))

@@ -29,6 +29,16 @@ _RUNTIME_CONF = {
     # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark 4
     # rejects by default; read as long and rebuild the timestamp in io.py
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # optimization r14 (guide §3.1/§9): the explicit-broadcast hints carry
+    # the load-bearing joins, but several dimension-sized sides sit between
+    # the 10 MB default and 32 MB — pinning the threshold at runtime makes
+    # a driver-built session plan the same joins the bench session does
+    # (get_spark has set 32 MB since r1). preferSortMergeJoin=false lets
+    # the planner take a shuffled-hash join when its per-partition build
+    # fits — no sort, same result; at 100 TB AQE's skew split still
+    # applies to SHJ and the size conditions guard the build side
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.sql.join.preferSortMergeJoin": "false",
     # At 100 TB this is sized per-cluster; locally ~cores avoids both
     # over-splitting tiny data and starving big shuffles.
     "spark.sql.shuffle.partitions": None,  # filled from cpu count below
