@@ -3008,30 +3008,31 @@ def _chunk_occurrences(docs: DataFrame) -> DataFrame:
     incremental chunk-dedup paths."""
     W = DEDUP_CHUNK_W
     toks = F.col("toks")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / W).cast("int")),
-        lambda i: F.struct(
-            i.cast("long").alias("cidx"),
-            F.md5(
-                F.array_join(
-                    F.slice(
-                        toks,
-                        i * W + 1,
-                        F.least(F.lit(W), F.size(toks) - i * W),
-                    ),
-                    " ",
+    # chunk-index explode + top-level slice/join/md5 (optimization r14,
+    # the dedup_span_spectrum rewrite): the struct-building transform()
+    # lambda ran interpreted per chunk; hashes are bit-identical
+    return (
+        docs.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(toks) - 1) / W).cast("int")
                 )
+            ).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("cidx"),
+            F.expr(
+                f"md5(array_join(slice(toks, ci * {W} + 1,"
+                f" least({W}, size(toks) - ci * {W})), ' '))"
             ).alias("ch"),
-        ),
-    )
-    return docs.select("doc_id", F.explode(chunk_structs).alias("g")).select(
-        "doc_id",
-        F.col("g.cidx").alias("cidx"),
-        F.col("g.ch").alias("ch"),
-        F.concat(
-            F.lpad(F.col("doc_id").cast("string"), _CHUNK_DOC_PAD, "0"),
-            F.lpad(F.col("g.cidx").cast("string"), _CHUNK_IDX_PAD, "0"),
-        ).alias("pos"),
+            F.concat(
+                F.lpad(F.col("doc_id").cast("string"), _CHUNK_DOC_PAD, "0"),
+                F.lpad(F.col("ci").cast("string"), _CHUNK_IDX_PAD, "0"),
+            ).alias("pos"),
+        )
     )
 
 

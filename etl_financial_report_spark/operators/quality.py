@@ -398,17 +398,28 @@ GROUP BY doc_id
 def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.col("toks")
-    spans = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(SPAN_N)])
-        ),
-    )
-    guarded = F.when(
-        F.size(toks) < SPAN_N, F.array(F.md5(F.concat_ws(" ", toks)))
-    ).otherwise(spans)
-    sp = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id", F.explode(guarded).alias("sh")
+    tokked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # positions explode + top-level md5 (optimization r14, same rewrite
+    # as dedup_span_spectrum — the transform() lambda ran interpreted);
+    # short docs keep their whole-text fallback span via the union branch
+    sp = (
+        tokked.where(F.size(toks) >= SPAN_N)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"md5(array_join(slice(toks, i, {SPAN_N}), ' '))").alias("sh"),
+        )
+        .unionByName(
+            tokked.where(F.size(toks) < SPAN_N).select(
+                "doc_id", F.md5(F.concat_ws(" ", toks)).alias("sh")
+            )
+        )
     )
     # phase 1: collapse the span stream to one row per DUPLICATED span —
     # partial aggregation makes a hot boilerplate span cheap (billions of
@@ -483,19 +494,23 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     toks = F.col("toks")
-    span_structs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1)),
-        lambda i: F.struct(
-            i.alias("start"),
-            F.md5(
-                F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(SPAN_N)])
-            ).alias("sh"),
-        ),
-    )
+    # positions explode + top-level md5 (optimization r14): the struct-
+    # building transform() lambda ran interpreted per position — same
+    # rewrite as dedup_span_spectrum, identical hashes
     sp = (
         docs.where(F.size(toks) >= SPAN_N)
-        .select("doc_id", F.explode(span_structs).alias("g"))
-        .select("doc_id", F.col("g.start").alias("start"), F.col("g.sh").alias("sh"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks) - (SPAN_N - 1))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.expr(f"md5(array_join(slice(toks, start, {SPAN_N}), ' '))").alias("sh"),
+        )
     )
     # phase 1: collapse to one row per cross-doc duplicated span; the
     # (sh, doc_id) distinct expands partially map-side, so a boilerplate
@@ -604,28 +619,30 @@ def dedup_span_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     toks = F.col("toks")
-    empty = F.array().cast("array<struct<w:int,sh:string>>")
-
-    def span_struct(w: int):
-        # closure factory, NOT a default arg: a 2-param lambda would make
-        # pyspark's transform() pass (element, index) and shadow w
-        def f(i: F.Column) -> F.Column:
-            return F.struct(
-                F.lit(w).alias("w"),
-                F.md5(F.array_join(F.slice(toks, i, w), " ")).alias("sh"),
-            )
-
-        return f
-
-    branches = []
+    # positions explode + TOP-LEVEL slice/join/md5 per width (optimization
+    # r14, guide §1.2 per-task work): the old shape built the span-hash
+    # structs inside transform() lambdas, which Spark evaluates
+    # interpreted (higher-order functions never enter whole-stage
+    # codegen) — measured 3.3 s vs 1.0 s for the identical span stream
+    # at sf0.1; hashes are bit-identical
+    parts = []
     for w in SPECTRUM_WIDTHS:
-        spans_w = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (w - 1)), span_struct(w)
+        parts.append(
+            docs.where(F.size(toks) >= w)
+            .select(
+                "doc_id",
+                "toks",
+                F.explode(F.sequence(F.lit(1), F.size(toks) - (w - 1))).alias("i"),
+            )
+            .select(
+                "doc_id",
+                F.lit(w).alias("w"),
+                F.expr(f"md5(array_join(slice(toks, i, {w}), ' '))").alias("sh"),
+            )
         )
-        branches.append(F.when(F.size(toks) >= w, spans_w).otherwise(empty))
-    sp = docs.select(
-        "doc_id", F.explode(F.flatten(F.array(*branches))).alias("g")
-    ).select("doc_id", F.col("g.w").alias("w"), F.col("g.sh").alias("sh"))
+    sp = parts[0]
+    for p in parts[1:]:
+        sp = sp.unionByName(p)
     # two-phase cascade: (w, sh, doc_id) occurrence counts combine
     # map-side, then collapse to one row per distinct span
     per_doc = sp.groupBy("w", "sh", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
