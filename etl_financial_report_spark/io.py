@@ -71,6 +71,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_scatter(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Target partition count for an Arrow-kernel pass over ``name``, or
+    None when the scan already splits naturally — sim_topk_arrow's guard
+    shared (optimization r14): a big corpus parallelizes from its file
+    splits; only a scan too small to split (the local test shape) earns
+    a redistribution, since at 100 TB an unconditional repartition would
+    shuffle the whole corpus for nothing. os.stat metadata only, no
+    Spark job."""
+    from .session import parse_bytes_conf
+
+    max_split = parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est_splits = max(1, table_size_bytes(sf_dir, name) // max_split)
+    par = spark.sparkContext.defaultParallelism
+    return max(2, par) if est_splits < par else None
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

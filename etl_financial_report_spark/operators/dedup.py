@@ -3266,45 +3266,81 @@ wf AS (
 )"""
 
 
-def _winnow_selected(docs: DataFrame) -> DataFrame:
+def _winnow_selected(docs: DataFrame, scatter: int | None = None) -> DataFrame:
     """(doc_id, n_grams, fps) — the Spark twin of _winnow_sql over a
-    (doc_id, toks) frame. Everything runs in one array-native projection
-    per doc: no shuffle happens until a caller aggregates the packed
-    fingerprint ints."""
+    (doc_id, toks) frame. One mapInArrow kernel per task does the whole
+    selection (optimization r14, guide §4.2): the old shape hashed each
+    k-gram and ran the slice/array_min/filter window selection inside
+    transform() lambdas, which Spark evaluates interpreted (higher-order
+    functions never enter whole-stage codegen) — measured ~2.8 s warm at
+    sf0.1; the kernel memoizes hash32 per distinct gram per task and
+    vectorizes the rightmost-minimum sweep in numpy (~0.4 s, identical
+    rows). No shuffle happens until a caller aggregates the packed
+    fingerprint ints; ``scatter`` (io.scan_scatter) redistributes a
+    too-small-to-split local scan before the kernel."""
     k, w, shift = WINNOW_K, WINNOW_W, _WINNOW_POS_SHIFT
-    from ..functions.hashing import hash32
 
-    toks = F.col("toks")
-    grams_col = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: hash32(F.array_join(F.slice(toks, i, k), " ")),
-    )
-    g = docs.where(F.size(toks) >= k).select(
-        "doc_id", grams_col.alias("grams")
-    )
-    grams = F.col("grams")
-    weff = F.least(F.lit(w), F.size(grams))
+    def gen(batches):
+        import hashlib
 
-    def select_at(j):
-        window = F.slice(grams, j, weff)
-        wmin = F.array_min(window)
-        rightmost = F.array_max(
-            F.filter(
-                F.sequence(j, j + weff - 1),
-                lambda p: F.element_at(grams, p) == wmin,
+        import numpy as np
+        import pyarrow as pa
+
+        memo: dict = {}
+
+        def h32(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                if len(memo) < (1 << 22):
+                    memo[s] = v
+            return v
+
+        swv = np.lib.stride_tricks.sliding_window_view
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            toks_col = batch.column(1).to_pylist()
+            od: list[int] = []
+            on: list[int] = []
+            ofps: list[list[int]] = []
+            for did, toks in zip(ids, toks_col):
+                n = len(toks)
+                if n < k:
+                    continue
+                grams = np.fromiter(
+                    (h32(" ".join(toks[i : i + k])) for i in range(n - k + 1)),
+                    dtype=np.int64,
+                    count=n - k + 1,
+                )
+                weff = min(w, grams.shape[0])
+                wins = swv(grams, weff)
+                wmin = wins.min(axis=1)
+                # rightmost minimum: first argmin of the REVERSED window
+                # is the last in the original (ties break right)
+                ri = weff - 1 - wins[:, ::-1].argmin(axis=1)
+                # positions are 1-based: window j0 (0-based) selects
+                # global gram position j0 + ri + 1
+                fps = wmin * shift + (
+                    np.arange(wins.shape[0], dtype=np.int64) + ri + 1
+                )
+                od.append(did)
+                on.append(int(grams.shape[0]))
+                # first-occurrence order, matching array_distinct
+                ofps.append(list(dict.fromkeys(fps.tolist())))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(od, pa.int64()),
+                    pa.array(on, pa.int64()),
+                    pa.array(ofps, pa.list_(pa.int64())),
+                ],
+                names=["doc_id", "n_grams", "fps"],
             )
-        )
-        return wmin * shift + rightmost
 
-    return g.select(
-        "doc_id",
-        F.size(grams).cast("long").alias("n_grams"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(grams) - weff + 1),
-                select_at,
-            )
-        ).alias("fps"),
+    src = docs.where(F.size(F.col("toks")) >= k).select("doc_id", "toks")
+    if scatter:
+        src = src.repartition(scatter)
+    return src.mapInArrow(
+        gen, "doc_id long, n_grams long, fps array<long>"
     )
 
 
@@ -3339,7 +3375,9 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    sel = _winnow_selected(docs)
+    from ..io import scan_scatter
+
+    sel = _winnow_selected(docs, scatter=scan_scatter(spark, sf_dir, "documents"))
     weff = F.least(F.lit(WINNOW_W), F.col("n_grams"))
     return sel.select(
         "doc_id",
@@ -3409,8 +3447,10 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nested gram-hash lambdas at every reference site — measured 137s vs
     # 3s at sf0.01. This frame IS the fingerprint index production
     # persists, so the materialization is the real pipeline shape anyway.
+    from ..io import scan_scatter
+
     fp = (
-        _winnow_selected(docs)
+        _winnow_selected(docs, scatter=scan_scatter(spark, sf_dir, "documents"))
         .localCheckpoint()
         .select("doc_id", F.explode("fps").alias("f"))
         .select(

@@ -1890,21 +1890,10 @@ def _lid_feat_kernel(chargrams: bool):
 
 
 def _lid_scatter(spark: SparkSession, sf_dir: str) -> int | None:
-    """Target partition count for the Arrow feature pass, or None when
-    the scan already splits naturally — sim_topk_arrow's guard verbatim:
-    a big corpus parallelizes from its file splits; only a scan too
-    small to split (the local test shape) earns a redistribution, since
-    at 100 TB an unconditional repartition would shuffle the whole
-    corpus text for nothing. os.stat metadata only, no Spark job."""
-    from ..io import table_size_bytes
-    from ..session import parse_bytes_conf
+    """io.scan_scatter over the documents table (see there)."""
+    from ..io import scan_scatter
 
-    max_split = parse_bytes_conf(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    )
-    est_splits = max(1, table_size_bytes(sf_dir, "documents") // max_split)
-    par = spark.sparkContext.defaultParallelism
-    return max(2, par) if est_splits < par else None
+    return scan_scatter(spark, sf_dir, "documents")
 
 
 def _lid_feats(

@@ -809,3 +809,59 @@ def test_doremi_mixture_quotas_derive_from_the_weights(spark, sf_dir):
     assert sum(r["n_docs"] for r in shards) == sum(
         r["n_kept"] for r in mix.values()
     )
+
+
+def test_winnow_arrow_kernel_matches_expression_reference(spark):
+    """The r14 mapInArrow winnowing kernel must emit exactly what the old
+    interpreted-HOF pipeline produced — n_grams, the packed fingerprint
+    VALUES and their first-occurrence ORDER — pinned on a tie-heavy
+    fixture (constant runs, alternating periods, short docs, empty text)."""
+    from etl_financial_report_spark.functions.hashing import hash32
+    from etl_financial_report_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_POS_SHIFT,
+        _winnow_selected,
+    )
+
+    rows = [
+        (1, "a a a a a a a a"),            # all-equal grams: every window ties
+        (2, "x y z w"),                    # exactly one gram
+        (3, "p q r"),                      # shorter than k -> no row
+        (4, "b c b c b c b c b c"),        # period-2 ties
+        (5, ""),                           # empty text -> no row
+        (6, "m n o p q r s t u v w x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    k, w, shift = WINNOW_K, WINNOW_W, _WINNOW_POS_SHIFT
+    toks = F.col("toks")
+    grams_col = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: hash32(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    g = docs.where(F.size(toks) >= k).select("doc_id", grams_col.alias("grams"))
+    grams = F.col("grams")
+    weff = F.least(F.lit(w), F.size(grams))
+
+    def select_at(j):
+        window = F.slice(grams, j, weff)
+        wmin = F.array_min(window)
+        rightmost = F.array_max(
+            F.filter(
+                F.sequence(j, j + weff - 1),
+                lambda p: F.element_at(grams, p) == wmin,
+            )
+        )
+        return wmin * shift + rightmost
+
+    ref = g.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(grams) - weff + 1), select_at)
+        ).alias("fps"),
+    )
+    got = _winnow_selected(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
