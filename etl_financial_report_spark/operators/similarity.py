@@ -584,23 +584,25 @@ def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.canon import csv_longs
 
+    # ONE GROUPED_AGG UDAF returns [n_rows, *sums] (optimization r14): a
+    # GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates,
+    # and the old shape ran TWO UDAFs — shipping every group's vectors
+    # across the Arrow boundary twice just to count them the second time
     @pandas_udf("array<long>")
-    def centroid_sums_q(vecs: pd.Series) -> list[int]:
+    def n_and_sums_q(vecs: pd.Series) -> list[int]:
         m = np.array(vecs.tolist(), dtype=np.int64)  # (n_rows, dim), exact
-        return m.sum(axis=0).tolist()
-
-    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates,
-    # so the row count is a pandas agg too
-    @pandas_udf("long")
-    def n_rows(vecs: pd.Series) -> int:
-        return len(vecs)
+        return [m.shape[0], *m.sum(axis=0).tolist()]
 
     emb = _quantized(spark, sf_dir)
     return (
         emb.groupBy("label")
-        .agg(
-            n_rows(F.col("qe")).alias("n_vectors"),
-            csv_longs(centroid_sums_q(F.col("qe"))).alias("centroid_sums"),
+        .agg(n_and_sums_q(F.col("qe")).alias("ns"))
+        .select(
+            "label",
+            F.element_at("ns", 1).alias("n_vectors"),
+            csv_longs(F.slice("ns", 2, F.greatest(F.size("ns") - 1, F.lit(1)))).alias(
+                "centroid_sums"
+            ),
         )
         .orderBy("label")
     )
