@@ -39,6 +39,16 @@ _RUNTIME_CONF = {
     # applies to SHJ and the size conditions guard the build side
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.join.preferSortMergeJoin": "false",
+    # optimization r14 (guide §6): openCostInBytes models per-file open
+    # overhead when packing files into splits; the 4 MB default is a
+    # spinning-disk/object-store seek estimate that FLOORS every split at
+    # 4 MB — on page-cached local parquet it serializes a whole table
+    # scan onto 3 cores (measured: tpch_q1 1.54 -> 1.16 s at 256 KB). At
+    # 100 TB (GB-sized files) the conf is irrelevant either way: splits
+    # are maxPartitionBytes-bound, so this floors only the small-file
+    # tail. Split sizing stays input-proportional (bytes/defaultParallelism),
+    # not tuned to any fixed core count.
+    "spark.sql.files.openCostInBytes": "262144",
     # At 100 TB this is sized per-cluster; locally ~cores avoids both
     # over-splitting tiny data and starving big shuffles.
     "spark.sql.shuffle.partitions": None,  # filled from cpu count below
