@@ -38,17 +38,14 @@ _RUNTIME_CONF = {
     # fits — no sort, same result; at 100 TB AQE's skew split still
     # applies to SHJ and the size conditions guard the build side
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # optimization r14 note (guide §6): lowering files.openCostInBytes
+    # (4 MB -> 256 KB) was measured BOTH ways and rejected — it buys
+    # ~25% on flat scan+agg queries (tpch_q1 1.54 -> 1.16 s: the 4 MB
+    # floor packs an 11 MB table into 3 splits) but COSTS ~1-2 s on
+    # deep multi-scan plans (sim_ann_ivfpq_recall_eval 5.7 -> 7.2 s:
+    # every re-scan of a sub-MB table becomes a flood of tiny tasks
+    # through ~50 AQE stages). Suite-net negative; the default stays.
     "spark.sql.join.preferSortMergeJoin": "false",
-    # optimization r14 (guide §6): openCostInBytes models per-file open
-    # overhead when packing files into splits; the 4 MB default is a
-    # spinning-disk/object-store seek estimate that FLOORS every split at
-    # 4 MB — on page-cached local parquet it serializes a whole table
-    # scan onto 3 cores (measured: tpch_q1 1.54 -> 1.16 s at 256 KB). At
-    # 100 TB (GB-sized files) the conf is irrelevant either way: splits
-    # are maxPartitionBytes-bound, so this floors only the small-file
-    # tail. Split sizing stays input-proportional (bytes/defaultParallelism),
-    # not tuned to any fixed core count.
-    "spark.sql.files.openCostInBytes": "262144",
     # At 100 TB this is sized per-cluster; locally ~cores avoids both
     # over-splitting tiny data and starving big shuffles.
     "spark.sql.shuffle.partitions": None,  # filled from cpu count below
