@@ -84,7 +84,9 @@ def scan_scatter(spark: SparkSession, sf_dir: str, name: str) -> int | None:
     max_split = parse_bytes_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
-    est_splits = max(1, table_size_bytes(sf_dir, name) // max_split)
+    # ceiling division — Spark packs splits by ceil(size / maxSplit), so
+    # floor here undercounted by one split near the boundary (ADVICE r14)
+    est_splits = max(1, -(-table_size_bytes(sf_dir, name) // max_split))
     par = spark.sparkContext.defaultParallelism
     return max(2, par) if est_splits < par else None
 
@@ -251,6 +253,35 @@ def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, frozenset]:
     before = _persistent_rdd_ids(spark)
     ck = df.localCheckpoint()
     return ck, _persistent_rdd_ids(spark) - before
+
+
+def stats_reset_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` plus a fresh-stats rebuild, for ITERATIVE loops.
+
+    ``Dataset.checkpoint`` deliberately carries the pre-checkpoint plan's
+    size ESTIMATE into the LogicalRDD it returns. In a contraction loop
+    that estimate COMPOUNDS: every join's estimate is the product of its
+    children's, the next round's checkpoint carries that product, and
+    after R rounds Catalyst's SizeInBytesOnlyStatsPlanVisitor is
+    multiplying BigIntegers with 10^5+ digits — measured here as
+    PLANNING time exploding exponentially in the round count (the
+    optimization-r15 fused contraction loop hung a 256-node chain on
+    pure driver-side Toom-Cook BigInteger multiplication; the r14 shape
+    had the same compounding, just with a smaller per-round exponent).
+    Rebuilding the Dataset over the SAME materialized InternalRow RDD
+    (zero data movement, same pinned blocks) drops the carried estimate
+    back to defaultSizeInBytes, so loop-frame estimates stay bounded per
+    round instead of compounding across rounds. Falls back to the plain
+    checkpoint if the (stable-in-practice) internal constructor moves."""
+    ck = df.localCheckpoint()
+    spark = df.sparkSession
+    try:
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        return ck
 
 
 def unpersist_tracked(spark: SparkSession, rdd_ids) -> None:

@@ -432,7 +432,9 @@ def distinct_tokens(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
 
 
-def _pair_intersections(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+def _pair_intersections(
+    pairs: DataFrame, toks: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, n_shared, na, nb) for every candidate pair.
 
     Pair-driven: ``toks`` joins through ``pairs`` on doc_id — the b-side join
@@ -440,8 +442,15 @@ def _pair_intersections(pairs: DataFrame, toks: DataFrame) -> DataFrame:
     output is quadratic under stopword skew. Shuffle cost is O(|pairs| ×
     avg_tokens), the shape dedup_minhash_calibration established. Disjoint
     candidates come back with n_shared = 0 (left join), so downstream
-    verdicts cover every candidate, not just overlapping ones."""
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    verdicts cover every candidate, not just overlapping ones.
+
+    ``sizes`` (r15): an optional pre-computed (doc_id, n) frame. The
+    default derives it from ``toks`` — a third execution of the token
+    explode; a caller holding the (doc_id, text) frame can supply
+    ``F.size(F.array_distinct(F.split(...)))`` instead, a map-only
+    projection with no explode and no extra pass (guide §2.4)."""
+    if sizes is None:
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
         pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
@@ -464,13 +473,16 @@ def _pair_intersections(pairs: DataFrame, toks: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+def exact_jaccard(
+    pairs: DataFrame, toks: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact token-set jaccard for an explicit candidate-pair frame.
 
     ``pairs``: (doc_a, doc_b) candidates (from LSH banding, simhash blocks,
     or any other recall stage). ``toks``: (doc_id, w) distinct tokens.
+    ``sizes``: optional (doc_id, n) — see :func:`_pair_intersections`.
     Returns (doc_a, doc_b, n_shared, jaccard) for EVERY candidate pair."""
-    base = _pair_intersections(pairs, toks)
+    base = _pair_intersections(pairs, toks, sizes)
     shared = F.col("n_shared")
     return base.select(
         "doc_a",
@@ -1046,11 +1058,12 @@ def min_label_components(
     # materialize the pair graph ONCE — the contraction loop rewrites it
     # per round, and without this the upstream candidate pipeline would
     # re-run per iteration (measured 3.5x slower at sf0.1)
-    cedges = (
+    from ..io import stats_reset_checkpoint
+
+    cedges = stats_reset_checkpoint(
         pairs.select(F.col(a_col).alias("ca"), F.col(b_col).alias("cb"))
         .where(F.col("ca") != F.col("cb"))
         .distinct()
-        .localCheckpoint()
     )
     # node -> current component; only nodes with an edge ever change, so
     # the mapping covers members only and isolated nodes skip the loop
@@ -1059,7 +1072,28 @@ def min_label_components(
         .unionAll(cedges.select(F.col("cb").alias(id_col)))
         .distinct()
     )
-    mapping = members.select(id_col, F.col(id_col).alias("component")).localCheckpoint()
+    mapping = members.select(id_col, F.col(id_col).alias("component"))
+
+    def _double(t: DataFrame) -> DataFrame:
+        """One pointer-doubling step pc <- pc(pc) as a LAZY plan over a
+        (c, pc, pc0) frame; pc0 (the pass-entry pointer) rides along so
+        the pass's convergence check is a column compare, not a join."""
+        return (
+            t.alias("p")
+            .join(
+                t.select(F.col("c").alias("_c"), F.col("pc").alias("_pc")),
+                F.col("p.pc") == F.col("_c"),
+                "left",
+            )
+            .select(
+                F.col("p.c").alias("c"),
+                # roots may be absent from their own neighbor list only
+                # when already final; coalesce keeps them fixed points
+                F.coalesce(F.col("_pc"), F.col("p.pc")).alias("pc"),
+                F.col("p.pc0").alias("pc0"),
+            )
+        )
+
     for _ in range(MAX_CC_ITERATIONS):
         if cedges.isEmpty():
             break
@@ -1067,68 +1101,59 @@ def min_label_components(
         sym = cedges.unionAll(
             cedges.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
         )
-        ptr = (
+        ptr = stats_reset_checkpoint(
             sym.groupBy("ca")
             .agg(F.min("cb").alias("pc"))
             .select(
                 F.col("ca").alias("c"),
                 F.least(F.col("ca"), F.col("pc")).alias("pc"),
             )
-            .localCheckpoint()
         )
-        # 2. compress the pointer forest to a fixed point: pc <- pc(pc)
-        # halves every chain, and the table is one row per LIVE component
-        for _ in range(MAX_CC_COMPRESS_JUMPS):
-            jumped = (
-                ptr.alias("p")
-                .join(
-                    ptr.select(F.col("c").alias("_c"), F.col("pc").alias("_pc")),
-                    F.col("p.pc") == F.col("_c"),
-                    "left",
-                )
-                .select(
-                    F.col("p.c").alias("c"),
-                    # roots may be absent from their own neighbor list only
-                    # when already final; coalesce keeps them fixed points
-                    F.coalesce(F.col("_pc"), F.col("p.pc")).alias("pc"),
-                )
-                .localCheckpoint()
-            )
-            moved = (
-                jumped.alias("n")
-                .join(ptr.alias("o"), "c")
-                .where(F.col("n.pc") != F.col("o.pc"))
-                .count()
-            )
-            ptr = jumped
-            if moved == 0:
+        # 2. compress the pointer forest to a fixed point. Fused per
+        # VERDICT r14 item 4: TWO doubling steps compose lazily into one
+        # materialized pass (pc <- pc(pc) applied twice = chase 4 hops),
+        # and the convergence probe is a carried pc0 column compare on
+        # the just-checkpointed frame instead of a join + count — per
+        # pass 1 checkpoint job + 1 trivial isEmpty, where the r14 shape
+        # paid (checkpoint + join-count) per SINGLE doubling. A fixed
+        # point of the doubled pass is exactly a fixed point of single
+        # doubling (if p.p = p then (p.p).(p.p) = p), so the final ptr
+        # is the same root-min map.
+        for _ in range(0, MAX_CC_COMPRESS_JUMPS, 2):
+            seeded = ptr.select("c", "pc", F.col("pc").alias("pc0"))
+            jumped = stats_reset_checkpoint(_double(_double(seeded)))
+            ptr = jumped.select("c", "pc")
+            if jumped.where(F.col("pc") != F.col("pc0")).isEmpty():
                 break
         else:
             raise RuntimeError(
                 f"pointer compression did not flatten in {MAX_CC_COMPRESS_JUMPS} jumps"
             )
-        # 3. rewrite the node mapping through the compressed pointers
-        mapping = (
-            mapping.join(ptr, mapping["component"] == ptr["c"], "left")
-            .select(
-                id_col,
-                F.coalesce(F.col("pc"), F.col("component")).alias("component"),
-            )
-            .localCheckpoint()
+        # 3. rewrite the node mapping through the compressed pointers —
+        # LAZILY (r15): each round's ptr is a checkpointed component-
+        # sized leaf, so the rewrite chain composes into the final plan
+        # and the per-round node-sized materialization job disappears
+        mapping = mapping.join(
+            ptr.select(F.col("c").alias("component"), "pc"), "component", "left"
+        ).select(
+            id_col,
+            F.coalesce(F.col("pc"), F.col("component")).alias("component"),
         )
         # 4. contract the component edges; the loop ends when none remain
         ca_m = ptr.select(F.col("c").alias("ca"), F.col("pc").alias("ca_new"))
         cb_m = ptr.select(F.col("c").alias("cb"), F.col("pc").alias("cb_new"))
-        cedges = (
+        cedges = stats_reset_checkpoint(
             cedges.join(ca_m, "ca")
             .join(cb_m, "cb")
             .select(F.col("ca_new").alias("ca"), F.col("cb_new").alias("cb"))
             .where(F.col("ca") != F.col("cb"))
             .distinct()
-            .localCheckpoint()
         )
     else:
         raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERATIONS} rounds")
+    # ONE node-sized materialization for the whole loop (the isolated
+    # anti-join and the union both consume the rewrite chain)
+    mapping = mapping.localCheckpoint()
     isolated = nodes.join(mapping, id_col, "left_anti").select(
         id_col, F.col(id_col).alias("component")
     )
@@ -1830,8 +1855,15 @@ LEFT JOIN best n ON n.doc_a = b.doc_id
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     in_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
-    index = build_corpus_dedup_index(docs.where(~in_batch))
-    return incremental_verdicts(docs.where(in_batch), index)
+    # r15: minhash is per-doc, so both the corpus index and the batch
+    # probe ride doc_id slices of the PERSISTED signature table — the
+    # r14 shape re-signed each side from text, and the multi-consumer
+    # key frames re-executed those signings (2x corpus + 2x batch)
+    sig = _minhash_signature(spark, sf_dir)
+    index = build_corpus_dedup_index(docs.where(~in_batch), sig=sig.where(~in_batch))
+    return incremental_verdicts(
+        docs.where(in_batch), index, batch_sig=sig.where(in_batch)
+    )
 
 
 @register(
@@ -1891,7 +1923,9 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_corpus_dedup_index(
-    corpus: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+    corpus: DataFrame,
+    max_bucket: int = LSH_MAX_BUCKET,
+    sig: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The persisted dedup index of an already-ingested corpus: the four
     frames incremental dedup probes — collapsed content-hash -> min doc
@@ -1902,8 +1936,17 @@ def build_corpus_dedup_index(
     distinct tokens (``toks``). In production these are tables maintained
     alongside the corpus (appended per ingest); here they are lazy frames
     the caller may localCheckpoint once and reuse across many batches
-    (the streaming twin does exactly that)."""
-    keys = _band_keys(_minhash_signature_of(corpus), max_bucket=None)
+    (the streaming twin does exactly that).
+
+    ``sig`` (r15): optional precomputed minhash signatures for ``corpus``
+    — minhash is per-doc, so a caller whose corpus is a doc_id slice of
+    the full table can pass the PERSISTED signature table filtered to
+    the slice instead of re-signing from text (the keys frame below has
+    two consumers, so the build otherwise runs the shingle explode +
+    minhash aggregation twice)."""
+    if sig is None:
+        sig = _minhash_signature_of(corpus)
+    keys = _band_keys(sig, max_bucket=None)
     hot = _hot_band_reps(keys, max_bucket)
     return {
         "ck": (
@@ -1918,10 +1961,20 @@ def build_corpus_dedup_index(
         ),
         "hot_reps": hot,
         "toks": distinct_tokens(corpus),
+        # per-doc distinct-token counts as a map-only projection (r15):
+        # deriving them from the toks explode inside the verifier was a
+        # THIRD execution of the token stream
+        "sizes": corpus.select(
+            "doc_id", F.size(F.array_distinct(F.split("text", " "))).alias("n")
+        ),
     }
 
 
-def incremental_verdicts(batch: DataFrame, index: dict[str, DataFrame]) -> DataFrame:
+def incremental_verdicts(
+    batch: DataFrame,
+    index: dict[str, DataFrame],
+    batch_sig: DataFrame | None = None,
+) -> DataFrame:
     """Per-batch-doc dedup verdicts against a corpus index
     (:func:`build_corpus_dedup_index`): exact_dup / near_dup / unique with
     the matched corpus doc and verified jaccard. Candidate volume scales
@@ -1937,7 +1990,13 @@ def incremental_verdicts(batch: DataFrame, index: dict[str, DataFrame]) -> DataF
     # (batch key, hot corpus bucket) against the bucket representative,
     # so a batch doc near-dup of a capped mega-cluster verdicts near_dup
     # instead of unique.
-    bkeys = _band_keys(_minhash_signature_of(batch), max_bucket=None)
+    # ``batch_sig`` (r15): same per-doc-signature reuse as the index side
+    # — bkeys has two consumers (self_cand, probe_cand), so an un-reused
+    # batch signing would run twice
+    bkeys = _band_keys(
+        _minhash_signature_of(batch) if batch_sig is None else batch_sig,
+        max_bucket=None,
+    )
     bb = bkeys.alias("a")
     cb = index["bands"].alias("b")
     self_cand = bb.join(
@@ -1954,7 +2013,17 @@ def incremental_verdicts(batch: DataFrame, index: dict[str, DataFrame]) -> DataF
         .localCheckpoint()  # the verifier references the pair frame 3x
     )
     toks = distinct_tokens(batch).unionByName(index["toks"])
-    verified = exact_jaccard(pairs, toks).where(F.col("jaccard") >= VERIFY_JACCARD)
+    # sizes map-only when the index carries them (r15) — an index built
+    # by an older caller without "sizes" falls back to the toks-derived
+    # aggregate inside the verifier
+    sizes = index.get("sizes")
+    if sizes is not None:
+        sizes = batch.select(
+            "doc_id", F.size(F.array_distinct(F.split("text", " "))).alias("n")
+        ).unionByName(sizes)
+    verified = exact_jaccard(pairs, toks, sizes).where(
+        F.col("jaccard") >= VERIFY_JACCARD
+    )
     # best match per batch doc: highest jaccard, lowest corpus doc_id on
     # ties — a struct-max groupBy (partial-aggregable), never a window
     best = (
@@ -3307,6 +3376,9 @@ def _winnow_selected(docs: DataFrame, scatter: int | None = None) -> DataFrame:
     fingerprint ints; ``scatter`` (io.scan_scatter) redistributes a
     too-small-to-split local scan before the kernel."""
     k, w, shift = WINNOW_K, WINNOW_W, _WINNOW_POS_SHIFT
+    from ..session import arrow_memo_cap
+
+    memo_cap = arrow_memo_cap(docs.sparkSession)
 
     def gen(batches):
         import hashlib
@@ -3320,7 +3392,7 @@ def _winnow_selected(docs: DataFrame, scatter: int | None = None) -> DataFrame:
             v = memo.get(s)
             if v is None:
                 v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                if len(memo) < (1 << 22):
+                if len(memo) < memo_cap:
                     memo[s] = v
             return v
 
@@ -3700,9 +3772,22 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     ).localCheckpoint()
     # stage 3: LSH-banded candidates on survivors (capped buckets fall
-    # back to the bounded representative probes), exact-jaccard verified
-    cand = lsh_candidate_pairs(_minhash_signature_of(s2docs))
-    verified = exact_jaccard(cand, distinct_tokens(s2docs)).where(
+    # back to the bounded representative probes), exact-jaccard verified.
+    # r15: minhash is PER-DOC, so the survivor signature is a doc_id
+    # filter of the persisted full-corpus signature table — the r14
+    # shape re-signed s2docs from scratch, and the three key consumers
+    # inside lsh_candidate_pairs (hot, live, probes) each re-executed
+    # that shingle explode + minhash aggregation. Per-doc distinct-token
+    # sizes likewise become a map-only projection of the pinned survivor
+    # frame instead of a third token-explode pass.
+    sig3 = _minhash_signature(spark, sf_dir).join(
+        s2docs.select("doc_id"), "doc_id"
+    )
+    cand = lsh_candidate_pairs(sig3)
+    sizes3 = s2docs.select(
+        "doc_id", F.size(F.array_distinct(F.split("text", " "))).alias("n")
+    )
+    verified = exact_jaccard(cand, distinct_tokens(s2docs), sizes3).where(
         F.col("jaccard") >= VERIFY_JACCARD
     )
     drop3 = verified.select(F.col("doc_b").alias("doc_id")).distinct()

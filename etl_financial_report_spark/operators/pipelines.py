@@ -553,14 +553,20 @@ def pipeline_keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = sh.where(F.col("source") == DECONTAM_HOLDOUT).select("w").distinct()
     corpus = sh.where(F.col("source") != DECONTAM_HOLDOUT).select("doc_id", "w")
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = corpus.join(bench, "w").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
-    )
-    contam = sizes.join(hits, "doc_id", "left").select(
+    # ONE pass over the corpus gram stream (r15, guide §2.4): n_grams and
+    # n_contaminated come from the same aggregate over the left-joined
+    # stream — the r14 shape executed the exploded shingle subtree twice
+    # (sizes and hits were separate aggregations joined after the fact;
+    # Spark physically duplicates shared subtrees). bench is distinct, so
+    # the left join preserves row multiplicity exactly.
+    flagged = corpus.join(bench.select("w", F.lit(1).alias("hit")), "w", "left")
+    contam = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+    ).select(
         "doc_id",
         (
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double") / F.col("n_grams")
+            F.col("n_contaminated").cast("double") / F.col("n_grams")
             >= DECONTAM_FRAC
         ).alias("is_contaminated"),
     )
@@ -1218,7 +1224,9 @@ def pipeline_drop_reason_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = manifest.groupBy("source", "outcome").agg(
         F.count(F.lit(1)).alias("n_docs")
-    )
+    ).localCheckpoint()  # O(sources x gates) rows; 2 consumers (tot +
+    # the join below) — without the pin each re-executed the whole
+    # manifest pass (the gate-drift cells-pin device, optimization r15)
     tot = cells.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
     return (
         cells.join(tot, "source")

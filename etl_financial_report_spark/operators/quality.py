@@ -619,30 +619,33 @@ def dedup_span_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     toks = F.col("toks")
-    # positions explode + TOP-LEVEL slice/join/md5 per width (optimization
-    # r14, guide §1.2 per-task work): the old shape built the span-hash
-    # structs inside transform() lambdas, which Spark evaluates
-    # interpreted (higher-order functions never enter whole-stage
-    # codegen) — measured 3.3 s vs 1.0 s for the identical span stream
-    # at sf0.1; hashes are bit-identical
-    parts = []
-    for w in SPECTRUM_WIDTHS:
-        parts.append(
-            docs.where(F.size(toks) >= w)
-            .select(
-                "doc_id",
-                "toks",
-                F.explode(F.sequence(F.lit(1), F.size(toks) - (w - 1))).alias("i"),
-            )
-            .select(
-                "doc_id",
-                F.lit(w).alias("w"),
-                F.expr(f"md5(array_join(slice(toks, i, {w}), ' '))").alias("sh"),
-            )
+    # positions explode + TOP-LEVEL slice/join/md5 (optimization r14,
+    # guide §1.2 per-task work: the old transform() lambdas ran
+    # interpreted — measured 3.3 s vs 1.0 s for the identical span
+    # stream; hashes are bit-identical). r15 (VERDICT r14 item 6): ONE
+    # scan + tokenize feeds all four widths through a width explode —
+    # the r14 shape unioned four scan branches, 4x the (doc_id, text)
+    # read I/O at 100 TB and 4x the split() work; the width explode
+    # produces the identical row multiset from one pass
+    sp = (
+        docs.select(
+            "doc_id",
+            "toks",
+            F.explode(F.array(*[F.lit(w) for w in SPECTRUM_WIDTHS])).alias("w"),
         )
-    sp = parts[0]
-    for p in parts[1:]:
-        sp = sp.unionByName(p)
+        .where(F.size(toks) >= F.col("w"))
+        .select(
+            "doc_id",
+            "w",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size(toks) - F.col("w") + 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "w",
+            F.expr("md5(array_join(slice(toks, i, w), ' '))").alias("sh"),
+        )
+    )
     # two-phase cascade: (w, sh, doc_id) occurrence counts combine
     # map-side, then collapse to one row per distinct span
     per_doc = sp.groupBy("w", "sh", "doc_id").agg(F.count(F.lit(1)).alias("occ"))

@@ -580,32 +580,62 @@ ORDER BY label
     ),
 )
 def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-
     from ..functions.canon import csv_longs
 
-    # ONE GROUPED_AGG UDAF returns [n_rows, *sums] (optimization r14): a
-    # GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates,
-    # and the old shape ran TWO UDAFs — shipping every group's vectors
-    # across the Arrow boundary twice just to count them the second time
-    @pandas_udf("array<long>")
-    def n_and_sums_q(vecs: pd.Series) -> list[int]:
-        m = np.array(vecs.tolist(), dtype=np.int64)  # (n_rows, dim), exact
-        return [m.shape[0], *m.sum(axis=0).tolist()]
+    # r15 (guide §2.3 "aggregate before you shuffle"): the r14 shape was
+    # ONE GROUPED_AGG UDAF — but GROUPED_AGG has no partial aggregation,
+    # so every group's full vector set shuffled to a single task and
+    # crossed the Arrow boundary whole. This shape sums per PARTITION in
+    # one mapInArrow kernel (exact int64, associative), so the shuffle
+    # carries one (label, n, sums) row per (partition, label) and the
+    # final merge is a JVM partial-aggregable groupBy over 64 fixed sum
+    # columns. Output is bit-identical: integer sums are order-free.
+    d = _modal_dim(spark, sf_dir)
 
-    emb = _quantized(spark, sf_dir)
-    return (
-        emb.groupBy("label")
-        .agg(n_and_sums_q(F.col("qe")).alias("ns"))
-        .select(
-            "label",
-            F.element_at("ns", 1).alias("n_vectors"),
-            csv_longs(F.slice("ns", 2, F.greatest(F.size("ns") - 1, F.lit(1)))).alias(
-                "centroid_sums"
-            ),
-        )
-        .orderBy("label")
+    def partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc_n: dict = {}
+        acc_s: dict = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            labels = batch.column(0).to_pylist()  # int or None, null-safe
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(labels), -1)
+            idx: dict = {}
+            for i, lab in enumerate(labels):
+                idx.setdefault(lab, []).append(i)
+            for lab, rows in idx.items():
+                s = mat[rows].sum(axis=0, dtype=np.int64)
+                acc_n[lab] = acc_n.get(lab, 0) + len(rows)
+                prev = acc_s.get(lab)
+                acc_s[lab] = s if prev is None else prev + s
+        if acc_n:
+            labs = list(acc_n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(labs, pa.int32()),
+                    pa.array([acc_n[k] for k in labs], pa.int64()),
+                    pa.array([acc_s[k].tolist() for k in labs], pa.list_(pa.int64())),
+                ],
+                names=["label", "n", "sums"],
+            )
+
+    emb = _quantized(spark, sf_dir).select("label", "qe")
+    part = emb.mapInArrow(partials, "label int, n long, sums array<long>")
+    summed = part.groupBy("label").agg(
+        F.sum("n").alias("n_vectors"),
+        *[F.sum(F.element_at("sums", i + 1)).alias(f"s{i}") for i in range(d)],
     )
+    return summed.select(
+        "label",
+        "n_vectors",
+        csv_longs(F.array(*[F.col(f"s{i}") for i in range(d)])).alias(
+            "centroid_sums"
+        ),
+    ).orderBy("label")
 
 
 @register(
@@ -1658,6 +1688,85 @@ def _update_centroids(qv: DataFrame, assign: DataFrame) -> DataFrame:
 
 
 
+#: session-scoped memo of the ONE deterministic coarse-quantizer round
+#: (cid, c_qe, c_nsq) — seven registered queries (ivfpq topk, both
+#: recall evals, nprobe sweep, kmeans train, cluster-balanced sample,
+#: cluster term profile) plus the residual-index build train the
+#: IDENTICAL K-row table from the identical seeds; each used to rebuild
+#: it per query construction: one full assign pass over the corpus, the
+#: per-dim sums aggregate, and a localCheckpoint job, times seven
+#: (optimization r15, VERDICT r14 item 8). Values are (frame, pinned rdd
+#: ids) so eviction can free the checkpoint blocks.
+_IVF_CENTS_CACHE: dict[tuple, tuple] = {}
+_IVF_CENTS_MAX = 4
+
+
+def _ivf_cents_cache_pins():
+    out: set = set()
+    for _f, ids in _IVF_CENTS_CACHE.values():
+        out |= set(ids)
+    return out
+
+
+def _ivf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared post-seed-round coarse centroids (cid, c_qe, c_nsq):
+    ``_update_centroids(qv, _assign_cells(qv, seeds))`` memoized per
+    (session, corpus snapshot, N_CELLS). Deliberately NOT persisted to
+    the index store: the residual index already persists its copy, and
+    this round adds no new cross-run artifact families — the memo is a
+    session-RAM localCheckpoint exactly like the per-query pin it
+    replaces, just shared."""
+    from .. import io as _io
+
+    qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
+    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("c_qe"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    built = _update_centroids(qv, _assign_cells(qv, seeds))
+    if not _io.MEMO_ENABLED:  # plan-audit escape hatch: real build plan
+        return built
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _io.corpus_fingerprint(sf_dir, "embeddings"),
+        N_CELLS,
+    )
+    hit = _IVF_CENTS_CACHE.get(key)
+    if hit is None:
+        hit = _io.checkpoint_tracked(built)
+        while len(_IVF_CENTS_CACHE) >= _IVF_CENTS_MAX:
+            _old, old_ids = _IVF_CENTS_CACHE.pop(next(iter(_IVF_CENTS_CACHE)))
+            _io.unpersist_tracked(spark, old_ids)
+        _IVF_CENTS_CACHE[key] = hit
+    return hit[0]
+
+
+#: session-scoped memo of the plain-PQ training pair (subs, book) — six
+#: registered queries (pq train/topk/recall, ivfpq topk, both ivfpq
+#: recall evals) called _pq_train per construction, each paying the
+#: sliced-projection checkpoint, the seed assignment window, the per-dim
+#: sums aggregate and the codebook checkpoint (optimization r15, same
+#: rationale as _IVF_CENTS_CACHE; the residual codebooks already ride
+#: the persisted residual index, raw-subvector training did not).
+_PQ_TRAIN_CACHE: dict[tuple, tuple] = {}
+_PQ_TRAIN_MAX = 4
+
+
+def _pq_train_cache_pins():
+    out: set = set()
+    for _pair, ids in _PQ_TRAIN_CACHE.values():
+        out |= set(ids)
+    return out
+
+
+from .. import io as _io_pins  # noqa: E402  (registration, not a cycle)
+
+_io_pins.register_pin_provider(_ivf_cents_cache_pins)
+_io_pins.register_pin_provider(_pq_train_cache_pins)
+
+
 @register(
     "sim_ann_kmeans_train",
     oracle=f"""
@@ -1722,12 +1831,12 @@ def kmeans_train_frame(
 ) -> DataFrame:
     """(cell, n_members, centroid_sum array<long>) — the array-typed
     training loop; the registered query serializes the sum vector."""
+    assert n_rounds >= 1, "kmeans_train_frame needs at least one round"
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    cents = (
-        qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0))
-        .select(F.col("vec_id").alias("cid"), F.col("qe").alias("c_qe"), F.col("nsq").alias("c_nsq"))
-    )
-    for _ in range(n_rounds):
+    # round 1 is the shared seed-round memo (r15) — identical output to
+    # the inline seed assign + update; extra rounds chain the same stage
+    cents = _ivf_cents(spark, sf_dir)
+    for _ in range(n_rounds - 1):
         assign = _assign_cells(qv, cents)
         # K rows per round: checkpoint truncates the per-round lineage so
         # deep trainings don't accumulate a nested-broadcast DAG
@@ -2096,7 +2205,7 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             for m in range(PQ_M)
         ]
     )
-    subs = (
+    subs_pure = (
         qv.select("vec_id", "nsq", F.explode(sub_structs).alias("g"))
         .select(
             "vec_id",
@@ -2105,9 +2214,34 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             F.col("g.s").alias("s"),
         )
         .withColumn("snsq", norm_sq_q(F.col("s")))
-        .localCheckpoint()
     )
-    return subs, _pq_train_subs(subs)
+    from .. import io as _io
+
+    if not _io.MEMO_ENABLED:  # plan-audit escape hatch
+        subs = subs_pure.localCheckpoint()
+        return subs, _pq_train_subs(subs)
+    # session memo (optimization r15): six registered queries re-ran this
+    # training per construction — see _PQ_TRAIN_CACHE
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _io.corpus_fingerprint(sf_dir, "embeddings"),
+        PQ_M,
+        PQ_K,
+        PQ_SUBDIM,
+    )
+    hit = _PQ_TRAIN_CACHE.get(key)
+    if hit is None:
+        ids_before = _io._persistent_rdd_ids(spark)
+        subs = subs_pure.localCheckpoint()
+        book = _pq_train_subs(subs)  # checkpoints the K-bounded book
+        ids = _io._persistent_rdd_ids(spark) - ids_before
+        hit = ((subs, book), frozenset(ids))
+        while len(_PQ_TRAIN_CACHE) >= _PQ_TRAIN_MAX:
+            _old, old_ids = _PQ_TRAIN_CACHE.pop(next(iter(_PQ_TRAIN_CACHE)))
+            _io.unpersist_tracked(spark, old_ids)
+        _PQ_TRAIN_CACHE[key] = hit
+    return hit[0]
 
 
 def _pq_train_subs(subs: DataFrame) -> DataFrame:
@@ -2381,12 +2515,7 @@ SELECT vec_id, cosine_pq FROM pq_topk
 )
 def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("c_qe"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    cents = _update_centroids(qv, _assign_cells(qv, seeds)).localCheckpoint()
+    cents = _ivf_cents(spark, sf_dir)  # shared seed-round memo (r15)
     assign = _assign_cells(qv, cents)
     qcell = assign.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), "cell"
@@ -2499,7 +2628,9 @@ def _residual_index(spark: SparkSession, sf_dir: str) -> dict:
         F.col("nsq").alias("c_nsq"),
     )
     a0 = _assign_cells(qv, seeds)
-    cents = _update_centroids(qv, a0).localCheckpoint()
+    # the post-seed-round centroids come from the shared session memo
+    # (r15): identical frame, one build per session instead of one here
+    cents = _ivf_cents(spark, sf_dir)
     counts0 = a0.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).withColumnRenamed(
         "cell", "cid"
     )
@@ -3346,13 +3477,9 @@ def sim_ann_ivfpq_batch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFra
         .select("q_id", "vec_id")
     )
 
-    # plain IVF-PQ: one coarse train, per-query argmax cell -> candidates
-    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("c_qe"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    cents = _update_centroids(qv, _assign_cells(qv, seeds)).localCheckpoint()
+    # plain IVF-PQ: one coarse train (shared seed-round memo, r15),
+    # per-query argmax cell -> candidates
+    cents = _ivf_cents(spark, sf_dir)
     assign = _assign_cells(qv, cents)
     qcells = assign.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("q_id"), "cell"
@@ -4248,13 +4375,7 @@ def sim_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     qv = _quantized(spark, sf_dir)
-    allv = qv.select("vec_id", "qe", "nsq")
-    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("c_qe"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    cents = _update_centroids(allv, _assign_cells(allv, seeds))
+    cents = _ivf_cents(spark, sf_dir)  # shared seed-round memo (r15)
     queries = qv.where(F.col("vec_id") < SIM_EVAL_NQ).select(
         F.col("vec_id").alias("q_id"),
         F.col("qe").alias("q_qe"),
@@ -4262,9 +4383,12 @@ def sim_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = qv.where(F.col("vec_id") >= SIM_EVAL_NQ)
     cos = cosine_q(dot_q(F.col("qe"), F.col("q_qe")), F.col("nsq"), F.col("q_nsq"))
+    # ONE brute-force scoring pass (r15): truth AND the shared candidate
+    # frame both consume it — the r14 shape re-executed the corpus x nq
+    # crossJoin + per-element dot lambda for each
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "q_id", "vec_id", cos.alias("cos")
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     truth = (
         scored.withColumn("rk", F.row_number().over(w))
@@ -4896,12 +5020,7 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.topk import topk_per_key
 
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("c_qe"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    cents = _update_centroids(qv, _assign_cells(qv, seeds)).localCheckpoint()
+    cents = _ivf_cents(spark, sf_dir)  # shared seed-round memo (r15)
     assign = _assign_cells(qv, cents)
     pop = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
     head = topk_per_key(
@@ -4997,12 +5116,7 @@ def sim_cluster_term_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.topk import topk_per_key
 
     qv = _quantized(spark, sf_dir).select("vec_id", "qe", "nsq")
-    seeds = qv.where((F.col("vec_id") < N_CELLS) & (F.col("nsq") > 0)).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("c_qe"),
-        F.col("nsq").alias("c_nsq"),
-    )
-    cents = _update_centroids(qv, _assign_cells(qv, seeds)).localCheckpoint()
+    cents = _ivf_cents(spark, sf_dir)  # shared seed-round memo (r15)
     assign = _assign_cells(qv, cents).select(
         F.col("vec_id").alias("doc_id"), "cell"
     )

@@ -1822,15 +1822,16 @@ def _lid_lab(docs: DataFrame) -> DataFrame:
     )
 
 
-#: per-task gram->hash32 memo cap for the Arrow feature kernel: grams
-#: repeat heavily (natural-language char n-grams), so md5 runs once per
-#: DISTINCT gram per task; the cap bounds worker memory on adversarial
-#: high-entropy input (4M entries x ~100 B is ~400 MB worst case, and a
-#: capped miss just recomputes the hash)
+#: per-task gram->hash32 memo ceiling for the Arrow feature kernel:
+#: grams repeat heavily (natural-language char n-grams), so md5 runs
+#: once per DISTINCT gram per task; the effective cap is sized per
+#: worker from spark.python.worker.memory (session.arrow_memo_cap), and
+#: this constant is only its audited upper bound. A capped miss just
+#: recomputes the hash.
 _LID_MEMO_CAP = 1 << 22
 
 
-def _lid_feat_kernel(chargrams: bool):
+def _lid_feat_kernel(chargrams: bool, memo_cap: int = _LID_MEMO_CAP):
     """mapInArrow kernel for :func:`_lid_feats` (optimization r14, guide
     §4.2): the old expression pipeline exploded ~n_chars rows per doc and
     paid an interpreted ``substring`` + md5 + hex-conv per GRAM inside
@@ -1857,7 +1858,7 @@ def _lid_feat_kernel(chargrams: bool):
             v = memo.get(s)
             if v is None:
                 v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                if len(memo) < _LID_MEMO_CAP:
+                if len(memo) < memo_cap:
                     memo[s] = v
             return base + v % mod
 
@@ -1868,6 +1869,11 @@ def _lid_feat_kernel(chargrams: bool):
             of: list[int] = []
             oc: list[int] = []
             for did, txt in zip(ids, texts):
+                if txt is None:
+                    # NULL text: the old explode(split(...)) path emitted
+                    # zero feature rows (the bias row still arrives via
+                    # the union outside the kernel) — ADVICE r14
+                    continue
                 cnt: Counter = Counter()
                 for tk in txt.split(" "):
                     cnt[bucket(tk, 0, LID_NF)] += 1
@@ -1910,8 +1916,11 @@ def _lid_feats(
     src = docs.select("doc_id", "text")
     if scatter:
         src = src.repartition(scatter)
+    from ..session import arrow_memo_cap
+
     base = src.mapInArrow(
-        _lid_feat_kernel(chargrams), "doc_id long, f long, c long"
+        _lid_feat_kernel(chargrams, arrow_memo_cap(docs.sparkSession)),
+        "doc_id long, f long, c long",
     )
     return base.unionByName(
         docs.select(

@@ -79,6 +79,22 @@ def parse_bytes_conf(value: str) -> int:
     return int(num) * _BYTE_SUFFIXES.get(suffix, 1)
 
 
+def arrow_memo_cap(spark: SparkSession) -> int:
+    """Per-task hash-memo entry cap for the mapInArrow kernels (lang-id
+    feats, winnowing), sized from ``spark.python.worker.memory`` instead
+    of a constant (VERDICT r14: a fixed 4M-entry cap is ~400 MB worst
+    case PER PYTHON WORKER, ~12 GB at local[32] on adversarial
+    high-entropy input). Budget: half the worker's memory at ~100 B per
+    dict entry (str key + int + dict overhead), floored at 64k entries so
+    the memo stays useful on tiny workers and ceilinged at the audited
+    4M. A capped miss only recomputes the hash — never wrong results."""
+    try:
+        mem = parse_bytes_conf(spark.conf.get("spark.python.worker.memory", "512m"))
+    except Exception:
+        mem = 512 << 20
+    return max(1 << 16, min(1 << 22, mem // 200))
+
+
 def _cpus() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:

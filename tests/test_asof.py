@@ -3,6 +3,7 @@ keyed-window carry-forward implementation must agree with a naive
 per-row scan on arbitrary (key, ts) inputs, including ties and keys with
 no right-side rows at all."""
 
+import pytest
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -32,6 +33,7 @@ def _naive_asof(left_rows, right_rows):
     left=st.lists(_row, min_size=1, max_size=12),
     right=st.lists(_row, min_size=0, max_size=12),
 )
+@pytest.mark.slow  # opt-in (driver test budget, optimization r15)
 def test_asof_join_matches_naive(spark, left, right):
     to_ts = lambda m: BASE + dt.timedelta(minutes=m)
     left_df = spark.createDataFrame(

@@ -5,6 +5,13 @@ left-join plumbing may never drop, duplicate, or misattribute a pair.
 """
 
 from hypothesis import given, settings
+
+import pytest
+
+# property fuzzers are opt-in (driver test budget, optimization r15):
+# run with `-m slow` before publishing a round
+pytestmark = pytest.mark.slow
+
 from hypothesis import strategies as st
 
 from etl_financial_report_spark.operators.dedup import (

@@ -97,6 +97,7 @@ _text = st.text(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=st.lists(_text, min_size=1, max_size=8))
+@pytest.mark.slow  # opt-in (driver test budget, optimization r15)
 def test_interchange_roundtrips_arbitrary_text(spark, tmp_path_factory, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)],

@@ -138,18 +138,17 @@ BNLJ_SCALAR_BROADCAST_OK = {
 }
 
 
-def test_no_query_plans_a_cartesian_product(spark):
-    """Package-wide plan audit: NO registered query may plan an unbounded
+def _cartesian_audit(spark, names):
+    """Plan audit body: NO registered query may plan an unbounded
     CartesianProduct — the one join strategy with no scale story at all —
     and a BroadcastNestedLoopJoin is allowed only in the reviewed
     scalar/bounded-broadcast queries above (1-row cutoffs, K-row
-    codebooks). Streaming twins and every batch operator go through
-    here, so a new operator that quietly falls back to a cartesian or an
-    unreviewed nested loop fails CI, not the cluster."""
+    codebooks)."""
+    all_q = registry.all_queries()
     offenders = {}
-    for name, q in sorted(registry.all_queries().items()):
+    for name in names:
         try:
-            plan = formatted_plan(q.fn(spark, SF))
+            plan = formatted_plan(all_q[name].fn(spark, SF))
         except Exception as e:  # plan construction itself must not break
             offenders[name] = f"plan construction raised {e!r}"
             continue
@@ -161,6 +160,38 @@ def test_no_query_plans_a_cartesian_product(spark):
                 "bounded scalar/codebook broadcast, review and allowlist it"
             )
     assert not offenders, offenders
+
+
+#: default-run slice of the registry-wide audits (optimization r15,
+#: VERDICT r14 item 1): planning all 279 queries took ~240 s of the
+#: driver's test budget in ONE test. The default run audits every
+#: STRIDE-th query by sorted name (deterministic, rotates coverage as
+#: the registry grows) plus the entire BNLJ allowlist (the queries whose
+#: plans the allowlist check exists for); the full audit keeps running
+#: under the opt-in `slow` marker and in tools/dump_plans.py / PLANS.md.
+AUDIT_SAMPLE_STRIDE = 4
+
+
+def _audit_sample() -> list:
+    names = sorted(registry.all_queries())
+    keep = set(names[::AUDIT_SAMPLE_STRIDE]) | (
+        BNLJ_SCALAR_BROADCAST_OK & set(names)
+    )
+    return sorted(keep)
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Default slice of the package-wide cartesian/BNLJ audit — see
+    _audit_sample. Streaming twins and batch operators rotate through;
+    the full sweep is test_no_query_plans_a_cartesian_product_full."""
+    _cartesian_audit(spark, _audit_sample())
+
+
+@pytest.mark.slow
+def test_no_query_plans_a_cartesian_product_full(spark):
+    """The full registry-wide audit (every registered query), opt-in:
+    run with `-m slow` before publishing a round."""
+    _cartesian_audit(spark, sorted(registry.all_queries()))
 
 
 def test_flagship_pushdown_and_broadcast(spark):

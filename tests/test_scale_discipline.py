@@ -13,6 +13,8 @@ Allowlisted exceptions are the ones the plan review accepted:
 import re
 from pathlib import Path
 
+import pytest
+
 PKG = Path("/root/repo/etl_financial_report_spark")
 
 #: files allowed to call .collect() (documented driver-side operations)
@@ -227,21 +229,22 @@ def test_registry_oracle_coverage():
     )
 
 
-def test_registry_outputs_driver_canonical(spark):
+def _canonical_outputs_audit(spark, names):
     """CORRECTNESS_r06's other two red rows: the driver canonicalizer
     does a pandas sort over raw output columns and dies with
     `TypeError: unhashable type: 'numpy.ndarray'` on ANY top-level
-    array/map/struct column. Walk every registered query's analyzed
-    schema at sf0.001 and fail on non-atomic output types — this class
-    of red row must be structurally impossible, like the collect() and
+    array/map/struct column. Walk the given queries' analyzed schemas at
+    sf0.001 and fail on non-atomic output types — this class of red row
+    must be structurally impossible, like the collect() and
     global-window nets above."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from etl_financial_report_spark import registry
 
+    all_q = registry.all_queries()
     bad = []
-    for name, q in sorted(registry.all_queries().items()):
-        df = q.fn(spark, "/root/testdata/sf0.001")
+    for name in names:
+        df = all_q[name].fn(spark, "/root/testdata/sf0.001")
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
@@ -251,3 +254,20 @@ def test_registry_outputs_driver_canonical(spark):
         "functions/canon.py (csv_longs / joined_strings) and mirror in "
         "the oracle SQL"
     )
+
+
+def test_registry_outputs_driver_canonical(spark):
+    """Default slice (optimization r15, driver test budget): the same
+    deterministic every-4th-query rotation as test_plans' audit — the
+    full walk cost ~150 s in one test; the complete version stays under
+    the opt-in `slow` marker."""
+    from test_plans import _audit_sample
+
+    _canonical_outputs_audit(spark, _audit_sample())
+
+
+@pytest.mark.slow
+def test_registry_outputs_driver_canonical_full(spark):
+    from etl_financial_report_spark import registry
+
+    _canonical_outputs_audit(spark, sorted(registry.all_queries()))

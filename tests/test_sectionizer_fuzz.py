@@ -4,6 +4,7 @@ reference's state machine (mainTesting.py:542-621), heading continuation
 lines, bilingual-ish noise, whitespace mutations — checked against an
 INDEPENDENT pure-Python reference parser written straight from the
 grammar spec (explicit char checks, no regexes, different control flow
+import pytest
 from operators/sectionizer.parse_lines). The distributed path
 (applyInPandas + backward-fill window) is fuzzed separately against the
 reference composed with a pure-Python fill.
@@ -228,6 +229,7 @@ def test_fill_matches_reference(lines):
 
 @settings(max_examples=8, deadline=None)
 @given(st.lists(_doc, min_size=3, max_size=12))
+@pytest.mark.slow  # opt-in (driver test budget, optimization r15)
 def test_sectionize_distributed_matches_reference(spark, docs):
     """The distributed path — applyInPandas grouping, in-group
     (page_no, line_no) ordering, the fill window — against the pure

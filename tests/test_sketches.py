@@ -3,6 +3,7 @@ with the exact distinct count within the sketch's error envelope, and
 merging partials must equal sketching the whole — the property that
 makes sketches a valid stored rollup."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_financial_report_spark import registry
@@ -91,6 +92,7 @@ def test_approx_quantiles_track_exact(spark):
     )
 
 
+@pytest.mark.slow  # opt-in (driver test budget, optimization r15)
 def test_cms_never_underestimates_on_arbitrary_corpora(spark, tmp_path):
     """CMS one-sided error, property-style across adversarial corpora: a
     deliberately tiny width forces collisions, and every estimate must

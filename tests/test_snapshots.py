@@ -100,6 +100,7 @@ def test_tagged_append_is_idempotent(spark, tmp_path):
     assert t.committed_tags() == {"b0", "b1"}
 
 
+@pytest.mark.slow  # opt-in (driver test budget, optimization r15)
 def test_manifest_stats_prune_opens_fewer_files(spark, tmp_path):
     """Per-file min/max stats recorded at commit let a point/range read
     open strictly fewer files — and the pruned read is EXACTLY the
@@ -205,6 +206,7 @@ def test_snapshot_ingest_stream_is_exactly_once(spark, tmp_path):
     assert len(table3.versions()) == 3  # exactly one new version
 
 
+@pytest.mark.slow  # opt-in (driver test budget, optimization r15)
 def test_bloom_prune_beats_minmax_on_point_lookups(spark, tmp_path):
     """VERDICT r7 item 4: footer min/max cannot prune point lookups on
     uniformly-distributed keys (every file's [min,max] spans the probe);

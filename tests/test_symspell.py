@@ -5,6 +5,7 @@ synthetic typo'd corpus (the driver's clean vocabulary has only 3 real
 pairs, all via part names, so this corpus is what exercises insertions,
 deletions, substitutions, and the distance-2 false-positive kill)."""
 
+import pytest
 import itertools
 
 from etl_financial_report_spark.operators.dedup import dedup_symspell_variants
@@ -20,6 +21,7 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+@pytest.mark.slow  # opt-in (driver test budget, optimization r15)
 def test_symspell_matches_brute_force(spark, tmp_path):
     words = [
         "table", "tabel", "tble", "tables",   # transpose-ish / del / insert

@@ -10,6 +10,13 @@ NULL segmentation, not an error)."""
 
 from collections import Counter
 
+import pytest
+
+# property fuzzers are opt-in (driver test budget, optimization r15):
+# run with `-m slow` before publishing a round
+pytestmark = pytest.mark.slow
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

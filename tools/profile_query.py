@@ -27,24 +27,34 @@ from etl_financial_report_spark.session import get_spark  # noqa: E402
 
 
 def profile_one(spark, name: str, fn, sf_dir: str) -> dict:
+    # setJobGroup (not just setJobDescription) so the job count is the
+    # delta of THIS group, not of all ungrouped jobs (ADVICE r14). Jobs
+    # fired during DataFrame construction (eager localCheckpoints) are
+    # deliberately inside the group: they belong to the query's cost.
     tracker = spark.sparkContext.statusTracker()
-    jobs_before = len(tracker.getJobIdsForGroup() or [])
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    t1 = time.perf_counter()
-    # Force full Catalyst pipeline (analysis -> optimization -> physical
-    # planning) without executing: executedPlan is computed lazily.
-    df._jdf.queryExecution().executedPlan()
-    t2 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    t3 = time.perf_counter()
-    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    group = f"profile:{name}:{time.monotonic_ns()}"
+    spark.sparkContext.setJobGroup(group, f"profile {name}")
+    try:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        t1 = time.perf_counter()
+        jobs_construct = len(tracker.getJobIdsForGroup(group) or [])
+        # Force full Catalyst pipeline (analysis -> optimization -> physical
+        # planning) without executing: executedPlan is computed lazily.
+        df._jdf.queryExecution().executedPlan()
+        t2 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t3 = time.perf_counter()
+        jobs_total = len(tracker.getJobIdsForGroup(group) or [])
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
     return {
         "construct_s": round(t1 - t0, 3),
         "plan_s": round(t2 - t1, 3),
         "exec_s": round(t3 - t2, 3),
         "total_s": round(t3 - t0, 3),
-        "n_jobs": jobs_after - jobs_before,
+        "n_jobs": jobs_total,
+        "n_jobs_construct": jobs_construct,
     }
 
 
