@@ -17,7 +17,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: canonical decimal type for money columns arriving as 2-decimal doubles
+#: (the general-ledger type: real statement values in scaled units reach
+#: 10^15+, so this must stay wide)
 MONEY = "decimal(18,2)"
+#: TPC-H-bounded money (optimization r15, guide §2.3 "narrower types —
+#: only when provably safe"): the TPC-H spec caps every money column
+#: well under 10^7 — l_extendedprice = l_quantity (<= 50) x
+#: p_retailprice (< 2,101) < 105,050; o_totalprice < ~600,000;
+#: c_acctbal in [-999.99, 9999.99]; ps_supplycost <= 1,000 — so
+#: DECIMAL(9,2) is value-exact for them, and the downstream products
+#: (net/gross price) stay within Spark's LONG-BACKED compact decimal
+#: (precision <= 18): the (18,2)-typed pipeline pushed every per-row
+#: product to precision 23+ — a heap BigDecimal allocation per row
+#: across the whole 22-query battery. Values are bit-identical (exact
+#: integer arithmetic either way; the oracle compares after the final
+#: double cast); ANSI mode turns a violated bound into a loud error,
+#: never silent truncation.
+MONEY_TPCH = "decimal(9,2)"
 #: rates like l_discount / l_tax (2 decimals, < 10)
 RATE = "decimal(4,2)"
 
@@ -27,14 +43,21 @@ def money(col: Column | str) -> Column:
     return F.col(col).cast(MONEY) if isinstance(col, str) else col.cast(MONEY)
 
 
+def money9(col: Column | str) -> Column:
+    """Cast a SPEC-BOUNDED (< 10^7) TPC-H money column to the compact
+    exact DECIMAL — see MONEY_TPCH for the bound proof."""
+    return F.col(col).cast(MONEY_TPCH) if isinstance(col, str) else col.cast(MONEY_TPCH)
+
+
 def rate(col: Column | str) -> Column:
     return F.col(col).cast(RATE) if isinstance(col, str) else col.cast(RATE)
 
 
 def net_price(extendedprice: Column | str = "l_extendedprice", discount: Column | str = "l_discount") -> Column:
-    """extendedprice * (1 - discount), exact decimal."""
+    """extendedprice * (1 - discount), exact decimal — (9,2) x (4,2) ->
+    DECIMAL(14,4), long-backed compact (the wide form was (23,4))."""
     one = F.lit(1).cast(RATE)
-    return money(extendedprice) * (one - rate(discount))
+    return money9(extendedprice) * (one - rate(discount))
 
 
 def gross_price(
@@ -42,9 +65,14 @@ def gross_price(
     discount: Column | str = "l_discount",
     tax: Column | str = "l_tax",
 ) -> Column:
-    """extendedprice * (1 - discount) * (1 + tax), exact decimal."""
+    """extendedprice * (1 - discount) * (1 + tax), exact decimal. The
+    rate product is computed first and cast to DECIMAL(5,4) — exact: two
+    2-decimal factors carry at most 4 decimals and the value is < 2 — so
+    the money multiply lands at DECIMAL(15,6), still long-backed compact
+    (the wide form was (28,6))."""
     one = F.lit(1).cast(RATE)
-    return money(extendedprice) * (one - rate(discount)) * (one + rate(tax))
+    rp = ((one - rate(discount)) * (one + rate(tax))).cast("decimal(5,4)")
+    return money9(extendedprice) * rp
 
 
 def scale_units(value: Column, unique_quarter: Column, factor: int = 1_000_000) -> Column:

@@ -3783,7 +3783,10 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig3 = _minhash_signature(spark, sf_dir).join(
         s2docs.select("doc_id"), "doc_id"
     )
-    cand = lsh_candidate_pairs(sig3)
+    # the verifier references the pair frame twice (intersections + the
+    # base left join) — pin it so the banded self-join + probes +
+    # distinct run once (the incremental_verdicts device, r15)
+    cand = lsh_candidate_pairs(sig3).localCheckpoint()
     sizes3 = s2docs.select(
         "doc_id", F.size(F.array_distinct(F.split("text", " "))).alias("n")
     )

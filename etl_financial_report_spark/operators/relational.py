@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.finance import as_double, money, net_price
+from ..functions.finance import money9, as_double, money, net_price
 from ..io import load_table
 from ..registry import register
 
@@ -55,7 +55,7 @@ def flagship_statement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("tahun"),
             F.quarter("o_orderdate").alias("quartal"),
             net_price().alias("net"),
-            money("l_quantity").alias("qty"),
+            money9("l_quantity").alias("qty"),
         )
         .groupBy("tahun", "quartal")
         .agg(
@@ -214,11 +214,11 @@ def agg_statement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-06-01")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            as_double(F.sum(money("l_quantity")), "sum_qty"),
-            as_double(F.sum(money("l_extendedprice")), "sum_base"),
+            as_double(F.sum(money9("l_quantity")), "sum_qty"),
+            as_double(F.sum(money9("l_extendedprice")), "sum_base"),
             as_double(F.sum(net_price()), "sum_disc"),
             as_double(F.sum(gross_price()), "sum_charge"),
-            (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(money9("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.min("l_quantity").cast("double").alias("min_qty"),
             F.max("l_quantity").cast("double").alias("max_qty"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -253,7 +253,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_customers"),
-            as_double(F.sum(money("c_acctbal")), "total_acctbal"),
+            as_double(F.sum(money9("c_acctbal")), "total_acctbal"),
         )
         .select("r_name", "n_name", "gid", "n_customers", "total_acctbal")
     )
@@ -429,7 +429,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            as_double(F.sum(money("o_totalprice")), "total_price"),
+            as_double(F.sum(money9("o_totalprice")), "total_price"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
     )
@@ -497,7 +497,7 @@ def w_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(as_double(F.sum(money("o_totalprice")), "spend"))
+    spend = o.groupBy("o_custkey").agg(as_double(F.sum(money9("o_totalprice")), "spend"))
     banded = spend.withColumn(
         "band", F.floor(F.col("spend") / F.lit(NTILE_BAND_WIDTH)).cast("long")
     )
@@ -582,7 +582,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(N_SALT)))
     partial = salted.groupBy("l_returnflag", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(money("l_quantity")).alias("pq"),
+        F.sum(money9("l_quantity")).alias("pq"),
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n_rows"),
@@ -627,7 +627,7 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        as_double(F.sum(money("l_quantity")), "total_qty"),
+        as_double(F.sum(money9("l_quantity")), "total_qty"),
     )
 
 
@@ -776,7 +776,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            as_double(F.sum(money("o_totalprice")), "total"),
+            as_double(F.sum(money9("o_totalprice")), "total"),
         )
         .orderBy("gid", "tahun", "o_orderpriority")
     )

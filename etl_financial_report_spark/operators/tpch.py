@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.finance import as_double, money, net_price
+from ..functions.finance import money9, as_double, money, net_price
 from ..io import load_table
 from ..registry import register
 
@@ -195,7 +195,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & disc.between(F.lit("0.02").cast("decimal(4,2)"), F.lit("0.06").cast("decimal(4,2)"))
             & (F.col("l_quantity") < 24)
         )
-        .agg(as_double(F.sum(money("l_extendedprice") * disc), "revenue"))
+        .agg(as_double(F.sum(money9("l_extendedprice") * disc), "revenue"))
     )
 
 @register(
@@ -344,7 +344,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    amount = net_price() - money("p_retailprice") * F.lit("0.6").cast(
+    amount = net_price() - money9("p_retailprice") * F.lit("0.6").cast(
         "decimal(2,1)"
     ) * F.col("l_quantity").cast("decimal(4,0)")
     return (
@@ -581,7 +581,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", F.col("l_suppkey").alias("sk"))
         .agg(
             (
-                F.sum(money("l_extendedprice")).cast("double")
+                F.sum(money9("l_extendedprice")).cast("double")
                 / F.sum(F.col("l_quantity").cast("decimal(4,0)")).cast("double")
             ).alias("unit_cost")
         )
@@ -645,7 +645,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     o = load_table(spark, sf_dir, "orders")
     avg_bal = (
         c.where(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+        .agg((F.sum(money9("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
     )
     rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
     recent = o.where(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
@@ -656,7 +656,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         never_ordered.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            as_double(F.sum(money("c_acctbal")), "totacctbal"),
+            as_double(F.sum(money9("c_acctbal")), "totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -734,7 +734,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .join(avg_qty, F.col("apk") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("threshold"))
         .agg(
-            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0))
+            (F.sum(money9("l_extendedprice")).cast("double") / F.lit(7.0))
             .cast("double")
             .alias("avg_yearly")
         )
@@ -806,8 +806,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02"))
     )
-    qty = F.sum(money("l_quantity"))
-    price = F.sum(money("l_extendedprice"))
+    qty = F.sum(money9("l_quantity"))
+    price = F.sum(money9("l_extendedprice"))
     disc_price = F.sum(net_price())
     charge = F.sum(net_price() * (F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")))
     n = F.count(F.lit(1))

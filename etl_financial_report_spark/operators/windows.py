@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.finance import money
+from ..functions.finance import money9, money
 from ..io import load_table
 from ..registry import register
 
@@ -250,7 +250,7 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.sum(money9("o_totalprice")).over(w).cast("double").alias("running_total"),
     )
 
 
@@ -312,7 +312,7 @@ def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
         .cast("long")
         .alias("day_no"),
-    ).agg(F.sum(money("o_totalprice")).alias("day_total"))
+    ).agg(F.sum(money9("o_totalprice")).alias("day_total"))
     w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-6, 0)
     return daily.select(
         "o_custkey",

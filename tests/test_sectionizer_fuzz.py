@@ -4,7 +4,6 @@ reference's state machine (mainTesting.py:542-621), heading continuation
 lines, bilingual-ish noise, whitespace mutations — checked against an
 INDEPENDENT pure-Python reference parser written straight from the
 grammar spec (explicit char checks, no regexes, different control flow
-import pytest
 from operators/sectionizer.parse_lines). The distributed path
 (applyInPandas + backward-fill window) is fuzzed separately against the
 reference composed with a pure-Python fill.
@@ -27,6 +26,7 @@ fails loudly, and each survives the 250-example fuzz:
     even when the single-letter sequence is mid-flight.
 """
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
